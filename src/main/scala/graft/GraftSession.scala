@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory — every entry point (Verify, Bench, tests)
+  * gets identical semantics-bearing config.
+  *
+  * - `shuffle.partitions` sized to the local core count (the driver runs
+  *   local[32]; 200 default partitions would be pure scheduling overhead at
+  *   test scale — on a real cluster this becomes a cluster-sized setting and
+  *   AQE coalesces post-shuffle partitions anyway).
+  * - AQE on: runtime re-planning (skew-join splitting, dynamic coalescing,
+  *   broadcast demotion/promotion) is the 100 TB safety net.
+  * - `parquet.nanosAsLong`: the testdata `events.ts` column is
+  *   TIMESTAMP(NANOS) which vanilla Spark refuses to read; with the flag it
+  *   arrives as LongType nanos and [[Tables]] normalizes it.
+  * - UTC session timezone: oracle parity (BASELINE.md determinism caveats).
+  */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt * 2)
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

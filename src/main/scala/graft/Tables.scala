@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * All readers go through `spark.read.parquet` so Catalyst keeps full
+  * pushdown/pruning freedom: a downstream `.select`/`.filter` reaches the
+  * parquet scan as `ReadSchema`/`PushedFilters`. At 100 TB these would be
+  * partitioned/bucketed table paths; the API surface stays the same.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[GraftSession]])
+    * it reads as LongType nanos — normalize to TimestampType (µs, truncated)
+    * so downstream window/date functions work unchanged. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

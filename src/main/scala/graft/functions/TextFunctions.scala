@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline
+  * (language-ID heuristic, quality scoring, token counting, fingerprinting,
+  * shingling, MinHash, SimHash).
+  *
+  * Everything here is pure `Column` expression composition — whole-stage
+  * codegen keeps these in the generated loop, nothing leaves the JVM, and no
+  * Scala closure UDF breaks Catalyst's view of the plan. Hashes are built
+  * from `md5` (identical across engines) so every operator stays
+  * DuckDB-oracle-checkable; at production scale the same shapes run
+  * unchanged, md5 being distributive over partitions.
+  *
+  * Reference capability analogs: the IK-analyzer keyword UDTF
+  * (reference app/func/SplitFunction.java:12-27, utils/KeyWordUtil.java:13-31)
+  * → [[tokens]] + `explode`; everything else is the LLM-pipeline extension
+  * mandated on top of the reference surface.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex word extraction — a BPE-ish `[a-z0-9]+` segmentation. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** 32-bit deterministic hash of a string, seeded; identical in DuckDB as
+    * `('0x' || substr(md5(<seed> || '|' || s), 1, 8))::BIGINT`. */
+  def hash32(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit("|"), s)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Token n-gram shingles (1-based `element_at`, n consecutive tokens).
+    * Guarded for short docs: Spark's `sequence(1, 0)` yields a DESCENDING
+    * [1,0] rather than an empty array, so the short case is special-cased. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, typedLit(Seq.empty[String]))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+
+  /** MinHash signature: k independent 32-bit hash functions, min over
+    * shingles. Classic Broder-style estimator: P[minhash_j equal] = Jaccard. */
+  def minhash(shingleCol: Column, k: Int): Seq[Column] =
+    (0 until k).map { j =>
+      array_min(transform(shingleCol, s => hash32(s, j))).as(s"mh$j")
+    }
+
+  /** SimHash over tokens with `bits` output bits: bit b set iff the sum of
+    * ±1 votes (sign = bit b of the token hash) is non-negative. */
+  def simhash(toks: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      val votes = aggregate(
+        toks,
+        lit(0),
+        (acc, t) => acc +
+          when(shiftright(hash32(t, 0), b).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1))
+      when(votes >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Stopword count among tokens. */
+  def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  val EnMarkers = Seq("the", "a", "of", "and", "is")
+  val CodeMarkers = Seq("spark", "hash", "vector", "query", "batch")
+
+  /** Heuristic language/register ID: marker-word voting with a deterministic
+    * tie-break. (The reference has no NLP surface beyond the IK tokenizer;
+    * this is the mandated n-gram-heuristic extension.) */
+  def langId(toks: Column): Column = {
+    val en = stopwordCount(toks, EnMarkers)
+    val code = stopwordCount(toks, CodeMarkers)
+    when(en === 0 && code === 0, "und")
+      .when(en >= code, "en")
+      .otherwise("code")
+  }
+
+  /** Total characters across tokens (for mean-token-length features). */
+  def tokenCharSum(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("long")
+
+  /** 128-bit content fingerprint (hex) — exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 60-bit numeric fingerprint (first 15 hex digits of md5) — fits a signed
+    * 64-bit int in every engine. */
+  def fingerprint60(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+}

@@ -1,0 +1,383 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage (SURVEY.md §2.2–2.6) re-expressed over
+  * the TPC-H-ish test tables.
+  *
+  * Scale notes (100 TB design stance):
+  *   - every dimension join (`part`/`supplier`/`nation`/`region`/`customer`)
+  *     is explicitly `broadcast()` — dims stay small relative to facts, so no
+  *     shuffle of the fact side ever happens for enrichment (the reference's
+  *     async Phoenix/Redis lookup pipeline, SURVEY J3/J5, collapses into
+  *     map-side hash joins);
+  *   - fact⋈fact joins (orders⋈lineitem) shuffle on the join key once and
+  *     Catalyst/AQE pick sort-merge vs shuffled-hash; aggregations after the
+  *     join reuse the partial-aggregation path (map-side combine);
+  *   - aggregates emit DECIMAL for money (exactness + determinism across
+  *     partition orders) and LONG for counts.
+  */
+object Relational extends QueryModule {
+
+  /** TPC-H Q1-style pricing summary — SURVEY A1/A6 (incremental keyed agg).
+    * Ref: DwsTrafficVcChArIsNewPageViewWindow.java:154-179 (field-wise sums). */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+        // decimal-in, decimal-math: casting a COMPUTED double to decimal
+        // rounds differently in Spark (shortest-string HALF_UP) vs DuckDB
+        // (true binary value) — so convert the raw columns first, then
+        // multiply exactly. Final cast pins scale so both engines emit the
+        // same canonical form.
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4))")
+          .as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+
+  /** Fact⋈fact equi-join + agg — SURVEY J1 (order_detail⋈order_info).
+    * Ref: DwdTradeOrderPreProcess.java:141-143. */
+  def revenueByPriority(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+
+  /** Left outer join keeping unmatched left rows — SURVEY J2.
+    * Ref: DwdTradeOrderPreProcess.java:144-147 (null-padded optional attrs). */
+  def custOrderLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"),
+        countDistinct(when(col("o_orderkey").isNull, col("c_custkey")))
+          .as("n_inactive"))
+
+  /** FULL OUTER JOIN of two aggregate subqueries — SURVEY J8
+    * (order-agg vs refund-agg by trademark).
+    * Ref: publisher/mapper/CommodityStatsMapper.java:14-37. */
+  def commodityFullOuter(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val pt = broadcast(Tables.part(s, d).select("p_partkey", "p_brand"))
+    val sold = li.filter(col("l_shipdate") >= lit("2000-01-01"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("order_ct"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("order_amount"))
+    val refunded = li.filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") < lit("2000-01-01"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("refund_ct"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("refund_amount"))
+    sold.join(refunded, Seq("p_brand"), "full_outer")
+  }
+
+  /** Star-schema dim-chain enrichment as broadcast joins — SURVEY J3/J5
+    * (the 6-hop async sku→spu→tm→cat3→cat2→cat1 chain collapsed into
+    * map-side hash joins; ref DimAsyncFunction.java:20-75). */
+  def starDimChain(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_suppkey", "l_partkey", "l_extendedprice")
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+        countDistinct(col("p_brand")).as("n_brands"))
+
+  /** Composite-key join — SURVEY J4 (join ON order_id AND sku_id).
+    * Ref: DwdTradeRefundPaySuc.java:106-130. Self-join finds repeated
+    * (order, part) pairs. */
+  def compositeKeyJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+    val a = li.as("a")
+    val b = li.as("b")
+    a.join(b,
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") === col("b.l_partkey") &&
+        col("a.l_linenumber") < col("b.l_linenumber"))
+      .groupBy(col("a.l_orderkey").as("o_key"), col("a.l_partkey").as("p_key"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Interval (event-time range) join — SURVEY J6
+    * (DataStream intervalJoin between(-5s,+5s);
+    * ref test/Flink01_DataStreamJoin.java:43-51). Second-granularity epochs
+    * on both sides keep the oracle exact across parquet ns→µs truncation. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("view_s"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("buy_s"))
+    views.join(buys, Seq("user_id"))
+      .filter(col("buy_s") >= col("view_s") &&
+        col("buy_s") <= col("view_s") + lit(300L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("conversions"))
+  }
+
+  /** 10 s tumbling event-time window — SURVEY W1/A1/A3 (all DWS jobs).
+    * Batch-mode equivalent of `groupBy(window($"ts","10 seconds"), key)`;
+    * window start emitted as epoch seconds (determinism rule, QueryModule). */
+  def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Global (non-keyed) hourly window — SURVEY A2/A6
+    * (windowAll site-wide counters; ref DwsTrafficPageViewWindow.java:136-158). */
+  def hourlyActive(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hr"))
+      .agg(count(lit(1)).as("pv"),
+        countDistinct(col("user_id")).as("uv"))
+
+  /** First-seen-day dedup (batch analog of the per-day keyed-state dedup) —
+    * SURVEY A5; ref DwdTrafficUniqueVisitorDetail.java:69-98. */
+  def firstSeenDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("fd"))
+      .groupBy(date_format(col("fd"), "yyyy-MM-dd").as("first_day"))
+      .agg(count(lit(1)).as("new_users"))
+
+  /** Exact distinct counting per key — SURVEY A4 (Set-state orderCount).
+    * Ref: DwsTradeSkuOrderWindow.java:116-117,152,168. */
+  def distinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("uv"))
+
+  /** UNION ALL funnel of labeled aggregates — SURVEY U2
+    * (ref publisher/mapper/UserStatsMapper.java:12-63). */
+  def funnelUnion(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def m(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col("ct"))
+    m("view_ct", ev.filter(col("event_type") === "view")
+        .agg(count(lit(1)).as("ct")))
+      .unionAll(m("click_ct", ev.filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("ct"))))
+      .unionAll(m("purchase_ct", ev.filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("ct"))))
+      .unionAll(m("signup_ct", ev.filter(col("event_type") === "signup")
+        .agg(count(lit(1)).as("ct"))))
+      .unionAll(m("uv", ev.agg(countDistinct(col("user_id")).as("ct"))))
+  }
+
+  /** Top-k by aggregate with deterministic tie-break — SURVEY U3/U4
+    * (ORDER BY ... DESC LIMIT; ref CommodityStatsMapper.java:119). */
+  def topkBrands(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_partkey", "l_extendedprice")
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("gmv"))
+      .orderBy(col("gmv").desc, col("p_brand").asc)
+      .limit(10)
+
+  /** JSON field extraction from a string column — SURVEY O3-style map access
+    * (data['col']; ref DwdTradeOrderPreProcess1.java:42-97) via
+    * get_json_object on `events.props`. */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+  /** Conditional aggregation + ratio math — SURVEY O4/A6
+    * (if/multiIf + round(x/y); ref TradeStatsMapper.java:18-37). */
+  def statusConditional(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).as("high_ct"))
+      .withColumn("high_ratio",
+        col("high_ct").cast("double") / col("n_orders"))
+
+  /** ROLLUP hierarchy totals — SURVEY A7 extension (cube/rollup). */
+  def rollupGeo(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).as("acctbal_sum"))
+
+  /** Row-level filter + projection — SURVEY O2/O8 (CDC status filters,
+    * column keep-lists). Predicates/pruning reach the parquet scan. */
+  def filterProject(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+
+  /** Date bucketing — SURVEY O6/O7/A6 (date_format / toYYYYMMDD / toHour). */
+  def ordersPerMonth(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("month_total"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary"   -> pricingSummary _,
+    "q_rev_by_priority"   -> revenueByPriority _,
+    "q_cust_order_left"   -> custOrderLeft _,
+    "q_commodity_full_outer" -> commodityFullOuter _,
+    "q_star_dim_chain"    -> starDimChain _,
+    "q_composite_key_join" -> compositeKeyJoin _,
+    "q_interval_join"     -> intervalJoin _,
+    "q_tumbling_window"   -> tumblingWindow _,
+    "q_hourly_active"     -> hourlyActive _,
+    "q_first_seen_daily"  -> firstSeenDaily _,
+    "q_distinct_users"    -> distinctUsers _,
+    "q_funnel_union"      -> funnelUnion _,
+    "q_topk_brands"       -> topkBrands _,
+    "q_json_props"        -> jsonProps _,
+    "q_status_conditional" -> statusConditional _,
+    "q_rollup_geo"        -> rollupGeo _,
+    "q_filter_project"    -> filterProject _,
+    "q_orders_per_month"  -> ordersPerMonth _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS sum_disc_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rev_by_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_cust_order_left" ->
+      """SELECT c_mktsegment,
+        |  COUNT(DISTINCT c_custkey) AS n_customers,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_inactive
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_commodity_full_outer" ->
+      """WITH sold AS (
+        |  SELECT p_brand, COUNT(*) AS order_ct,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS order_amount
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |  GROUP BY p_brand),
+        |refunded AS (
+        |  SELECT p_brand, COUNT(*) AS refund_ct,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS refund_amount
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_returnflag = 'R' AND l_shipdate < TIMESTAMP '2000-01-01'
+        |  GROUP BY p_brand)
+        |SELECT p_brand, order_ct, order_amount, refund_ct, refund_amount
+        |FROM sold FULL OUTER JOIN refunded USING (p_brand)""".stripMargin,
+    "q_star_dim_chain" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_items,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+        |  COUNT(DISTINCT p_brand) AS n_brands
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_composite_key_join" ->
+      """SELECT a.l_orderkey AS o_key, a.l_partkey AS p_key, COUNT(*) AS n_pairs
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey = b.l_partkey
+        |  AND a.l_linenumber < b.l_linenumber
+        |GROUP BY a.l_orderkey, a.l_partkey""".stripMargin,
+    "q_interval_join" ->
+      """WITH v AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS view_s
+        |           FROM events WHERE event_type = 'view'),
+        |     b AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS buy_s
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, COUNT(*) AS conversions
+        |FROM v JOIN b ON v.user_id = b.user_id
+        |  AND b.buy_s >= v.view_s AND b.buy_s <= v.view_s + 300
+        |GROUP BY v.user_id""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT CAST(FLOOR(epoch(ts)/10)*10 AS BIGINT) AS wstart, event_type,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_hourly_active" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hr, COUNT(*) AS pv,
+        |  COUNT(DISTINCT user_id) AS uv
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_first_seen_daily" ->
+      """SELECT strftime(fd, '%Y-%m-%d') AS first_day, COUNT(*) AS new_users
+        |FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd FROM events GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS uv
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_funnel_union" ->
+      """SELECT 'view_ct' AS metric, COUNT(*) AS ct FROM events WHERE event_type='view'
+        |UNION ALL SELECT 'click_ct', COUNT(*) FROM events WHERE event_type='click'
+        |UNION ALL SELECT 'purchase_ct', COUNT(*) FROM events WHERE event_type='purchase'
+        |UNION ALL SELECT 'signup_ct', COUNT(*) FROM events WHERE event_type='signup'
+        |UNION ALL SELECT 'uv', COUNT(DISTINCT user_id) FROM events""".stripMargin,
+    "q_topk_brands" ->
+      """SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gmv
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY gmv DESC, p_brand ASC LIMIT 10""".stripMargin,
+    "q_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        |  COUNT(*) AS n, SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_status_conditional" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS high_ct,
+        |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS high_ratio
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_rollup_geo" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q_filter_project" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 300000""".stripMargin,
+    "q_orders_per_month" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS month_total
+        |FROM orders GROUP BY 1""".stripMargin,
+  )
+}
