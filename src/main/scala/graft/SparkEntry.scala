@@ -12,7 +12,7 @@ import graft.ops._
   */
 object SparkEntry {
 
-  val modules: Seq[QueryModule] = Seq(Relational)
+  val modules: Seq[QueryModule] = Seq(Relational, TextOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

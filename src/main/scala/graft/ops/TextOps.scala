@@ -1,0 +1,258 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table — the
+  * training-data-pipeline extension (language-ID, quality scoring, token
+  * counting, fingerprinting, exact dedup, n-gram Jaccard near-dup,
+  * MinHash+LSH, SimHash).
+  *
+  * Scale design (100 TB of documents):
+  *   - exact dedup: hash-groupBy on a 128-bit content fingerprint — one
+  *     shuffle keyed by fingerprint, partial-agg combines duplicates
+  *     map-side; never shuffles raw text (only the 32-char hash + id).
+  *   - near-dup: MinHash+LSH is the scale path — O(docs × bands) explode
+  *     and a self-join keyed on (band, bandKey), so only colliding docs
+  *     meet; the exact n-gram Jaccard join (shingle-keyed self-join) is the
+  *     verifier stage, run on LSH candidates only in production.
+  *   - per-doc scoring (language, quality, fingerprints) is embarrassingly
+  *     parallel — no shuffle at all, pure map stage inside whole-stage
+  *     codegen.
+  */
+object TextOps extends QueryModule {
+
+  // ---- DuckDB oracle SQL fragments (kept adjacent to the Column builders
+  //      they mirror; md5 is the cross-engine hash) ----
+  private def dHash32(seed: Int, s: String): String =
+    s"('0x'||substr(md5('$seed|'||($s)),1,8))::BIGINT"
+  private val dToks = "string_split(text, ' ')"
+  private val dShingles3 =
+    "CASE WHEN len(t) < 3 THEN [] ELSE list_transform(range(1, len(t)-1), " +
+      "i -> t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)]) END"
+  private def dIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Token statistics — whitespace + regex "BPE-ish" counts. */
+  def docStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      size(tokens(col("text"))).as("n_tok"),
+      size(regexTokens(col("text"))).as("n_re_tok"),
+      tokenCharSum(tokens(col("text"))).as("char_sum"))
+
+  /** Quality scoring: length band, stopword ratio, mean token length. */
+  def docQuality(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(t).as("n_tok"),
+        stopwordCount(t, EnMarkers).as("stop_ct"),
+        tokenCharSum(t).as("char_sum"))
+      .withColumn("stop_ratio", col("stop_ct").cast("double") / col("n_tok"))
+      .withColumn("avg_tok_len", col("char_sum").cast("double") / col("n_tok"))
+      .withColumn("quality",
+        when(col("n_tok").between(30, 500), 1).otherwise(0) +
+        when(col("stop_ratio") >= 0.02 && col("stop_ratio") <= 0.6, 1).otherwise(0) +
+        when(col("avg_tok_len").between(3.0, 10.0), 1).otherwise(0))
+  }
+
+  /** Language-ID heuristic vs the labeled `lang` column (confusion matrix). */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), langId(tokens(col("text"))).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Content fingerprints: 128-bit hex + 60-bit numeric. */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      fingerprint60(col("text")).as("fp60"))
+
+  /** Exact dedup groups: hash-groupBy on the content fingerprint. */
+  def exactDedupGroups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("min_doc"))
+
+  /** Exact dedup keep-first: one survivor per fingerprint (window
+    * row_number, the canonical Spark dedup-at-scale shape), then per-source
+    * surviving counts. */
+  def dedupKeepFirst(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Exact n-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.6.
+    * Shingle-keyed self-join — the *verifier* stage; at scale it runs on
+    * MinHash-LSH candidates only (see [[minhashLshPairs]]). */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"), col("jaccard"))
+  }
+
+  /** MinHash signatures (k=8) over 3-token shingles. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(tokens(col("text")), 3)
+    Tables.documents(s, d)
+      .select(col("doc_id") +: minhash(sh, 8): _*)
+  }
+
+  /** MinHash-LSH candidate pairs: 4 bands × 2 rows; docs colliding in ≥1
+    * band meet in a (band, key)-keyed self-join; est_sim = matching
+    * signature fraction. THE near-dup scale path: cost is O(candidates),
+    * not O(docs²). */
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d).cache()
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))): _*
+    )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val a = sig.toDF("d1" +: (0 until 8).map(j => s"a$j"): _*)
+    val b = sig.toDF("d2" +: (0 until 8).map(j => s"b$j"): _*)
+    cand.join(a, "d1").join(b, "d2")
+      .withColumn("n_sig_match",
+        (0 until 8).map(j =>
+          when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _))
+      .select(col("d1"), col("d2"), col("n_sig_match"))
+  }
+
+  /** 16-bit SimHash per document (majority vote over token-hash bits). */
+  def simhashDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      simhash(tokens(col("text")), 16).as("simhash16"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_stats"          -> docStats _,
+    "q_doc_quality"        -> docQuality _,
+    "q_lang_id_confusion"  -> langIdConfusion _,
+    "q_doc_fingerprint"    -> docFingerprint _,
+    "q_exact_dedup_groups" -> exactDedupGroups _,
+    "q_dedup_keep_first"   -> dedupKeepFirst _,
+    "q_ngram_jaccard"      -> ngramJaccardPairs _,
+    "q_minhash_sig"        -> minhashSignatures _,
+    "q_minhash_lsh_pairs"  -> minhashLshPairs _,
+    "q_simhash"            -> simhashDocs _,
+  )
+
+  private val mhExprs: String = (0 until 8).map { j =>
+    s"list_min(list_transform(sh, s -> ${dHash32(j, "s")})) AS mh$j"
+  }.mkString(", ")
+
+  private val simhashExpr: String = (0 until 16).map { b =>
+    s"(CASE WHEN list_sum(list_transform(t, x -> CASE WHEN (${dHash32(0, "x")} >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1 << b} ELSE 0 END)"
+  }.mkString(" + ")
+
+  override val oracles: Map[String, String] = Map(
+    "q_doc_stats" ->
+      s"""SELECT doc_id, length(text) AS len_chars,
+         |  len($dToks) AS n_tok,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_re_tok,
+         |  CAST(list_sum(list_transform($dToks, x -> length(x))) AS BIGINT) AS char_sum
+         |FROM documents""".stripMargin,
+    "q_doc_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, len(t) AS n_tok,
+         |    len(list_filter(t, x -> x IN ${dIn(EnMarkers)})) AS stop_ct,
+         |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS char_sum
+         |  FROM (SELECT doc_id, $dToks AS t FROM documents)),
+         |r AS (SELECT *, CAST(stop_ct AS DOUBLE)/n_tok AS stop_ratio,
+         |        CAST(char_sum AS DOUBLE)/n_tok AS avg_tok_len FROM base)
+         |SELECT doc_id, n_tok, stop_ct, char_sum, stop_ratio, avg_tok_len,
+         |  (CASE WHEN n_tok BETWEEN 30 AND 500 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.6 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN avg_tok_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END) AS quality
+         |FROM r""".stripMargin,
+    "q_lang_id_confusion" ->
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CASE WHEN en = 0 AND code = 0 THEN 'und'
+         |         WHEN en >= code THEN 'en' ELSE 'code' END AS pred_lang
+         |  FROM (SELECT lang,
+         |          len(list_filter($dToks, x -> x IN ${dIn(EnMarkers)})) AS en,
+         |          len(list_filter($dToks, x -> x IN ${dIn(CodeMarkers)})) AS code
+         |        FROM documents))
+         |SELECT lang, pred_lang, COUNT(*) AS n_docs FROM p GROUP BY 1, 2""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  ('0x'||substr(md5(text),1,15))::BIGINT AS fp60
+        |FROM documents""".stripMargin,
+    "q_exact_dedup_groups" ->
+      """SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS min_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_keep_first" ->
+      """SELECT source, COUNT(*) AS n_kept FROM (
+        |  SELECT source, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, UNNEST($dShingles3) AS sh
+         |  FROM (SELECT doc_id, $dToks AS t FROM documents)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, common, sa.n AS n1, sb.n AS n2,
+         |  CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
+         |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+         |WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) >= 0.6""".stripMargin,
+    "q_minhash_sig" ->
+      s"""SELECT doc_id, $mhExprs
+         |FROM (SELECT doc_id, $dShingles3 AS sh
+         |      FROM (SELECT doc_id, $dToks AS t FROM documents))""".stripMargin,
+    "q_minhash_lsh_pairs" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, $mhExprs
+         |  FROM (SELECT doc_id, $dShingles3 AS sh
+         |        FROM (SELECT doc_id, $dToks AS t FROM documents))),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT d1, d2,
+         |  (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) AS n_sig_match
+         |FROM cand JOIN sig a ON d1 = a.doc_id JOIN sig b ON d2 = b.doc_id""".stripMargin,
+    "q_simhash" ->
+      s"""SELECT doc_id, $simhashExpr AS simhash16
+         |FROM (SELECT doc_id, $dToks AS t FROM documents)""".stripMargin,
+  )
+}
