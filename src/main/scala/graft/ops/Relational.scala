@@ -127,7 +127,7 @@ object Relational extends QueryModule {
       .select(col("user_id"), unix_timestamp(col("ts")).as("buy_s"))
     views.join(buys, Seq("user_id"))
       .filter(col("buy_s") >= col("view_s") &&
-        col("buy_s") <= col("view_s") + lit(300L))
+        col("buy_s") <= col("view_s") + lit(3600L))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("conversions"))
   }
@@ -323,7 +323,7 @@ object Relational extends QueryModule {
         |           FROM events WHERE event_type = 'purchase')
         |SELECT v.user_id, COUNT(*) AS conversions
         |FROM v JOIN b ON v.user_id = b.user_id
-        |  AND b.buy_s >= v.view_s AND b.buy_s <= v.view_s + 300
+        |  AND b.buy_s >= v.view_s AND b.buy_s <= v.view_s + 3600
         |GROUP BY v.user_id""".stripMargin,
     "q_tumbling_window" ->
       """SELECT CAST(FLOOR(epoch(ts)/10)*10 AS BIGINT) AS wstart, event_type,

@@ -1,0 +1,171 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>` × 64).
+  *
+  * Scale design (billions of vectors):
+  *   - brute-force top-k: probe set is `broadcast()` against a single full
+  *     scan of the candidates — the big side is never shuffled for scoring;
+  *     scoring runs in whole-stage codegen via the native
+  *     [[graft.plans.FloatDotProduct]] expression. Only (probe, sim, id)
+  *     triples move; the final per-probe top-k is a keyed aggregation.
+  *   - sign-LSH: 8 deterministic hyperplanes → 256 buckets; candidate
+  *     search touches one bucket (1/256 of the data) per probe. Buckets are
+  *     a plain integer column, so at scale the table is PARTITIONED BY
+  *     bucket and probing prunes partitions at the scan.
+  *   - IVF: label-grouped centroids as the coarse quantizer (k-means drop-in
+  *     slot); probe → nearest centroid → scan only that inverted list.
+  */
+object VectorOps extends QueryModule {
+
+  private val Planes = hyperplanes(8, 64)
+
+  /** Per-vector squared norms — direct bit-parity check of the native
+    * dot-product expression vs the DuckDB list fold. */
+  def embedNorms(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("dim"),
+      normSq(col("embedding")).as("norm_sq"))
+
+  /** Brute-force cosine top-5 per probe (probes = vec_id < 8). */
+  def annBruteforce(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pvec"), col("cvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Sign-LSH bucket assignment (8 planes → bucket ∈ [0,256)). */
+  def lshBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      lshBucket(col("embedding"), Planes).as("bucket"))
+
+  /** LSH-pruned ANN: search only the probe's bucket, top-3 by cosine. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val withBucket = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), Planes).as("bucket"))
+    val probes = withBucket.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("bucket"))
+    val cands = withBucket
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+        col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("bucket"), col("neighbor_id"),
+        cosine(col("pvec"), col("cvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("bucket"), col("neighbor_id"), col("rank"))
+  }
+
+  /** IVF-style search (rows-only check: float centroid means are summation-
+    * order-dependent, so no cross-engine oracle). Coarse quantizer = per-
+    * label element-wise mean; probes search only their nearest list. */
+  def ivfTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").as("c_label"),
+        transform(col("pairs"), p => p.getField("cx").cast("float")).as("cvec"))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc, col("c_label").asc)
+    val probeList = probes.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("pvec"), col("c_label"),
+        cosine(col("pvec"), col("cvec")).as("csim"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") === 1)
+      .select(col("probe_id"), col("pvec"), col("c_label"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+        col("label").as("c_label"))
+      .join(broadcast(probeList), Seq("c_label"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("c_label"), col("neighbor_id"),
+        cosine(col("pvec"), col("cvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("c_label"), col("neighbor_id"), col("rank"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_norms"    -> embedNorms _,
+    "q_ann_bruteforce" -> annBruteforce _,
+    "q_lsh_buckets"    -> lshBuckets _,
+    "q_ann_lsh"        -> annLsh _,
+    "q_ivf_topk"       -> ivfTopk _,
+  )
+
+  // ---- DuckDB oracle fragments ----
+  private def dDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> " +
+      s"CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
+  private def dCos(a: String, b: String): String =
+    s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+  private def dPlaneLit(p: Array[Double]): String =
+    p.mkString("[", ",", "]")
+  private val dBucket: String = Planes.zipWithIndex.map { case (p, j) =>
+    s"(CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i -> " +
+      s"CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (${dPlaneLit(p)})[CAST(i AS INT)]" +
+      s")) > 0.0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  override val oracles: Map[String, String] = Map(
+    "q_embed_norms" ->
+      s"""SELECT vec_id, label, len(embedding) AS dim,
+         |  ${dDot("embedding", "embedding")} AS norm_sq
+         |FROM embeddings""".stripMargin,
+    "q_ann_bruteforce" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id, ${dCos("pvec", "cvec")} AS sim
+         |  FROM c CROSS JOIN p WHERE neighbor_id <> probe_id)
+         |SELECT probe_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |FROM scored
+         |QUALIFY rank <= 5""".stripMargin,
+    "q_lsh_buckets" ->
+      s"""SELECT vec_id, label, $dBucket AS bucket FROM embeddings""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH wb AS (SELECT vec_id, embedding, $dBucket AS bucket FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pvec, bucket
+         |      FROM wb WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM wb),
+         |scored AS (
+         |  SELECT probe_id, c.bucket AS bucket, neighbor_id,
+         |    ${dCos("pvec", "cvec")} AS sim
+         |  FROM c JOIN p USING (bucket) WHERE neighbor_id <> probe_id)
+         |SELECT probe_id, bucket, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |FROM scored
+         |QUALIFY rank <= 3""".stripMargin,
+  )
+}

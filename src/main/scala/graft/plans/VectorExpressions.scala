@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two FLOAT-array columns,
+  * accumulated in Double in element order (left fold).
+  *
+  * Why a custom `Expression` rather than `zip_with`+`aggregate`: the
+  * higher-order-function pair allocates an intermediate array per row and
+  * interprets two lambdas; this compiles (via `doGenCode`) to a tight
+  * primitive loop inside whole-stage codegen — no allocation, no virtual
+  * calls — which is the difference between memory-bound and compute-bound
+  * when scoring billions of 64-dim embeddings (SURVEY §7.3 preference
+  * order: custom Expression before UDF).
+  *
+  * The fold order (index 0..n-1, each product widened to Double BEFORE the
+  * multiply) is pinned so results are bit-identical to the DuckDB oracle's
+  * `list_sum(list_transform(...))` sequential fold.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column API for [[FloatDotProduct]]. */
+  def floatDot(a: Column, b: Column): Column =
+    GraftBridge.toColumn(FloatDotProduct(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** Register `graft_dot` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+}

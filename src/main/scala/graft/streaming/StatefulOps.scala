@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The four custom stateful operators SURVEY §4 concludes Spark needs code
+  * for (everything else maps to built-ins): per-day dedup counters (A5),
+  * new/old visitor repair (O9), keep-latest changelog dedup (O18), and the
+  * CEP-equivalent bounce detector (W6). All are `flatMapGroupsWithState`
+  * over typed Datasets — state lives in the state store, scales with
+  * #executors, and is checkpointable (which the reference's jobs designed
+  * but disabled, BaseLogApp.java:33-44).
+  *
+  * Scale: state is per-key and O(bytes) — a date string (A5/O9), one held
+  * row (O18/W6). Keys hash-partition across the cluster; no operator here
+  * holds unbounded state, and every one declares a timeout so the store
+  * self-cleans (the Flink originals used 1-day TTL / timers the same way).
+  */
+object StatefulOps {
+
+  /** A keyed event with an event-time date — input to the dedup ops. */
+  case class KeyedEvent(key: String, ts: Long, date: String)
+
+  /** A page view for visitor-repair / bounce detection. */
+  case class PageView(mid: String, pageId: String, lastPageId: String,
+                      isNew: String, ts: Long, date: String)
+
+  /** A changelog row for keep-latest dedup. */
+  case class VersionedRow(key: String, opTs: Long, payload: String)
+
+  // private: callers use spark.implicits; these only serve the operators
+  // below (and would ambiguate implicit scope if wildcard-imported).
+  private implicit val keyedEventEnc: Encoder[KeyedEvent] = Encoders.product[KeyedEvent]
+  private implicit val pageViewEnc: Encoder[PageView] = Encoders.product[PageView]
+  private implicit val versionedEnc: Encoder[VersionedRow] = Encoders.product[VersionedRow]
+  private implicit val stringEnc: Encoder[String] = Encoders.STRING
+
+  /** A5 — daily-unique dedup: emit only the first event per (key, day).
+    * State = last-emitted date per key (the Flink ValueState with 1-day TTL,
+    * DwdTrafficUniqueVisitorDetail.java:69-98). */
+  def dailyDedup(ds: Dataset[KeyedEvent]): Dataset[KeyedEvent] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, events: Iterator[KeyedEvent], state: GroupState[String]) => {
+          var lastDate = state.getOption.getOrElse("")
+          val out = Vector.newBuilder[KeyedEvent]
+          events.toSeq.sortBy(_.ts).foreach { e =>
+            // dates are monotone in ts, so "changed" ⇔ "first of its day"
+            if (e.date != lastDate) { lastDate = e.date; out += e }
+          }
+          state.update(lastDate)
+          out.result().iterator
+        })
+
+  /** O9 — new/old visitor repair: `is_new=1` is rewritten to `0` when the
+    * mid was first seen on an earlier date (BaseLogApp.java:71-108). State =
+    * first-visit date. */
+  def visitorRepair(ds: Dataset[PageView]): Dataset[PageView] =
+    ds.groupByKey(_.mid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, events: Iterator[PageView], state: GroupState[String]) => {
+          val sorted = events.toSeq.sortBy(_.ts)
+          var firstDate = state.getOption.getOrElse("")
+          val out = sorted.map { e =>
+            if (firstDate.isEmpty) {
+              firstDate = e.date
+              e // genuinely new: keep is_new as sent
+            } else if (e.isNew == "1" && e.date != firstDate) {
+              e.copy(isNew = "0") // repeat visitor mis-flagged as new
+            } else e
+          }
+          state.update(firstDate)
+          out.iterator
+        })
+
+  /** O18 — keep-latest dedup on a changelog: hold the max-`opTs` row per
+    * key, emit it once no newer version can arrive. The reference flushes
+    * on a 5 s *processing-time* timer (DwsTradeSkuOrderWindow.java:81-111);
+    * here the flush is *event-time* (watermark passes `opTs + flushMs`) —
+    * deterministic under replay, which the proc-time original is not. The
+    * input must carry a watermark on `timestamp_millis(opTs)`. */
+  def keepLatest(ds: Dataset[VersionedRow],
+                 flushMs: Long = 5000): Dataset[VersionedRow] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+        (_: String, events: Iterator[VersionedRow],
+         state: GroupState[VersionedRow]) => {
+          if (state.hasTimedOut) {
+            val held = state.getOption
+            state.remove()
+            held.iterator
+          } else {
+            val candidates = state.getOption.iterator ++ events
+            val latest = candidates.maxBy(_.opTs)
+            state.update(latest)
+            // timeout must sit above the current watermark
+            state.setTimeoutTimestamp(
+              math.max(latest.opTs + flushMs,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+        })
+
+  /** W6 — CEP bounce detector: an entry page (lastPageId == null) held per
+    * mid; emitted as a bounce if the NEXT event is also an entry page, or
+    * if no event follows within `timeoutMs` event time (both arms of the
+    * Flink CEP pattern + timeout side-output collapse to this one path,
+    * DwdTrafficUserJumpDetail.java:79-119). Requires a watermark on the
+    * input for the event-time timeout. */
+  def bounceDetector(ds: Dataset[PageView],
+                     timeoutMs: Long = 10000): Dataset[PageView] =
+    ds.groupByKey(_.mid)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+        (_: String, events: Iterator[PageView],
+         state: GroupState[PageView]) => {
+          val out = Vector.newBuilder[PageView]
+          if (state.hasTimedOut) {
+            state.getOption.foreach(out += _)
+            state.remove()
+          } else {
+            var held = state.getOption
+            events.toSeq.sortBy(_.ts).foreach { e =>
+              val isEntry = e.lastPageId == null || e.lastPageId.isEmpty
+              held match {
+                case Some(h) if e.ts > h.ts + timeoutMs =>
+                  out += h // nothing followed within the horizon: bounce
+                  held = if (isEntry) Some(e) else None
+                case Some(h) =>
+                  if (isEntry) out += h // entry→entry inside horizon: bounce
+                  held = if (isEntry) Some(e) else None
+                case None =>
+                  held = if (isEntry) Some(e) else None
+              }
+            }
+            held match {
+              case Some(h) =>
+                state.update(h)
+                state.setTimeoutTimestamp(h.ts + timeoutMs)
+              case None => state.remove()
+            }
+          }
+          out.result().iterator
+        })
+}

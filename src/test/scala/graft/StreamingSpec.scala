@@ -1,0 +1,157 @@
+package graft
+
+import graft.streaming._
+import graft.streaming.StatefulOps._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private var qid = 0
+  private def nextName(): String = { qid += 1; s"stream_out_$qid" }
+
+  test("dailyDedup emits only the first event per key per day") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = dailyDedup(in.toDS()).writeStream
+      .format("memory").queryName("dd").outputMode(OutputMode.Append).start()
+    in.addData(
+      KeyedEvent("u1", 1000, "2024-01-01"),
+      KeyedEvent("u1", 2000, "2024-01-01"),
+      KeyedEvent("u2", 1500, "2024-01-01"))
+    q.processAllAvailable()
+    in.addData(
+      KeyedEvent("u1", 90000000, "2024-01-02"),
+      KeyedEvent("u1", 90000001, "2024-01-02"))
+    q.processAllAvailable()
+    val rows = spark.table("dd").as[KeyedEvent].collect().sortBy(e => (e.key, e.ts))
+    q.stop()
+    assert(rows.toSeq === Seq(
+      KeyedEvent("u1", 1000, "2024-01-01"),
+      KeyedEvent("u1", 90000000, "2024-01-02"),
+      KeyedEvent("u2", 1500, "2024-01-01")))
+  }
+
+  test("visitorRepair rewrites stale is_new flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[PageView]
+    val q = visitorRepair(in.toDS()).writeStream
+      .format("memory").queryName("vr").outputMode(OutputMode.Append).start()
+    in.addData(PageView("m1", "home", null, "1", 1000, "2024-01-01"))
+    q.processAllAvailable()
+    in.addData(PageView("m1", "home", null, "1", 90000000, "2024-01-02"))
+    q.processAllAvailable()
+    val rows = spark.table("vr").as[PageView].collect().sortBy(_.ts)
+    q.stop()
+    assert(rows.map(_.isNew).toSeq === Seq("1", "0"))
+  }
+
+  test("bounceDetector: entry→entry bounces, entry→page does not, timeout bounces") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[PageView]
+    val withWm = in.toDS().toDF()
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[PageView]
+    val q = bounceDetector(withWm, timeoutMs = 10000).writeStream
+      .format("memory").queryName("bd").outputMode(OutputMode.Append).start()
+    in.addData(
+      PageView("A", "home", null, "0", 1000, "d"),   // entry, held
+      PageView("A", "home", null, "0", 3000, "d"),   // entry again → bounce(1000)
+      PageView("B", "home", null, "0", 1000, "d"),   // entry, held
+      PageView("B", "detail", "home", "0", 3000, "d"), // continuation → no bounce
+      PageView("C", "home", null, "0", 1000, "d"))   // entry, held → timeout
+    q.processAllAvailable()
+    // advance the watermark far past C's 10 s horizon
+    in.addData(PageView("Z", "home", null, "0", 60000, "d"))
+    q.processAllAvailable()
+    in.addData(PageView("Z2", "home", null, "0", 120000, "d"))
+    q.processAllAvailable()
+    val rows = spark.table("bd").as[PageView].collect()
+    q.stop()
+    val bounced = rows.map(r => (r.mid, r.ts)).toSet
+    assert(bounced.contains(("A", 1000L)), s"A should bounce: $bounced")
+    assert(bounced.contains(("C", 1000L)), s"C should time out: $bounced")
+    assert(!bounced.exists(_._1 == "B"), s"B continued: $bounced")
+  }
+
+  test("keepLatest holds max-opTs row and flushes when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[VersionedRow]
+    val withWm = in.toDS().toDF()
+      .withColumn("eventTime", timestamp_millis(col("opTs")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[VersionedRow]
+    val q = keepLatest(withWm, flushMs = 5000).writeStream
+      .format("memory").queryName("kl").outputMode(OutputMode.Append).start()
+    in.addData(
+      VersionedRow("k1", 1000, "v1"),
+      VersionedRow("k1", 5000, "v5"),
+      VersionedRow("k1", 3000, "v3"))
+    q.processAllAvailable()
+    assert(spark.table("kl").isEmpty) // still held: watermark at 5000
+    in.addData(VersionedRow("k2", 60000, "x")) // watermark → 60000 > 5000+5000
+    q.processAllAvailable()
+    in.addData(VersionedRow("k3", 120000, "y"))
+    q.processAllAvailable()
+    val rows = spark.table("kl").as[VersionedRow].collect()
+    q.stop()
+    assert(rows.exists(r => r.key == "k1" && r.payload == "v5"),
+      s"expected latest v5 flushed, got ${rows.toSeq}")
+    assert(!rows.exists(r => r.key == "k1" && r.payload != "v5"))
+  }
+
+  test("log splitter routes five branches and catches dirty lines") {
+    val lines = Seq(
+      """{"common":{"mid":"m1","uid":"u1","is_new":"1"},"page":{"page_id":"home","during_time":5},"ts":1000}""",
+      """{"common":{"mid":"m2"},"start":{"entry":"icon","loading_time":9},"ts":2000}""",
+      """{"common":{"mid":"m3"},"page":{"page_id":"good_detail","last_page_id":"home"},"displays":[{"item":"1","order":1},{"item":"2","order":2}],"actions":[{"action_id":"favor_add","ts":2500}],"ts":3000}""",
+      """{"common":{"mid":"m4"},"err":{"error_code":42,"msg":"boom"},"ts":4000}""",
+      """this is not json""").toDF("line")
+    val branches = LogSplitter.splitAll(lines)
+    assert(branches("page").count() === 2)
+    assert(branches("start").count() === 1)
+    assert(branches("display").count() === 2) // one event, two displays
+    assert(branches("action").count() === 1)
+    assert(branches("err").count() === 1)
+    assert(branches("dirty").count() === 1)
+  }
+
+  test("cdc decode + filter + dim routing with keep-latest merge") {
+    val dir = java.nio.file.Files.createTempDirectory("dimroute").toString
+    val mk = (t: String, typ: String, id: String, name: String, ts: Long) =>
+      s"""{"database":"g","table":"$t","type":"$typ","ts":$ts,"data":{"id":"$id","name":"$name","extra":"x"},"old":{}}"""
+    val batch1 = Seq(
+      mk("base_trademark", "insert", "1", "apple", 100),
+      mk("base_trademark", "insert", "2", "pear", 101),
+      mk("order_info", "insert", "9", "ignored", 102)).toDF("line")
+    val routes = Seq(CdcOps.TableRoute("base_trademark", "dim_trademark",
+      Seq("id", "name"), "id"))
+    val w1 = CdcOps.routeDims(spark, CdcOps.decode(batch1), routes, dir)
+    assert(w1("dim_trademark") === 2)
+    val batch2 = Seq(mk("base_trademark", "update", "1", "apricot", 200)).toDF("line")
+    val w2 = CdcOps.routeDims(spark, CdcOps.decode(batch2), routes, dir)
+    assert(w2("dim_trademark") === 2)
+    val names = spark.read.parquet(s"$dir/dim_trademark")
+      .select("id", "name").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(names === Map("1" -> "apricot", "2" -> "pear"))
+  }
+
+  test("cdc status-transition filter (O2)") {
+    val mkOrd = (id: String, status: String, old: String) =>
+      s"""{"database":"g","table":"order_info","type":"update","ts":1,"data":{"id":"$id","order_status":"$status"},"old":{"order_status":"$old"}}"""
+    val df = Seq(
+      mkOrd("1", "1003", "1001"), // cancel: keep
+      mkOrd("2", "1002", "1001"), // pay: drop
+      s"""{"database":"g","table":"order_info","type":"update","ts":1,"data":{"id":"3","order_status":"1003"},"old":{}}""" // no old image: drop
+    ).toDF("line")
+    val cancels = CdcOps.tableStream(CdcOps.decode(df), "order_info",
+      types = Seq("update"), oldHas = Some("order_status"),
+      dataEquals = Map("order_status" -> "1003"))
+    assert(cancels.select(element_at(col("data"), "id")).as[String].collect().toSeq === Seq("1"))
+  }
+}

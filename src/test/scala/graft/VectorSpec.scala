@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("native FloatDotProduct is bit-identical to the HOF fold") {
+    val e = Tables.embeddings(spark, TestSession.sf)
+    val diff = e.select(
+        VectorFunctions.dot(col("embedding"), col("embedding")).as("native"),
+        VectorFunctions.dotHof(col("embedding"), col("embedding")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("lsh bucket is stable and in range") {
+    val b = ops.VectorOps.lshBuckets(spark, TestSession.sf)
+    val bad = b.filter(col("bucket") < 0 || col("bucket") > 255).count()
+    assert(bad === 0)
+    // deterministic across runs
+    val first = b.orderBy("vec_id").limit(3).collect().map(_.getInt(2)).toSeq
+    val again = ops.VectorOps.lshBuckets(spark, TestSession.sf)
+      .orderBy("vec_id").limit(3).collect().map(_.getInt(2)).toSeq
+    assert(first === again)
+  }
+
+  test("LSH ANN returns in-bucket candidates ranked consistently") {
+    // The testdata embeddings are near-uniform on the sphere (within-label
+    // mean cosine ≈ 0.02), so rank-1 LSH recall vs brute force is inherently
+    // low — assert structure, not recall: candidates exist, share the
+    // probe's bucket by construction, and ranks are dense from 1.
+    val lsh = ops.VectorOps.annLsh(spark, TestSession.sf).collect()
+    assert(lsh.nonEmpty)
+    val byProbe = lsh.groupBy(_.getLong(0))
+    byProbe.foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(ranks === (1 to ranks.size))
+      assert(rows.map(_.getInt(1)).distinct.length === 1) // one bucket
+    }
+  }
+}
