@@ -1,0 +1,20 @@
+package graft
+
+/** Plan-inspection helper: `runMain graft.Explain [query ...]` prints the
+  * formatted physical plan of each named query (default: a scale-critical
+  * subset) for pushdown / broadcast / codegen review. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q_star_dim_chain", "q_rev_by_priority", "q_topk_brands",
+      "q_filter_project", "q_minhash_lsh_pairs", "q_ann_bruteforce",
+      "q_tumbling_window")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sf).explain("formatted")
+    }
+    spark.stop()
+  }
+}

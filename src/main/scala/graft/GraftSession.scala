@@ -17,13 +17,19 @@ import org.apache.spark.sql.SparkSession
   * - UTC session timezone: oracle parity (BASELINE.md determinism caveats).
   */
 object GraftSession {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt * 2)
+  private val defaultCpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def builder(master: String = s"local[$defaultCpus]",
+              shufflePartitions: Int = defaultCpus)
       : SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // testdata tables are single parquet files; smaller split targets let
+      // multi-row-group files fan out across cores instead of one scan task
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -13,7 +13,8 @@ import graft.ops._
 object SparkEntry {
 
   val modules: Seq[QueryModule] =
-    Seq(Relational, TextOps, VectorOps, graft.ads.AdsQueries)
+    Seq(Relational, TextOps, VectorOps, WindowOps, MultimodalOps,
+      graft.ads.AdsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata (the mandated training-data
+  * extension). No media codecs ship in this container, so the *decode* step
+  * is a clearly-marked deterministic stub ([[FakeDecoder]]); everything
+  * around it — binary columns, typed metadata structs, per-partition batch
+  * decode, frame slicing, feature vectors — is real Spark plumbing and
+  * tested.
+  *
+  * Scale design: payload bytes never shuffle — metadata extraction and
+  * decode are map-side; anything aggregated downstream ships only the
+  * (id, features) projection. At 100 TB the payload column lives in its own
+  * parquet column chunk, so metadata-only queries never read the bytes
+  * (column pruning), which is the whole point of the layout.
+  */
+object MultimodalOps extends QueryModule {
+
+  /** Synthesized media table: payload = utf8 bytes of the document text
+    * (deterministic in both engines), metadata derived from doc_id. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (lit(64) + col("doc_id") % 128).cast("int").as("width"),
+      (lit(48) + col("doc_id") % 96).cast("int").as("height"),
+      when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "jpeg")
+        .otherwise("webp").as("format"))
+
+  /** Metadata + header inspection — pure column ops over the binary. */
+  def mmMetadata(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(
+      col("doc_id"), col("width"), col("height"), col("format"),
+      length(col("payload")).as("n_bytes"),
+      hex(substring(col("payload"), 1, 4)).as("header_hex"))
+
+  /** Frame sampling arithmetic: 256-byte "frames", count + sampled count
+    * (every 4th frame) — integer math, shuffle-free. */
+  def mmFrames(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("doc_id"), length(col("payload")).as("n_bytes"))
+      .withColumn("n_frames", expr("(n_bytes + 255) div 256"))
+      .withColumn("n_sampled", expr("(n_frames + 3) div 4"))
+
+  /** The decode stub: a deterministic fake standing in for a codec. In
+    * production this body is the ONLY thing that changes (JNI/codec call);
+    * signature, batching shape, and the typed output stay as-is. */
+  case class DecodedMedia(doc_id: Long, width: Int, height: Int,
+                          mean_byte: Double, n_frames: Long)
+
+  object FakeDecoder {
+    /** STUB — deterministic stand-in for image decode: "pixels" are the
+      * payload bytes; the feature is the mean of the first 64. */
+    def decode(docId: Long, payload: Array[Byte], w: Int, h: Int): DecodedMedia = {
+      val head = payload.take(64)
+      val mean =
+        if (head.isEmpty) 0.0
+        else head.map(b => (b & 0xff).toDouble).sum / head.length
+      DecodedMedia(docId, w, h, mean, (payload.length + 255L) / 256L)
+    }
+  }
+
+  /** Per-partition batch decode — the `mapPartitions` shape a real codec
+    * needs (amortize per-batch init: codec contexts, GPU handles). Feature
+    * rows only from here on; payloads stay behind. */
+  def mmDecodeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .select(col("doc_id"), col("payload"), col("width"), col("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec/ctx allocation)
+        rows.map { case (id, bytes, w, h) => FakeDecoder.decode(id, bytes, w, h) }
+      }
+      .toDF()
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_metadata" -> mmMetadata _,
+    "q_mm_frames"   -> mmFrames _,
+    "q_mm_decode"   -> mmDecodeFeatures _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_mm_metadata" ->
+      """SELECT doc_id,
+        |  CAST(64 + doc_id % 128 AS INT) AS width,
+        |  CAST(48 + doc_id % 96 AS INT) AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  hex(encode(substring(text, 1, 4))) AS header_hex
+        |FROM documents""".stripMargin,
+    "q_mm_frames" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  (octet_length(encode(text)) + 255) // 256 AS n_frames,
+        |  ((octet_length(encode(text)) + 255) // 256 + 3) // 4 AS n_sampled
+        |FROM documents""".stripMargin,
+    // q_mm_decode: rows-only (the decode stub is not SQL-expressible by
+    // design — it models an external codec)
+  )
+}

@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryModule {
 
+  /** The documents table arrives as ONE small parquet file = one scan
+    * partition; the hash-heavy ops (md5 per shingle × hash functions,
+    * interpreted HOF lambdas) would run on a single core. A cheap
+    * repartition of the 500–5000 tiny rows buys full-core parallelism for
+    * the compute stage. At 100 TB the input is already many splits and this
+    * becomes a no-op knob. */
+  private def docsParallel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   // ---- DuckDB oracle SQL fragments (kept adjacent to the Column builders
   //      they mirror; md5 is the cross-engine hash) ----
   private def dHash32(seed: Int, s: String): String =
@@ -35,23 +44,27 @@ object TextOps extends QueryModule {
       "i -> t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)]) END"
   private def dIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
 
-  /** Token statistics — whitespace + regex "BPE-ish" counts. */
+  /** Token statistics — whitespace + regex "BPE-ish" counts.
+    * char_sum uses the codegen-friendly identity
+    * `Σ len(tok) = len(text) - (n_tok - 1)` (single-space corpus, verified)
+    * instead of an interpreted HOF fold. */
   def docStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    docsParallel(s, d).select(
       col("doc_id"),
       length(col("text")).as("len_chars"),
       size(tokens(col("text"))).as("n_tok"),
       size(regexTokens(col("text"))).as("n_re_tok"),
-      tokenCharSum(tokens(col("text"))).as("char_sum"))
+      (length(col("text")) - (size(tokens(col("text"))) - 1))
+        .cast("long").as("char_sum"))
 
   /** Quality scoring: length band, stopword ratio, mean token length. */
   def docQuality(s: SparkSession, d: String): DataFrame = {
     val t = tokens(col("text"))
-    Tables.documents(s, d).select(
+    docsParallel(s, d).select(
         col("doc_id"),
         size(t).as("n_tok"),
         stopwordCount(t, EnMarkers).as("stop_ct"),
-        tokenCharSum(t).as("char_sum"))
+        (length(col("text")) - (size(t) - 1)).cast("long").as("char_sum"))
       .withColumn("stop_ratio", col("stop_ct").cast("double") / col("n_tok"))
       .withColumn("avg_tok_len", col("char_sum").cast("double") / col("n_tok"))
       .withColumn("quality",
@@ -62,7 +75,7 @@ object TextOps extends QueryModule {
 
   /** Language-ID heuristic vs the labeled `lang` column (confusion matrix). */
   def langIdConfusion(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docsParallel(s, d)
       .select(col("lang"), langId(tokens(col("text"))).as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
@@ -96,9 +109,13 @@ object TextOps extends QueryModule {
     * Shingle-keyed self-join — the *verifier* stage; at scale it runs on
     * MinHash-LSH candidates only (see [[minhashLshPairs]]). */
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    // cached: the exploded shingle table feeds both sides of the self-join
+    // and the per-doc sizes — without it the interpreted shingle expressions
+    // are evaluated three times
+    val sh = docsParallel(s, d)
       .select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -114,11 +131,53 @@ object TextOps extends QueryModule {
       .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"), col("jaccard"))
   }
 
-  /** MinHash signatures (k=8) over 3-token shingles. */
+  /** One MinHash signature row per doc: mh0..mh7. */
+  case class MinhashRow(doc_id: Long,
+      mh0: Option[Long], mh1: Option[Long], mh2: Option[Long], mh3: Option[Long],
+      mh4: Option[Long], mh5: Option[Long], mh6: Option[Long], mh7: Option[Long])
+
+  /** MinHash signatures (k=8) over 3-token shingles.
+    *
+    * Implemented as a typed `mapPartitions` (SURVEY §7.3's documented last
+    * resort) because Catalyst higher-order functions are CodegenFallback:
+    * the interpreted `transform(shingles, md5…)` pipeline measured 270 s at
+    * sf0.1 vs sub-second here. Hash family: each md5 of `"<g>|<shingle>"`
+    * yields four 32-bit functions (big-endian 4-byte words of the digest) —
+    * byte-identical to the DuckDB oracle's
+    * `('0x'||substr(md5('g|'||s), 8k+1, 8))::BIGINT`. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(tokens(col("text")), 3)
-    Tables.documents(s, d)
-      .select(col("doc_id") +: minhash(sh, 8): _*)
+    import s.implicits._
+    docsParallel(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1) // keep trailing empties: Spark split semantics
+          val mins = Array.fill(8)(Long.MaxValue)
+          var i = 0
+          while (i + 2 < toks.length) {
+            val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+            var g = 0
+            while (g < 2) {
+              md.reset()
+              val dg = md.digest((g.toString + "|" + sh).getBytes("UTF-8"))
+              var k = 0
+              while (k < 4) {
+                val v = ((dg(4 * k) & 0xffL) << 24) | ((dg(4 * k + 1) & 0xffL) << 16) |
+                  ((dg(4 * k + 2) & 0xffL) << 8) | (dg(4 * k + 3) & 0xffL)
+                val j = g * 4 + k
+                if (v < mins(j)) mins(j) = v
+                k += 1
+              }
+              g += 1
+            }
+            i += 1
+          }
+          def m(j: Int): Option[Long] =
+            if (mins(j) == Long.MaxValue) None else Some(mins(j))
+          MinhashRow(id, m(0), m(1), m(2), m(3), m(4), m(5), m(6), m(7))
+        }
+      }
+      .toDF()
   }
 
   /** MinHash-LSH candidate pairs: 4 bands × 2 rows; docs colliding in ≥1
@@ -146,11 +205,21 @@ object TextOps extends QueryModule {
       .select(col("d1"), col("d2"), col("n_sig_match"))
   }
 
-  /** 16-bit SimHash per document (majority vote over token-hash bits). */
-  def simhashDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+  /** 16-bit SimHash per document (majority vote over token-hash bits).
+    * Token hashes are materialized behind a projection boundary so each of
+    * the 16 bit-folds reads the array instead of re-hashing. */
+  def simhashDocs(s: SparkSession, d: String): DataFrame = {
+    val hashed = docsParallel(s, d).select(
       col("doc_id"),
-      simhash(tokens(col("text")), 16).as("simhash16"))
+      transform(tokens(col("text")), t => hash32(t, 0)).as("hs"))
+    val bits = (0 until 16).map { b =>
+      val votes = aggregate(col("hs"), lit(0),
+        (acc, h) => acc +
+          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(votes >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    hashed.select(col("doc_id"), bits.as("simhash16"))
+  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_stats"          -> docStats _,
@@ -166,7 +235,9 @@ object TextOps extends QueryModule {
   )
 
   private val mhExprs: String = (0 until 8).map { j =>
-    s"list_min(list_transform(sh, s -> ${dHash32(j, "s")})) AS mh$j"
+    val g = j / 4
+    val off = (j % 4) * 8 + 1
+    s"list_min(list_transform(sh, s -> ('0x'||substr(md5('$g|'||s),$off,8))::BIGINT)) AS mh$j"
   }.mkString(", ")
 
   private val simhashExpr: String = (0 until 16).map { b =>

@@ -25,6 +25,12 @@ object VectorOps extends QueryModule {
 
   private val Planes = hyperplanes(8, 64)
 
+  /** Single-file table → single scan partition; fan the candidate side out
+    * across cores before the compute-heavy scoring stages (no-op at real
+    * scale where the input is already split). */
+  private def embParallel(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** Per-vector squared norms — direct bit-parity check of the native
     * dot-product expression vs the DuckDB list fold. */
   def embedNorms(s: SparkSession, d: String): DataFrame =
@@ -35,7 +41,7 @@ object VectorOps extends QueryModule {
 
   /** Brute-force cosine top-5 per probe (probes = vec_id < 8). */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = embParallel(s, d)
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
@@ -50,17 +56,43 @@ object VectorOps extends QueryModule {
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Attach the sign-LSH bucket via a typed mapPartitions: the Column-HOF
+    * variant (`VectorFunctions.lshBucket`) is interpreted (CodegenFallback,
+    * measured 32 s at sf0.1); this tight loop runs the SAME fold — index
+    * 0..n-1, float widened to double before the multiply — so bucket values
+    * are bit-identical to the DuckDB oracle. */
+  private def withBucketFast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planes = Planes
+    embParallel(s, d).select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, label, v) =>
+          var bucket = 0
+          var j = 0
+          while (j < planes.length) {
+            val p = planes(j)
+            var acc = 0.0
+            var i = 0
+            val n = math.min(v.length, p.length)
+            while (i < n) { acc += v(i).toDouble * p(i); i += 1 }
+            if (acc > 0.0) bucket |= (1 << j)
+            j += 1
+          }
+          (id, label, v, bucket)
+        }
+      }
+      .toDF("vec_id", "label", "embedding", "bucket")
+  }
+
   /** Sign-LSH bucket assignment (8 planes → bucket ∈ [0,256)). */
   def lshBuckets(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
-      col("vec_id"), col("label"),
-      lshBucket(col("embedding"), Planes).as("bucket"))
+    withBucketFast(s, d).select(col("vec_id"), col("label"), col("bucket"))
 
   /** LSH-pruned ANN: search only the probe's bucket, top-3 by cosine. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
-    val withBucket = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding"), Planes).as("bucket"))
+    val withBucket = withBucketFast(s, d)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
     val probes = withBucket.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
         col("bucket"))
@@ -82,7 +114,7 @@ object VectorOps extends QueryModule {
     * order-dependent, so no cross-engine oracle). Coarse quantizer = per-
     * label element-wise mean; probes search only their nearest list. */
   def ivfTopk(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = embParallel(s, d)
     val centroids = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
