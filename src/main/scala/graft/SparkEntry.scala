@@ -13,7 +13,7 @@ import graft.ops._
 object SparkEntry {
 
   val modules: Seq[QueryModule] =
-    Seq(Relational, TextOps, VectorOps, WindowOps, MultimodalOps,
+    Seq(Relational, TextOps, VectorOps, WindowOps, MultimodalOps, DwsOps,
       graft.ads.AdsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,43 @@
+package graft
+
+import graft.streaming.DwsWindows
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch ≡ streaming equivalence for the DWS window library: the same
+  * transform over the same rows must produce identical window aggregates
+  * whether executed as a bounded DataFrame or fed through a MemoryStream
+  * with a watermark (all data on time ⇒ no drops). */
+class DwsWindowSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("trafficChannelWindow: batch and streaming agree") {
+    val batchIn = Tables.events(spark, TestSession.sf).limit(500)
+      .select(col("ts"), col("event_type"), col("value")).cache()
+    val expected = DwsWindows.trafficChannelWindow(batchIn)
+      .collect().map(_.toSeq).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = in.toDF().toDF("ts", "event_type", "value")
+    val q = DwsWindows.trafficChannelWindow(streamDf, watermark = Some("2 seconds"))
+      .writeStream.format("memory").queryName("dws_tw")
+      .outputMode(OutputMode.Append).start()
+    val rows = batchIn.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    in.addData(rows.toSeq)
+    q.processAllAvailable()
+    // push the watermark beyond every window so all finals are emitted
+    in.addData((java.sql.Timestamp.from(java.time.Instant.parse("2030-01-01T00:00:00Z")),
+      "flush", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("dws_tw")
+      .filter(col("event_type") =!= "flush")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    assert(got === expected)
+  }
+}
