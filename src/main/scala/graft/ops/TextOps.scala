@@ -180,22 +180,27 @@ object TextOps extends QueryModule {
       .toDF()
   }
 
-  /** MinHash-LSH candidate pairs: 4 bands × 2 rows; docs colliding in ≥1
-    * band meet in a (band, key)-keyed self-join; est_sim = matching
-    * signature fraction. THE near-dup scale path: cost is O(candidates),
-    * not O(docs²). */
-  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d).cache()
+  /** LSH candidate pairs from banded signatures (4 bands × 2 rows): docs
+    * colliding in ≥1 band meet in a (band, key)-keyed self-join. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))): _*
     )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+  }
+
+  /** MinHash-LSH candidate pairs with est_sim = matching signature
+    * fraction. THE near-dup scale path: cost is O(candidates), not
+    * O(docs²). */
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d).cache()
+    val cand = lshCandidates(sig)
     val a = sig.toDF("d1" +: (0 until 8).map(j => s"a$j"): _*)
     val b = sig.toDF("d2" +: (0 until 8).map(j => s"b$j"): _*)
     cand.join(a, "d1").join(b, "d2")
@@ -203,6 +208,26 @@ object TextOps extends QueryModule {
         (0 until 8).map(j =>
           when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _))
       .select(col("d1"), col("d2"), col("n_sig_match"))
+  }
+
+  /** The composed production near-dup pipeline: LSH candidate generation
+    * (cheap, O(candidates)) followed by EXACT shingle-Jaccard verification
+    * on candidates only — the two-stage shape that scales to 100 TB where
+    * the all-pairs q_ngram_jaccard verifier cannot. Output = verified
+    * near-dup pairs (Jaccard ≥ 0.6) among LSH candidates. */
+  def nearDupPipeline(s: SparkSession, d: String): DataFrame = {
+    val cand = lshCandidates(minhashSignatures(s, d))
+    val shingleSets = docsParallel(s, d).select(
+      col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("shset"))
+    cand
+      .join(shingleSets.toDF("d1", "sa"), "d1")
+      .join(shingleSets.toDF("d2", "sb"), "d2")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("d1"), col("d2"), col("common"), col("jaccard"))
   }
 
   /** 16-bit SimHash per document (majority vote over token-hash bits).
@@ -231,6 +256,7 @@ object TextOps extends QueryModule {
     "q_ngram_jaccard"      -> ngramJaccardPairs _,
     "q_minhash_sig"        -> minhashSignatures _,
     "q_minhash_lsh_pairs"  -> minhashLshPairs _,
+    "q_near_dup_pipeline"  -> nearDupPipeline _,
     "q_simhash"            -> simhashDocs _,
   )
 
@@ -322,6 +348,30 @@ object TextOps extends QueryModule {
          |  (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
          |  (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) AS n_sig_match
          |FROM cand JOIN sig a ON d1 = a.doc_id JOIN sig b ON d2 = b.doc_id""".stripMargin,
+    "q_near_dup_pipeline" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, $mhExprs
+         |  FROM (SELECT doc_id, $dShingles3 AS sh
+         |        FROM (SELECT doc_id, $dToks AS t FROM documents))),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct($dShingles3) AS shset
+         |  FROM (SELECT doc_id, $dToks AS t FROM documents)),
+         |verified AS (
+         |  SELECT d1, d2,
+         |    len(list_intersect(a.shset, b.shset)) AS common,
+         |    CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+         |      (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) AS jaccard
+         |  FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
+         |SELECT d1, d2, common, jaccard FROM verified WHERE jaccard >= 0.6""".stripMargin,
     "q_simhash" ->
       s"""SELECT doc_id, $simhashExpr AS simhash16
          |FROM (SELECT doc_id, $dToks AS t FROM documents)""".stripMargin,

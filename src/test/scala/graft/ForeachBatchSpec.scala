@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.{CdcOps, LogSplitter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end micro-batch pipelines: the foreachBatch shapes the reference's
+  * jobs map onto — BaseLogApp's 5-sink split and DimApp's config-driven
+  * dim materialization — driven as real streams over MemoryStream. */
+class ForeachBatchSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("BaseLogApp-shaped stream: 5-way split written per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val outRoot = java.nio.file.Files.createTempDirectory("logsplit").toString
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("line").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val branches = LogSplitter.splitAll(batch)
+        branches.foreach { case (name, df) =>
+          df.write.mode("append").json(s"$outRoot/$name")
+        }
+      }
+      .start()
+    in.addData(
+      """{"common":{"mid":"m1"},"page":{"page_id":"home"},"ts":1000}""",
+      """{"common":{"mid":"m2"},"start":{"entry":"icon"},"ts":2000}""",
+      """garbage""")
+    q.processAllAvailable()
+    in.addData(
+      """{"common":{"mid":"m3"},"page":{"page_id":"detail","last_page_id":"home"},"displays":[{"item":"1","order":1}],"ts":3000}""")
+    q.processAllAvailable()
+    q.stop()
+    def n(branch: String): Long =
+      try spark.read.json(s"$outRoot/$branch").count() catch { case _: Exception => 0L }
+    assert(n("page") === 2)
+    assert(n("start") === 1)
+    assert(n("dirty") === 1)
+    assert(n("display") === 1)
+  }
+
+  test("DimApp-shaped stream: CDC rows routed to dim stores across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val sinkRoot = java.nio.file.Files.createTempDirectory("dimsink").toString
+    val routes = Seq(CdcOps.TableRoute("base_trademark", "dim_trademark",
+      Seq("id", "name"), "id"))
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("line").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CdcOps.routeDims(spark, CdcOps.decode(batch), routes, sinkRoot): Unit
+      }
+      .start()
+    val mk = (typ: String, id: String, name: String, ts: Long) =>
+      s"""{"database":"g","table":"base_trademark","type":"$typ","ts":$ts,"data":{"id":"$id","name":"$name"},"old":{}}"""
+    in.addData(mk("insert", "1", "apple", 100), mk("insert", "2", "pear", 101))
+    q.processAllAvailable()
+    in.addData(mk("update", "1", "apricot", 200)) // second micro-batch upserts
+    q.processAllAvailable()
+    q.stop()
+    val dim = spark.read.parquet(s"$sinkRoot/dim_trademark")
+      .select("id", "name").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dim === Map("1" -> "apricot", "2" -> "pear"))
+  }
+}
