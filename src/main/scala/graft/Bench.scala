@@ -22,7 +22,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+      else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best =
         try (1 to runs).map(_ => time(fn)).min
         catch {
