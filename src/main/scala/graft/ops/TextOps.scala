@@ -216,13 +216,18 @@ object TextOps extends QueryModule {
     * the all-pairs q_ngram_jaccard verifier cannot. Output = verified
     * near-dup pairs (Jaccard ≥ 0.6) among LSH candidates. */
   def nearDupPipeline(s: SparkSession, d: String): DataFrame = {
-    val cand = lshCandidates(minhashSignatures(s, d))
+    val cand = lshCandidates(minhashSignatures(s, d).cache())
+    // cached: referenced by BOTH broadcast builds below — without it the
+    // interpreted shingle expressions run twice over every document
     val shingleSets = docsParallel(s, d).select(
       col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 3)).as("shset"))
+      .cache()
+    // the per-doc set table is tiny relative to the pair stream — broadcast
+    // it so candidate pairs never shuffle their array payloads
     cand
-      .join(shingleSets.toDF("d1", "sa"), "d1")
-      .join(shingleSets.toDF("d2", "sb"), "d2")
+      .join(broadcast(shingleSets.toDF("d1", "sa")), "d1")
+      .join(broadcast(shingleSets.toDF("d2", "sb")), "d2")
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("common")))

@@ -17,6 +17,18 @@ class VectorSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("fast mapPartitions LSH buckets equal the Column-HOF reference impl") {
+    import org.apache.spark.sql.functions.col
+    val planes = VectorFunctions.hyperplanes(8, 64)
+    val hof = Tables.embeddings(spark, TestSession.sf)
+      .select(col("vec_id"),
+        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fast = ops.VectorOps.lshBuckets(spark, TestSession.sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(fast === hof)
+  }
+
   test("lsh bucket is stable and in range") {
     val b = ops.VectorOps.lshBuckets(spark, TestSession.sf)
     val bad = b.filter(col("bucket") < 0 || col("bucket") > 255).count()
