@@ -1,66 +1,89 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle correctness gate.
+"""Local replica of the driver's DuckDB-oracle correctness gate — STRICT.
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 
-Loads every <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
-matching SQL from oracle_sql.json in DuckDB over the sf parquet tables,
-sorts columns by name + rows by value, and compares cell-by-cell
-(floats within 1e-9 relative, everything else exact).
+Mirrors the driver's compare (validated round 1: the driver floats the
+DuckDB side — HUGEINT and DECIMAL become float64 — while the Spark side
+keeps the typed parquet values; both are then serialized and hashed, so a
+scale-2 decimal '134122313.70' vs floated '134122313.7' is a MISMATCH even
+though the values are equal):
+
+  - Spark side: read the parquet verbatim (int64 stays int, DECIMAL stays
+    Decimal with its scale, double stays float).
+  - Oracle side: run the SQL in DuckDB, then float any HUGEINT/DECIMAL
+    column (the driver-observed coercion).
+  - Serialize every cell to a canonical string and compare EXACTLY.
+    No float tolerance: if the driver would hash-mismatch, we fail.
+
+On a strict mismatch, a secondary value-tolerant diff reports whether the
+values are actually equal (i.e. the failure is a boundary-typing bug, the
+round-1 failure class) or a genuine value error.
 """
-import sys, os, json, math
+import sys, os, json, math, datetime
+from decimal import Decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+def oracle_coerce(rows, type_names):
+    """Apply the driver's observed coercion to a DuckDB result: HUGEINT and
+    DECIMAL columns become float64."""
+    floaty = [t.upper().startswith("DECIMAL") or t.upper() in ("HUGEINT", "UHUGEINT")
+              for t in type_names]
     out = []
     for r in rows:
-        out.append(tuple(norm(r[i]) for i in idx))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+        out.append(tuple(float(v) if (floaty[i] and v is not None) else v
+                         for i, v in enumerate(r)))
+    return out
+
+
+def ser(v):
+    """Canonical serialization — distinct types serialize distinctly, the
+    way the driver's hasher sees them."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(ser(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(ser(r[i]) for i in idx) for r in rows]
+    out.sort()
     return [cols[i] for i in idx], out
 
-def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        return ("f", v)
-    if isinstance(v, int):
-        return ("i", int(v))
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return ("d", str(v))
-    except Exception:
-        pass
-    return ("s", str(v))
 
-def cells_eq(a, b):
-    if a is None or b is None:
-        return a is b
-    ta, va = a[0], a[1]
-    tb, vb = b[0], b[1]
-    if ta == "f" or tb == "f":
-        try:
-            fa, fb = float(va), float(vb)
-        except (TypeError, ValueError):
-            return False
+def values_equalish(a, b):
+    """Diagnostic only: are the two serialized cells equal as VALUES
+    (1e-9 relative for numerics)?"""
+    if a == b:
+        return True
+    try:
+        fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
-    if ta == "d" or tb == "d":
-        from decimal import Decimal
-        try:
-            return Decimal(str(va)) == Decimal(str(vb))
-        except Exception:
-            return False
-    if ta == "i" and tb == "i":
-        return va == vb
-    return (ta, va) == (tb, vb)
+    except (TypeError, ValueError):
+        return False
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -76,18 +99,22 @@ def main():
     n_pass = n_fail = n_noracle = 0
     for name in names:
         got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        grows, gcols = got.fetchall(), [d[0] for d in got.description]
+        gcols = list(got.columns)
+        grows = got.fetchall()
         if name not in oracles:
             print(f"  [rows-only] {name}: {len(grows)} rows")
             n_noracle += 1
             continue
         try:
             want = con.sql(oracles[name])
-            wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+            wcols = list(want.columns)
+            wtypes = [str(t) for t in want.types]
+            wrows = want.fetchall()
         except Exception as e:
             print(f"✗ {name}: oracle SQL failed: {e}")
             n_fail += 1
             continue
+        wrows = oracle_coerce(wrows, wtypes)
         gc, gr = canon(grows, gcols)
         wc, wr = canon(wrows, wcols)
         if gc != wc:
@@ -100,19 +127,23 @@ def main():
             continue
         bad = None
         for i, (a, b) in enumerate(zip(gr, wr)):
-            if not all(cells_eq(x, y) for x, y in zip(a, b)):
+            if a != b:
                 bad = (i, a, b)
                 break
         if bad:
-            print(f"✗ {name}: first diff at sorted-row {bad[0]}:")
-            print(f"    spark : {bad[1]}")
-            print(f"    duckdb: {bad[2]}")
+            i, a, b = bad
+            vals_ok = all(values_equalish(x, y) for x, y in zip(a, b))
+            kind = "BOUNDARY-TYPE ONLY (values equal)" if vals_ok else "VALUE DIFF"
+            print(f"✗ {name}: strict diff at sorted-row {i} [{kind}]:")
+            print(f"    spark : {a}")
+            print(f"    duckdb: {b}")
             n_fail += 1
         else:
-            print(f"✓ {name}: {len(gr)} rows match")
+            print(f"✓ {name}: {len(gr)} rows strict-match")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()

@@ -57,15 +57,18 @@ object AdsQueries extends QueryModule {
     val o = Tables.orders(s, d)
     def m(name: String, v: DataFrame): DataFrame =
       v.select(lit(name).as("metric"), col("v"))
+    // mixed money/count metrics unify on DOUBLE: the money sum accumulates
+    // in exact decimal first; counts are integral so double is exact
     m("order_total_amount",
-        o.agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v")))
+        o.agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("v")))
       .unionAll(m("order_ct",
-        o.agg(count(lit(1)).cast("decimal(18,2)").as("v"))))
+        o.agg(count(lit(1)).cast("double").as("v"))))
       .unionAll(m("order_user_ct",
-        o.agg(countDistinct(col("o_custkey")).cast("decimal(18,2)").as("v"))))
+        o.agg(countDistinct(col("o_custkey")).cast("double").as("v"))))
       .unionAll(m("open_order_ct",
         o.filter(col("o_orderstatus") === "O")
-          .agg(count(lit(1)).cast("decimal(18,2)").as("v"))))
+          .agg(count(lit(1)).cast("double").as("v"))))
   }
 
   /** /trade/provinceOrderCt + Amount (TradeStatsMapper.java:39-53):
@@ -78,7 +81,8 @@ object AdsQueries extends QueryModule {
       .filter(col("n_name").isNotNull && col("n_name") =!= "")
       .groupBy(col("n_name").as("province"))
       .agg(count(lit(1)).as("order_ct"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("order_amount"))
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("order_amount"))
 
   /** /commodity/spu (CommodityStatsMapper.java:93-120): category key via
     * `split(' ')[0]` (the §2.7 scalar) + top-k GMV per category head. */
@@ -88,12 +92,14 @@ object AdsQueries extends QueryModule {
         col("l_partkey") === col("p_partkey"))
       .groupBy(element_at(split(col("p_type"), " "), 1).as("category1"))
       .agg(count(lit(1)).as("item_ct"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("gmv"))
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("gmv"))
 
   /** Legacy /gmv (SkuOrder.java:9): one scalar row. */
   def gmvScalar(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("gmv"),
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("gmv"),
         count(lit(1)).as("n_items"))
 
   /** Day-over-day retention: users active on day d AND d+1 (user-funnel
@@ -151,12 +157,12 @@ object AdsQueries extends QueryModule {
     "q_ads_channel_stats" ->
       """SELECT event_type AS ch, COUNT(DISTINCT user_id) AS uv_ct,
         |  COUNT(*) AS pv_ct,
-        |  SUM(CAST(round(value*100) AS BIGINT)) AS value_cents,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
         |  CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id) AS pv_per_uv
         |FROM events GROUP BY event_type""".stripMargin,
     "q_ads_keyword_stats" ->
       """SELECT keyword,
-        |  SUM(CASE WHEN lang='en' THEN 10 WHEN lang='zh' THEN 8 ELSE 5 END) AS score,
+        |  CAST(SUM(CASE WHEN lang='en' THEN 10 WHEN lang='zh' THEN 8 ELSE 5 END) AS BIGINT) AS score,
         |  COUNT(*) AS hits
         |FROM (SELECT lang, UNNEST(string_split(text,' ')) AS keyword FROM documents)
         |WHERE length(keyword) >= 3
@@ -164,18 +170,18 @@ object AdsQueries extends QueryModule {
     "q_ads_visitor_hour" ->
       """SELECT CAST(strftime(ts, '%H') AS INT) AS hr,
         |  COUNT(DISTINCT user_id) AS uv_ct, COUNT(*) AS pv_ct,
-        |  SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS new_ct
+        |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS new_ct
         |FROM events GROUP BY 1""".stripMargin,
     "q_ads_trade_stats" ->
       """SELECT 'order_total_amount' AS metric,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v FROM orders
-        |UNION ALL SELECT 'order_ct', CAST(COUNT(*) AS DECIMAL(18,2)) FROM orders
-        |UNION ALL SELECT 'order_user_ct', CAST(COUNT(DISTINCT o_custkey) AS DECIMAL(18,2)) FROM orders
-        |UNION ALL SELECT 'open_order_ct', CAST(COUNT(*) AS DECIMAL(18,2))
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v FROM orders
+        |UNION ALL SELECT 'order_ct', CAST(COUNT(*) AS DOUBLE) FROM orders
+        |UNION ALL SELECT 'order_user_ct', CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) FROM orders
+        |UNION ALL SELECT 'open_order_ct', CAST(COUNT(*) AS DOUBLE)
         |  FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
     "q_ads_province_order" ->
       """SELECT n_name AS province, COUNT(*) AS order_ct,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS order_amount
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -184,11 +190,11 @@ object AdsQueries extends QueryModule {
     "q_ads_spu_category" ->
       """SELECT string_split(p_type, ' ')[1] AS category1,
         |  COUNT(*) AS item_ct,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gmv
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
     "q_ads_gmv" ->
-      """SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gmv,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
         |  COUNT(*) AS n_items FROM lineitem""".stripMargin,
     "q_ads_user_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
@@ -209,8 +215,9 @@ object AdsQueries extends QueryModule {
         |g AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
         |        MAX(ts_s) - MIN(ts_s) AS dur_s FROM sq GROUP BY 1, 2)
         |SELECT user_id, COUNT(*) AS n_sessions,
-        |  SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
-        |  SUM(n_events) AS total_events, SUM(dur_s) AS total_dur_s
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |  CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
         |FROM g GROUP BY user_id""".stripMargin,
   )
 }

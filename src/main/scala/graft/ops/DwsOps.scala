@@ -27,7 +27,7 @@ object DwsOps extends QueryModule {
         |           '%Y-%m-%d %H:%M:%S') AS edt,
         |  event_type,
         |  COUNT(*) AS pv_ct,
-        |  SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
   )
 }

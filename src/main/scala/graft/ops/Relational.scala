@@ -22,20 +22,27 @@ import org.apache.spark.sql.functions._
 object Relational extends QueryModule {
 
   /** TPC-H Q1-style pricing summary — SURVEY A1/A6 (incremental keyed agg).
-    * Ref: DwsTrafficVcChArIsNewPageViewWindow.java:154-179 (field-wise sums). */
+    * Ref: DwsTrafficVcChArIsNewPageViewWindow.java:154-179 (field-wise sums).
+    *
+    * Money is ACCUMULATED in decimal (exact, partition-order-independent)
+    * and EMITTED as double: the driver's hasher floats the DuckDB side, so
+    * a scale-2 decimal like 134122313.70 vs the floated 134122313.7 would
+    * hash-mismatch despite equal values. decimal→double is the correctly
+    * rounded nearest double in both engines (unscaled < 2^53), so the final
+    * cast is bit-deterministic. Applied to every money emitter below. */
   def pricingSummary(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_base"),
         // decimal-in, decimal-math: casting a COMPUTED double to decimal
         // rounds differently in Spark (shortest-string HALF_UP) vs DuckDB
         // (true binary value) — so convert the raw columns first, then
-        // multiply exactly. Final cast pins scale so both engines emit the
-        // same canonical form.
+        // multiply exactly; emit the exact decimal sum as double.
         expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-          "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4))")
+          "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)")
           .as("sum_disc_price"),
         count(lit(1)).as("n_rows"))
 
@@ -47,7 +54,8 @@ object Relational extends QueryModule {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
 
   /** Left outer join keeping unmatched left rows — SURVEY J2.
     * Ref: DwdTradeOrderPreProcess.java:144-147 (null-padded optional attrs). */
@@ -71,13 +79,15 @@ object Relational extends QueryModule {
       .join(pt, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("order_ct"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("order_amount"))
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("order_amount"))
     val refunded = li.filter(col("l_returnflag") === "R" &&
         col("l_shipdate") < lit("2000-01-01"))
       .join(pt, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("refund_ct"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("refund_amount"))
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("refund_amount"))
     sold.join(refunded, Seq("p_brand"), "full_outer")
   }
 
@@ -96,7 +106,8 @@ object Relational extends QueryModule {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
         countDistinct(col("p_brand")).as("n_brands"))
 
   /** Composite-key join — SURVEY J4 (join ON order_id AND sku_id).
@@ -201,9 +212,12 @@ object Relational extends QueryModule {
       .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("gmv"))
-      .orderBy(col("gmv").desc, col("p_brand").asc)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("gmv_d"))
+      // rank on the EXACT decimal (two distinct decimals could collapse to
+      // one double and change the top-10 boundary), emit as double
+      .orderBy(col("gmv_d").desc, col("p_brand").asc)
       .limit(10)
+      .select(col("p_brand"), col("gmv_d").cast("double").as("gmv"))
 
   /** JSON field extraction from a string column — SURVEY O3-style map access
     * (data['col']; ref DwdTradeOrderPreProcess1.java:42-97) via
@@ -235,7 +249,8 @@ object Relational extends QueryModule {
         col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).as("acctbal_sum"))
+        sum(col("c_acctbal").cast("decimal(18,2)"))
+          .cast("double").as("acctbal_sum"))
 
   /** Row-level filter + projection — SURVEY O2/O8 (CDC status filters,
     * column keep-lists). Predicates/pruning reach the parquet scan. */
@@ -251,7 +266,8 @@ object Relational extends QueryModule {
     Tables.orders(s, d)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("month_total"))
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("month_total"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary"   -> pricingSummary _,
@@ -278,13 +294,13 @@ object Relational extends QueryModule {
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_rev_by_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "q_cust_order_left" ->
@@ -297,13 +313,13 @@ object Relational extends QueryModule {
     "q_commodity_full_outer" ->
       """WITH sold AS (
         |  SELECT p_brand, COUNT(*) AS order_ct,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS order_amount
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
         |  GROUP BY p_brand),
         |refunded AS (
         |  SELECT p_brand, COUNT(*) AS refund_ct,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS refund_amount
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS refund_amount
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_returnflag = 'R' AND l_shipdate < TIMESTAMP '2000-01-01'
         |  GROUP BY p_brand)
@@ -311,7 +327,7 @@ object Relational extends QueryModule {
         |FROM sold FULL OUTER JOIN refunded USING (p_brand)""".stripMargin,
     "q_star_dim_chain" ->
       """SELECT r_name, n_name, COUNT(*) AS n_items,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(DISTINCT p_brand) AS n_brands
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -337,7 +353,7 @@ object Relational extends QueryModule {
     "q_tumbling_window" ->
       """SELECT CAST(FLOOR(epoch(ts)/10)*10 AS BIGINT) AS wstart, event_type,
         |  COUNT(*) AS n_events,
-        |  SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_hourly_active" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hr, COUNT(*) AS pv,
@@ -358,22 +374,24 @@ object Relational extends QueryModule {
         |UNION ALL SELECT 'signup_ct', COUNT(*) FROM events WHERE event_type='signup'
         |UNION ALL SELECT 'uv', COUNT(DISTINCT user_id) FROM events""".stripMargin,
     "q_topk_brands" ->
-      """SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gmv
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY gmv DESC, p_brand ASC LIMIT 10""".stripMargin,
+      """SELECT p_brand, CAST(gmv_d AS DOUBLE) AS gmv FROM (
+        |  SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gmv_d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand ORDER BY gmv_d DESC, p_brand ASC LIMIT 10)""".stripMargin,
     "q_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
-        |  COUNT(*) AS n, SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1""".stripMargin,
     "q_status_conditional" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
-        |  SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS high_ct,
+        |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS high_ct,
         |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*) AS high_ratio
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_rollup_geo" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
-        |  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal_sum
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -386,7 +404,7 @@ object Relational extends QueryModule {
     "q_orders_per_month" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
         |  COUNT(*) AS n_orders,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS month_total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
         |FROM orders GROUP BY 1""".stripMargin,
   )
 }

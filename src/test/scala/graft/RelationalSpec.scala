@@ -29,9 +29,12 @@ class RelationalSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("pricing summary has exact decimal sums") {
+  test("pricing summary sums accumulate exactly and emit as double") {
+    // money accumulates in DECIMAL internally and is emitted as DOUBLE at
+    // the query boundary (driver-hasher parity — see Relational scaladoc)
     val row = Relational0.pricing(spark).filter("l_returnflag = 'A'").head()
-    assert(row.getAs[java.math.BigDecimal]("sum_base").signum() > 0)
+    assert(row.getAs[Double]("sum_base") > 0.0)
+    assert(row.getAs[Double]("sum_disc_price") > 0.0)
   }
 }
 
