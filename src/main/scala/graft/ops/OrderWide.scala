@@ -1,0 +1,287 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed DWD→DWS order pipeline — the reference's flagship chain
+  * (DwdTradeOrderPreProcess.java:113-149 five-table join →
+  * DwsTradeSkuOrderWindow.java:81-293 keep-latest dedup + per-sku window +
+  * dim enrichment) as ONE declarative composition over the test tables.
+  *
+  * Mapping onto the star schema: order_detail→lineitem (detail id =
+  * orderkey*10+linenumber), order_info→orders, order_detail_activity→
+  * discounted lines, order_detail_coupon→taxed lines, base_dic lookup→
+  * supplier names.
+  *
+  * Scale stance:
+  *   - detail⋈info is the one genuine fact⋈fact shuffle (both sides keyed
+  *     on order_id); activity/coupon join back on detail_id — at 100 TB
+  *     these arrive pre-keyed from the same CDC source so AQE picks
+  *     shuffled-hash, and the dic/supplier lookup is a broadcast;
+  *   - keep-latest dedup is one hash shuffle on detail_id (the changelog
+  *     key) — the same partitioning a streaming state store would use;
+  *   - dim enrichment happens AFTER the window aggregation (reference does
+  *     the same: async lookups post-reduce) so only #sku×#window rows hit
+  *     the dim join, not #lineitem rows.
+  */
+object OrderWide extends QueryModule {
+
+  private def detailId: Column =
+    (col("l_orderkey") * 10 + col("l_linenumber")).as("detail_id")
+
+  /** order_detail analog: one row per lineitem with exact decimal amounts
+    * (split_total = price×(1−discount), the DwdTradeOrderPreProcess
+    * split_total_amount analog). Takes the lineitem rows as a DataFrame so
+    * the same projection runs over the parquet table or a stream
+    * (OrderWideSpec drives it with a MemoryStream). */
+  def detailFrom(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      detailId,
+      col("l_orderkey").as("order_id"),
+      col("l_partkey").as("sku_id"),
+      col("l_suppkey").as("source_id"),
+      col("l_quantity").as("sku_num"),
+      col("l_extendedprice").cast("decimal(18,2)")
+        .as("split_original_amount"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(22,4))")
+        .as("split_total_amount"))
+
+  def detail(s: SparkSession, d: String): DataFrame =
+    detailFrom(Tables.lineitem(s, d))
+
+  /** order_info analog. */
+  def info(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("user_id"),
+      col("o_orderstatus").as("order_status"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_id"))
+
+  /** order_detail_activity analog: lines with a meaningful discount carry
+    * an activity row (others left-join to null, like the reference). */
+  def activityFrom(lineitem: DataFrame): DataFrame =
+    lineitem.filter(col("l_discount") > 0.05).select(
+      detailId,
+      round(col("l_discount") * 100).cast("long").as("activity_id"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(22,4))")
+        .as("split_activity_amount"))
+
+  def activity(s: SparkSession, d: String): DataFrame =
+    activityFrom(Tables.lineitem(s, d))
+
+  /** order_detail_coupon analog: taxed lines carry a coupon row. */
+  def couponFrom(lineitem: DataFrame): DataFrame =
+    lineitem.filter(col("l_tax") > 0.04).select(
+      detailId,
+      round(col("l_tax") * 100).cast("long").as("coupon_id"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(22,4))")
+        .as("split_coupon_amount"))
+
+  def coupon(s: SparkSession, d: String): DataFrame =
+    couponFrom(Tables.lineitem(s, d))
+
+  /** base_dic lookup analog (J3): source_id → name, always broadcast. */
+  def dic(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .select(col("s_suppkey").as("source_id"),
+        col("s_name").as("source_type_name"))
+
+  /** The five-table wide-row join, parameterized over its inputs so the
+    * SAME composition runs over static tables (oracle-checked below) and
+    * over streams (OrderWideSpec drives it with MemoryStreams, like the
+    * reference's Kafka-topic inputs). Amounts stay DECIMAL here — emit
+    * queries cast to double at their boundary. */
+  def buildWide(detail: DataFrame, info: DataFrame, activity: DataFrame,
+                coupon: DataFrame, dic: DataFrame): DataFrame =
+    detail
+      .join(info, Seq("order_id"))
+      .join(activity, Seq("detail_id"), "left")
+      .join(coupon, Seq("detail_id"), "left")
+      .join(broadcast(dic), Seq("source_id"))
+
+  /** q_dwd_order_wide — the DWD pre-process output itself. */
+  def orderWide(s: SparkSession, d: String): DataFrame =
+    buildWide(detail(s, d), info(s, d), activity(s, d), coupon(s, d),
+        dic(s, d))
+      .select(col("detail_id"), col("order_id"), col("user_id"),
+        col("order_status"), col("sku_id"), col("sku_num"), col("date_id"),
+        col("activity_id"), col("coupon_id"), col("source_type_name"),
+        col("split_original_amount").cast("double")
+          .as("split_original_amount"),
+        col("split_activity_amount").cast("double")
+          .as("split_activity_amount"),
+        col("split_coupon_amount").cast("double").as("split_coupon_amount"),
+        col("split_total_amount").cast("double").as("split_total_amount"))
+
+  /** The changelog the DWS job consumes: every wide row as an insert
+    * (op_ts=1), plus an update version (op_ts=2, status 'U') for open
+    * orders — the upsert-Kafka topic's insert+update pattern that makes
+    * keep-latest dedup semantically real in batch. */
+  def versions(wide: DataFrame): DataFrame =
+    wide.withColumn("op_ts", lit(1L))
+      .unionAll(
+        wide.filter(col("order_status") === "O")
+          .withColumn("order_status", lit("U"))
+          .withColumn("op_ts", lit(2L)))
+
+  /** Keep-latest per detail_id (batch form of StatefulOps.keepLatest —
+    * same hash-partition-by-key shape a state store uses).
+    *
+    * The testdata's (l_orderkey, l_linenumber) key is deliberately dirty
+    * (1161 duplicate pairs with differing payloads at sf0.001), so op_ts
+    * alone does not pick a unique winner. A streaming state store resolves
+    * the tie by arrival order; for a deterministic batch analog we extend
+    * the ordering to a total order over the payload columns. Spark's ASC
+    * default is NULLS FIRST while DuckDB's is NULLS LAST, so both sides
+    * pin NULLS FIRST explicitly. */
+  def keepLatestBatch(versions: DataFrame): DataFrame =
+    versions
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("detail_id")).orderBy(
+          col("op_ts").desc,
+          col("sku_id").asc_nulls_first,
+          col("source_id").asc_nulls_first,
+          col("sku_num").asc_nulls_first,
+          col("split_original_amount").asc_nulls_first,
+          col("split_total_amount").asc_nulls_first,
+          col("activity_id").asc_nulls_first,
+          col("split_activity_amount").asc_nulls_first,
+          col("coupon_id").asc_nulls_first,
+          col("split_coupon_amount").asc_nulls_first)))
+      .filter(col("rn") === 1).drop("rn")
+
+  /** q_dws_sku_order — the full composed chain: wide join → changelog →
+    * keep-latest → per-(sku, month) window agg → broadcast dim enrichment
+    * (trademark/category analogs from part, joined AFTER the agg). */
+  /** The DWS stage alone: per-(month, sku) agg over deduped wide rows,
+    * then broadcast dim enrichment (AFTER the agg — see scale stance). */
+  def skuAgg(latest: DataFrame, part: DataFrame): DataFrame = {
+    val agged = latest
+      .groupBy(substring(col("date_id"), 1, 7).as("stt"), col("sku_id"))
+      .agg(
+        countDistinct(col("order_id")).as("order_ct"),
+        count(lit(1)).as("item_ct"),
+        sum(when(col("order_status") === "U", 1).otherwise(0))
+          .cast("long").as("updated_ct"),
+        sum(col("split_original_amount")).cast("double").as("original_sum"),
+        sum(coalesce(col("split_activity_amount"),
+          lit(0).cast("decimal(22,4)"))).cast("double").as("activity_sum"),
+        sum(coalesce(col("split_coupon_amount"),
+          lit(0).cast("decimal(22,4)"))).cast("double").as("coupon_sum"),
+        sum(col("split_total_amount")).cast("double").as("total_sum"))
+    agged.join(
+        broadcast(part.select(
+          col("p_partkey"), col("p_brand").as("trademark"),
+          element_at(split(col("p_type"), " "), 1).as("category1"))),
+        col("sku_id") === col("p_partkey"))
+      .drop("p_partkey")
+  }
+
+  def skuOrderWindow(s: SparkSession, d: String): DataFrame = {
+    val wide = buildWide(detail(s, d), info(s, d), activity(s, d),
+      coupon(s, d), dic(s, d))
+    skuAgg(keepLatestBatch(versions(wide)), Tables.part(s, d))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_dwd_order_wide" -> orderWide _,
+      "q_dws_sku_order"  -> skuOrderWindow _,
+    )
+
+  private val wideSql =
+    """WITH detail AS (
+      |  SELECT l_orderkey*10 + l_linenumber AS detail_id,
+      |    l_orderkey AS order_id, l_partkey AS sku_id,
+      |    l_suppkey AS source_id, l_quantity AS sku_num,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS split_original_amount,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(22,4))
+      |      AS split_total_amount
+      |  FROM lineitem),
+      |info AS (
+      |  SELECT o_orderkey AS order_id, o_custkey AS user_id,
+      |    o_orderstatus AS order_status,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS date_id
+      |  FROM orders),
+      |activity AS (
+      |  SELECT l_orderkey*10 + l_linenumber AS detail_id,
+      |    CAST(round(l_discount*100) AS BIGINT) AS activity_id,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(22,4))
+      |      AS split_activity_amount
+      |  FROM lineitem WHERE l_discount > 0.05),
+      |coupon AS (
+      |  SELECT l_orderkey*10 + l_linenumber AS detail_id,
+      |    CAST(round(l_tax*100) AS BIGINT) AS coupon_id,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(22,4))
+      |      AS split_coupon_amount
+      |  FROM lineitem WHERE l_tax > 0.04),
+      |dic AS (SELECT s_suppkey AS source_id, s_name AS source_type_name
+      |        FROM supplier),
+      |wide AS (
+      |  SELECT detail.*, info.user_id, info.order_status, info.date_id,
+      |    activity.activity_id, activity.split_activity_amount,
+      |    coupon.coupon_id, coupon.split_coupon_amount,
+      |    dic.source_type_name
+      |  FROM detail
+      |  JOIN info USING (order_id)
+      |  LEFT JOIN activity USING (detail_id)
+      |  LEFT JOIN coupon USING (detail_id)
+      |  JOIN dic USING (source_id))""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "q_dwd_order_wide" -> (wideSql +
+      """
+        |SELECT detail_id, order_id, user_id, order_status, sku_id, sku_num,
+        |  date_id, activity_id, coupon_id, source_type_name,
+        |  CAST(split_original_amount AS DOUBLE) AS split_original_amount,
+        |  CAST(split_activity_amount AS DOUBLE) AS split_activity_amount,
+        |  CAST(split_coupon_amount AS DOUBLE) AS split_coupon_amount,
+        |  CAST(split_total_amount AS DOUBLE) AS split_total_amount
+        |FROM wide""".stripMargin),
+    "q_dws_sku_order" -> (wideSql +
+      """,
+        |versions AS (
+        |  SELECT *, 1 AS op_ts FROM wide
+        |  UNION ALL
+        |  SELECT detail_id, order_id, sku_id, source_id, sku_num,
+        |    split_original_amount, split_total_amount, user_id,
+        |    'U' AS order_status, date_id, activity_id,
+        |    split_activity_amount, coupon_id, split_coupon_amount,
+        |    source_type_name, 2 AS op_ts
+        |  FROM wide WHERE order_status = 'O'),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY detail_id
+        |      ORDER BY op_ts DESC, sku_id NULLS FIRST,
+        |        source_id NULLS FIRST, sku_num NULLS FIRST,
+        |        split_original_amount NULLS FIRST,
+        |        split_total_amount NULLS FIRST, activity_id NULLS FIRST,
+        |        split_activity_amount NULLS FIRST, coupon_id NULLS FIRST,
+        |        split_coupon_amount NULLS FIRST) AS rn
+        |    FROM versions) WHERE rn = 1),
+        |agged AS (
+        |  SELECT substr(date_id, 1, 7) AS stt, sku_id,
+        |    COUNT(DISTINCT order_id) AS order_ct,
+        |    COUNT(*) AS item_ct,
+        |    CAST(SUM(CASE WHEN order_status = 'U' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS updated_ct,
+        |    CAST(SUM(split_original_amount) AS DOUBLE) AS original_sum,
+        |    CAST(SUM(COALESCE(split_activity_amount,
+        |      CAST(0 AS DECIMAL(22,4)))) AS DOUBLE) AS activity_sum,
+        |    CAST(SUM(COALESCE(split_coupon_amount,
+        |      CAST(0 AS DECIMAL(22,4)))) AS DOUBLE) AS coupon_sum,
+        |    CAST(SUM(split_total_amount) AS DOUBLE) AS total_sum
+        |  FROM latest GROUP BY 1, 2)
+        |SELECT agged.*, p_brand AS trademark,
+        |  string_split(p_type, ' ')[1] AS category1
+        |FROM agged JOIN part ON sku_id = p_partkey""".stripMargin),
+  )
+}
