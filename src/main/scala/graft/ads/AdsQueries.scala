@@ -1,8 +1,8 @@
 package graft.ads
 
 import graft.Tables
-import graft.ops.QueryModule
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{OrderWide, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -141,6 +141,188 @@ object AdsQueries extends QueryModule {
         sum(col("dur_s")).as("total_dur_s"))
   }
 
+  // ── round-2 additions: the remaining ~16 mapper shapes ──────────────
+
+  /** Shared DWS order-window analog (the §2.10 schema-gap fix: the
+    * reference's ActivityStatsMapper queries order_activity_reduce_amount /
+    * order_origin_total_amount columns its own DWS job never writes — we
+    * add them): the OrderWide wide rows ARE that window's input. */
+  private def orderWindow(s: SparkSession, d: String): DataFrame =
+    OrderWide.buildWide(OrderWide.detail(s, d), OrderWide.info(s, d),
+      OrderWide.activity(s, d), OrderWide.coupon(s, d), OrderWide.dic(s, d))
+
+  private val zero4 = lit(0).cast("decimal(22,4)")
+
+  /** /activity/stats (ActivityStatsMapper.java:10-17): per-window subsidy
+    * rate = sum(activity_reduce) / sum(origin_total). */
+  def activitySubsidy(s: SparkSession, d: String): DataFrame =
+    orderWindow(s, d)
+      .groupBy(substring(col("date_id"), 1, 7).as("stt"))
+      .agg(
+        sum(coalesce(col("split_activity_amount"), zero4))
+          .cast("double").as("activity_reduce_amount"),
+        sum(col("split_original_amount")).cast("double")
+          .as("origin_total_amount"))
+      .withColumn("subsidy_rate",
+        col("activity_reduce_amount") / col("origin_total_amount"))
+
+  /** /coupon/stats (CouponStatsMapper.java:10-17). */
+  def couponSubsidy(s: SparkSession, d: String): DataFrame =
+    orderWindow(s, d)
+      .groupBy(substring(col("date_id"), 1, 7).as("stt"))
+      .agg(
+        sum(coalesce(col("split_coupon_amount"), zero4))
+          .cast("double").as("coupon_reduce_amount"),
+        sum(col("split_original_amount")).cast("double")
+          .as("origin_total_amount"))
+      .withColumn("coupon_subsidy_rate",
+        col("coupon_reduce_amount") / col("origin_total_amount"))
+
+  /** p_type is single-word in the testdata, so the 3-level category
+    * hierarchy maps to the natural type → brand → size chain. */
+  private def partDims(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey"),
+      col("p_brand").as("trademark"),
+      col("p_type").as("category1"),
+      col("p_brand").as("category2"),
+      col("p_size").cast("string").as("category3"))
+
+  /** Order-side vs refund-side (l_returnflag='R') aggregates joined FULL
+    * OUTER per dim key — the CommodityStatsMapper.java:14-91 shape,
+    * parameterized by the grouping key list. */
+  private def orderVsRefund(s: SparkSession, d: String,
+                            keys: Seq[String]): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(partDims(s, d)), col("l_partkey") === col("p_partkey"))
+    val kc = keys.map(col)
+    val orders = li.groupBy(kc: _*).agg(
+      count(lit(1)).as("order_count"),
+      sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        .as("order_amount"))
+    val refunds = li.filter(col("l_returnflag") === "R").groupBy(kc: _*).agg(
+      count(lit(1)).as("refund_count"),
+      sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        .as("refund_amount"))
+    orders.join(refunds, keys, "full_outer")
+  }
+
+  /** /commodity/trademark (CommodityStatsMapper.java:14-38). */
+  def trademarkStats(s: SparkSession, d: String): DataFrame =
+    orderVsRefund(s, d, Seq("trademark"))
+
+  /** /commodity/category (CommodityStatsMapper.java:41-91): 3-level
+    * category rollup keys. */
+  def categoryStats(s: SparkSession, d: String): DataFrame =
+    orderVsRefund(s, d, Seq("category1", "category2", "category3"))
+
+  /** /commodity/tmPieGraph (CommodityStatsMapper.java:40-45). */
+  def trademarkPie(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(partDims(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("trademark"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").as("order_amount"))
+
+  /** /commodity/trademark2 (selectGmvByTm, CommodityStatsMapper.java:119):
+    * top-k trademarks by GMV, ORDER BY DESC LIMIT. */
+  def trademarkTop(s: SparkSession, d: String): DataFrame =
+    trademarkPie(s, d)
+      .orderBy(col("order_amount").desc, col("trademark").asc)
+      .limit(5)
+
+  /** The §2.10 missing window itself:
+    * dws_trade_trademark_category_user_spu_order_window — per (trademark,
+    * category1, user) order aggregates over the deduped wide rows. */
+  def tmCatUserWindow(s: SparkSession, d: String): DataFrame =
+    OrderWide.keepLatestBatch(
+        OrderWide.versions(orderWindow(s, d)))
+      .join(broadcast(partDims(s, d)), col("sku_id") === col("p_partkey"))
+      .groupBy(col("trademark"), col("category1"), col("user_id"))
+      .agg(countDistinct(col("order_id")).as("order_ct"),
+        count(lit(1)).as("item_ct"),
+        sum(col("split_total_amount")).cast("double").as("order_amount"))
+
+  /** /user/userChangeCt (UserStatsMapper.java:41-57): 3-way UNION ALL —
+    * returning users / active users / new users. */
+  def userChangeCt(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    def m(name: String, v: DataFrame): DataFrame =
+      v.select(lit(name).as("type"), col("ct"))
+    m("backCt", e.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct().groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).agg(count(lit(1)).as("ct")))
+      .unionAll(m("activeUserCt",
+        e.agg(countDistinct(col("user_id")).as("ct"))))
+      .unionAll(m("newUserCt",
+        e.filter(col("event_type") === "signup")
+          .agg(countDistinct(col("user_id")).as("ct"))))
+  }
+
+  /** /user/userTradeCt (UserStatsMapper.java:59-75): order vs payment
+    * unique-user funnel ('F' = fulfilled ≈ payment-success). */
+  def userTradeCt(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.agg(countDistinct(col("o_custkey")).as("ct"))
+      .select(lit("order").as("trade_type"), col("ct"))
+      .unionAll(o.filter(col("o_orderstatus") === "F")
+        .agg(countDistinct(col("o_custkey")).as("ct"))
+        .select(lit("payment").as("trade_type"), col("ct")))
+  }
+
+  /** /traffic/visitorPerType (TrafficVisitorStatsMapper.java:11-21): new
+    * vs returning visitors — is_new = the event falls on the user's first
+    * active day. */
+  def visitorPerType(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val firstDay = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    e.join(firstDay, Seq("user_id"))
+      .withColumn("is_new",
+        when(col("day") === col("first_day"), "1").otherwise("0"))
+      .groupBy(col("is_new"))
+      .agg(countDistinct(col("user_id")).as("uv_ct"),
+        count(lit(1)).as("pv_ct"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("dur_sum"))
+  }
+
+  /** /traffic per-channel derived-ratio bundle (TrafficChannelStatsMapper
+    * .java:11-49): sessions (30-min gap) attributed to their entry
+    * channel; svCt / pvPerSession / durPerSession / ujRate per channel. */
+  def channelDerived(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val flagged = e
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+      .withColumn("is_start",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("is_start")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        // exactly one is_start=1 row per session → max picks its channel
+        max(when(col("is_start") === 1, col("event_type"))).as("ch"),
+        count(lit(1)).as("n_events"),
+        (max(col("ts_s")) - min(col("ts_s"))).as("dur_s"))
+    sessions.groupBy(col("ch"))
+      .agg(count(lit(1)).as("sv_ct"),
+        sum(col("n_events")).as("pv_ct"),
+        sum(when(col("n_events") === 1, 1).otherwise(0)).cast("long")
+          .as("uj_ct"),
+        sum(col("dur_s")).as("dur_sum"))
+      .withColumn("pv_per_session",
+        col("pv_ct").cast("double") / col("sv_ct"))
+      .withColumn("dur_per_session",
+        col("dur_sum").cast("double") / col("sv_ct"))
+      .withColumn("uj_rate", col("uj_ct").cast("double") / col("sv_ct"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ads_channel_stats"  -> channelStats _,
     "q_ads_keyword_stats"  -> keywordStats _,
@@ -151,7 +333,43 @@ object AdsQueries extends QueryModule {
     "q_ads_gmv"            -> gmvScalar _,
     "q_ads_user_retention" -> userRetention _,
     "q_ads_session_stats"  -> sessionStats _,
+    "q_ads_activity_subsidy" -> activitySubsidy _,
+    "q_ads_coupon_subsidy"   -> couponSubsidy _,
+    "q_ads_trademark_stats"  -> trademarkStats _,
+    "q_ads_category_stats"   -> categoryStats _,
+    "q_ads_trademark_pie"    -> trademarkPie _,
+    "q_ads_trademark_top"    -> trademarkTop _,
+    "q_ads_tm_cat_user"      -> tmCatUserWindow _,
+    "q_ads_user_change"      -> userChangeCt _,
+    "q_ads_user_trade"       -> userTradeCt _,
+    "q_ads_visitor_type"     -> visitorPerType _,
+    "q_ads_channel_derived"  -> channelDerived _,
   )
+
+  private val liDimsSql =
+    """WITH li AS (
+      |  SELECT l.*, p_brand AS trademark,
+      |    p_type AS category1, p_brand AS category2,
+      |    CAST(p_size AS VARCHAR) AS category3
+      |  FROM lineitem l JOIN part ON l_partkey = p_partkey)""".stripMargin
+
+  private def orderVsRefundSql(keys: String): String =
+    liDimsSql +
+      s""",
+        |o AS (SELECT $keys, COUNT(*) AS order_count,
+        |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          AS order_amount
+        |      FROM li GROUP BY $keys),
+        |r AS (SELECT $keys, COUNT(*) AS refund_count,
+        |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          AS refund_amount
+        |      FROM li WHERE l_returnflag = 'R' GROUP BY $keys)
+        |SELECT ${keys.split(", ").map(k =>
+             s"COALESCE(o.$k, r.$k) AS $k").mkString(", ")},
+        |  order_count, order_amount, refund_count, refund_amount
+        |FROM o FULL OUTER JOIN r
+        |  ON ${keys.split(", ").map(k => s"o.$k = r.$k").mkString(" AND ")}
+        |""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "q_ads_channel_stats" ->
@@ -219,5 +437,102 @@ object AdsQueries extends QueryModule {
         |  CAST(SUM(n_events) AS BIGINT) AS total_events,
         |  CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
         |FROM g GROUP BY user_id""".stripMargin,
+    "q_ads_activity_subsidy" -> (OrderWide.wideSql +
+      """
+        |SELECT stt, activity_reduce_amount, origin_total_amount,
+        |  activity_reduce_amount / origin_total_amount AS subsidy_rate
+        |FROM (
+        |  SELECT substr(date_id, 1, 7) AS stt,
+        |    CAST(SUM(COALESCE(split_activity_amount,
+        |      CAST(0 AS DECIMAL(22,4)))) AS DOUBLE)
+        |      AS activity_reduce_amount,
+        |    CAST(SUM(split_original_amount) AS DOUBLE)
+        |      AS origin_total_amount
+        |  FROM wide GROUP BY 1)""".stripMargin),
+    "q_ads_coupon_subsidy" -> (OrderWide.wideSql +
+      """
+        |SELECT stt, coupon_reduce_amount, origin_total_amount,
+        |  coupon_reduce_amount / origin_total_amount AS coupon_subsidy_rate
+        |FROM (
+        |  SELECT substr(date_id, 1, 7) AS stt,
+        |    CAST(SUM(COALESCE(split_coupon_amount,
+        |      CAST(0 AS DECIMAL(22,4)))) AS DOUBLE)
+        |      AS coupon_reduce_amount,
+        |    CAST(SUM(split_original_amount) AS DOUBLE)
+        |      AS origin_total_amount
+        |  FROM wide GROUP BY 1)""".stripMargin),
+    "q_ads_trademark_stats" -> orderVsRefundSql("trademark"),
+    "q_ads_category_stats" ->
+      orderVsRefundSql("category1, category2, category3"),
+    "q_ads_trademark_pie" -> (liDimsSql +
+      """
+        |SELECT trademark,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS order_amount
+        |FROM li GROUP BY trademark""".stripMargin),
+    "q_ads_trademark_top" -> (liDimsSql +
+      """
+        |SELECT trademark,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS order_amount
+        |FROM li GROUP BY trademark
+        |ORDER BY order_amount DESC, trademark ASC LIMIT 5""".stripMargin),
+    "q_ads_tm_cat_user" -> (OrderWide.wideSql + OrderWide.latestSql +
+      """
+        |SELECT p_brand AS trademark,
+        |  string_split(p_type, ' ')[1] AS category1, user_id,
+        |  COUNT(DISTINCT order_id) AS order_ct, COUNT(*) AS item_ct,
+        |  CAST(SUM(split_total_amount) AS DOUBLE) AS order_amount
+        |FROM latest JOIN part ON sku_id = p_partkey
+        |GROUP BY 1, 2, 3""".stripMargin),
+    "q_ads_user_change" ->
+      """SELECT 'backCt' AS type, COUNT(*) AS ct FROM (
+        |  SELECT user_id FROM (
+        |    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |  GROUP BY user_id HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'activeUserCt', COUNT(DISTINCT user_id) FROM events
+        |UNION ALL
+        |SELECT 'newUserCt', COUNT(DISTINCT user_id) FROM events
+        |WHERE event_type = 'signup'""".stripMargin,
+    "q_ads_user_trade" ->
+      """SELECT 'order' AS trade_type, COUNT(DISTINCT o_custkey) AS ct
+        |FROM orders
+        |UNION ALL
+        |SELECT 'payment', COUNT(DISTINCT o_custkey) FROM orders
+        |WHERE o_orderstatus = 'F'""".stripMargin,
+    "q_ads_visitor_type" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+        |           FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY 1)
+        |SELECT CASE WHEN day = first_day THEN '1' ELSE '0' END AS is_new,
+        |  COUNT(DISTINCT user_id) AS uv_ct, COUNT(*) AS pv_ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS dur_sum
+        |FROM e JOIN f USING (user_id) GROUP BY 1""".stripMargin,
+    "q_ads_channel_derived" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |m AS (SELECT *, LAG(ts_s) OVER
+        |        (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s
+        |      FROM e),
+        |f AS (SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
+        |        THEN 1 ELSE 0 END AS is_start FROM m),
+        |sq AS (SELECT *, SUM(is_start) OVER
+        |        (PARTITION BY user_id ORDER BY ts_s, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS session_seq FROM f),
+        |g AS (SELECT user_id, session_seq,
+        |        MAX(CASE WHEN is_start = 1 THEN event_type END) AS ch,
+        |        COUNT(*) AS n_events,
+        |        MAX(ts_s) - MIN(ts_s) AS dur_s FROM sq GROUP BY 1, 2)
+        |SELECT ch, COUNT(*) AS sv_ct,
+        |  CAST(SUM(n_events) AS BIGINT) AS pv_ct,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS uj_ct,
+        |  CAST(SUM(dur_s) AS BIGINT) AS dur_sum,
+        |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS pv_per_session,
+        |  CAST(SUM(dur_s) AS DOUBLE) / COUNT(*) AS dur_per_session,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS uj_rate
+        |FROM g GROUP BY ch""".stripMargin,
   )
 }

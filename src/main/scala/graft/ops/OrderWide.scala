@@ -194,7 +194,9 @@ object OrderWide extends QueryModule {
       "q_dws_sku_order"  -> skuOrderWindow _,
     )
 
-  private val wideSql =
+  /** Shared DuckDB CTE prefix for every oracle over the wide rows
+    * (AdsQueries' subsidy/window oracles reuse it). */
+  val wideSql =
     """WITH detail AS (
       |  SELECT l_orderkey*10 + l_linenumber AS detail_id,
       |    l_orderkey AS order_id, l_partkey AS sku_id,
@@ -236,6 +238,29 @@ object OrderWide extends QueryModule {
       |  LEFT JOIN coupon USING (detail_id)
       |  JOIN dic USING (source_id))""".stripMargin
 
+  /** Changelog + keep-latest CTEs over `wide` (appended after wideSql). */
+  val latestSql =
+    """,
+      |versions AS (
+      |  SELECT *, 1 AS op_ts FROM wide
+      |  UNION ALL
+      |  SELECT detail_id, order_id, sku_id, source_id, sku_num,
+      |    split_original_amount, split_total_amount, user_id,
+      |    'U' AS order_status, date_id, activity_id,
+      |    split_activity_amount, coupon_id, split_coupon_amount,
+      |    source_type_name, 2 AS op_ts
+      |  FROM wide WHERE order_status = 'O'),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY detail_id
+      |      ORDER BY op_ts DESC, sku_id NULLS FIRST,
+      |        source_id NULLS FIRST, sku_num NULLS FIRST,
+      |        split_original_amount NULLS FIRST,
+      |        split_total_amount NULLS FIRST, activity_id NULLS FIRST,
+      |        split_activity_amount NULLS FIRST, coupon_id NULLS FIRST,
+      |        split_coupon_amount NULLS FIRST) AS rn
+      |    FROM versions) WHERE rn = 1)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "q_dwd_order_wide" -> (wideSql +
       """
@@ -246,27 +271,8 @@ object OrderWide extends QueryModule {
         |  CAST(split_coupon_amount AS DOUBLE) AS split_coupon_amount,
         |  CAST(split_total_amount AS DOUBLE) AS split_total_amount
         |FROM wide""".stripMargin),
-    "q_dws_sku_order" -> (wideSql +
+    "q_dws_sku_order" -> (wideSql + latestSql +
       """,
-        |versions AS (
-        |  SELECT *, 1 AS op_ts FROM wide
-        |  UNION ALL
-        |  SELECT detail_id, order_id, sku_id, source_id, sku_num,
-        |    split_original_amount, split_total_amount, user_id,
-        |    'U' AS order_status, date_id, activity_id,
-        |    split_activity_amount, coupon_id, split_coupon_amount,
-        |    source_type_name, 2 AS op_ts
-        |  FROM wide WHERE order_status = 'O'),
-        |latest AS (
-        |  SELECT * FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY detail_id
-        |      ORDER BY op_ts DESC, sku_id NULLS FIRST,
-        |        source_id NULLS FIRST, sku_num NULLS FIRST,
-        |        split_original_amount NULLS FIRST,
-        |        split_total_amount NULLS FIRST, activity_id NULLS FIRST,
-        |        split_activity_amount NULLS FIRST, coupon_id NULLS FIRST,
-        |        split_coupon_amount NULLS FIRST) AS rn
-        |    FROM versions) WHERE rn = 1),
         |agged AS (
         |  SELECT substr(date_id, 1, 7) AS stt, sku_id,
         |    COUNT(DISTINCT order_id) AS order_ct,
