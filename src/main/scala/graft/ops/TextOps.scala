@@ -216,18 +216,21 @@ object TextOps extends QueryModule {
     * the all-pairs q_ngram_jaccard verifier cannot. Output = verified
     * near-dup pairs (Jaccard ≥ 0.6) among LSH candidates. */
   def nearDupPipeline(s: SparkSession, d: String): DataFrame = {
-    val cand = lshCandidates(minhashSignatures(s, d).cache())
-    // cached: referenced by BOTH broadcast builds below — without it the
-    // interpreted shingle expressions run twice over every document
+    val cand = lshCandidates(minhashSignatures(s, d).cache()).cache()
     val shingleSets = docsParallel(s, d).select(
       col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 3)).as("shset"))
-      .cache()
-    // the per-doc set table is tiny relative to the pair stream — broadcast
-    // it so candidate pairs never shuffle their array payloads
+    // Only docs that appear in ≥1 candidate pair need their shingle sets —
+    // semi-join first so the broadcast below holds the survivor set (size
+    // ∝ LSH collisions), NOT the whole corpus. Cached: referenced by both
+    // sides of the pair join.
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val survivors = shingleSets
+      .join(candIds, Seq("doc_id"), "left_semi").cache()
     cand
-      .join(broadcast(shingleSets.toDF("d1", "sa")), "d1")
-      .join(broadcast(shingleSets.toDF("d2", "sb")), "d2")
+      .join(broadcast(survivors.toDF("d1", "sa")), "d1")
+      .join(broadcast(survivors.toDF("d2", "sb")), "d2")
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("common")))
@@ -236,19 +239,41 @@ object TextOps extends QueryModule {
   }
 
   /** 16-bit SimHash per document (majority vote over token-hash bits).
-    * Token hashes are materialized behind a projection boundary so each of
-    * the 16 bit-folds reads the array instead of re-hashing. */
+    *
+    * Same typed-mapPartitions shape as [[minhashSignatures]] and for the
+    * same reason: Catalyst HOFs (`aggregate`/`transform`) are
+    * CodegenFallback, the measured 100×-class bottleneck on this path.
+    * Bit-identical to the declarative [[TextFunctions.simhash]] Column
+    * (TextSpec asserts parity) and to the DuckDB oracle. */
   def simhashDocs(s: SparkSession, d: String): DataFrame = {
-    val hashed = docsParallel(s, d).select(
-      col("doc_id"),
-      transform(tokens(col("text")), t => hash32(t, 0)).as("hs"))
-    val bits = (0 until 16).map { b =>
-      val votes = aggregate(col("hs"), lit(0),
-        (acc, h) => acc +
-          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(votes >= 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-    hashed.select(col("doc_id"), bits.as("simhash16"))
+    import s.implicits._
+    docsParallel(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1) // keep trailing empties: Spark split semantics
+          val votes = new Array[Int](16)
+          var i = 0
+          while (i < toks.length) {
+            md.reset()
+            val dg = md.digest(("0|" + toks(i)).getBytes("UTF-8"))
+            // hash32 parity: first 4 digest bytes, big-endian unsigned
+            val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+              ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+            var b = 0
+            while (b < 16) {
+              if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+            i += 1
+          }
+          var sh = 0
+          var b = 0
+          while (b < 16) { if (votes(b) >= 0) sh |= (1 << b); b += 1 }
+          (id, sh)
+        }
+      }
+      .toDF("doc_id", "simhash16")
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
