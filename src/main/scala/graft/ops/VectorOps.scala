@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,20 +39,58 @@ object VectorOps extends QueryModule {
       size(col("embedding")).as("dim"),
       normSq(col("embedding")).as("norm_sq"))
 
+  /** Two-level exact top-k per probe over scored rows (must carry
+    * `probe_id: Long`, `neighbor_id: Long`, `sim: Double`).
+    *
+    * Level 1: a bounded heap per probe per PARTITION (mapPartitions), so
+    * every scoring task emits ≤ #probes×k rows and the full scored stream
+    * never shuffles. Level 2: the usual rank window, but over ≤
+    * #partitions×k rows per probe — the merge, not the scan. Replaces the
+    * single global `row_number` window that funneled every scored pair of
+    * a probe into one task (the scale-killer at billions of candidates).
+    * Ordering (sim DESC, neighbor_id ASC) is total, so results are
+    * identical to the single-window form. */
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    val schema = scored.schema
+    val pIdx = schema.fieldIndex("probe_id")
+    val nIdx = schema.fieldIndex("neighbor_id")
+    val sIdx = schema.fieldIndex("sim")
+    // max of this ordering = WORST kept row → PriorityQueue head/dequeue
+    // is the eviction candidate
+    val worstFirst: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Double.compare(b.getDouble(sIdx), a.getDouble(sIdx))
+        if (c != 0) c
+        else java.lang.Long.compare(a.getLong(nIdx), b.getLong(nIdx))
+      }
+    }
+    val partial = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.getLong(pIdx),
+          scala.collection.mutable.PriorityQueue.empty[Row](worstFirst))
+        if (h.size < k) h.enqueue(r)
+        else if (worstFirst.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(schema))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-5 per probe (probes = vec_id < 8). */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
     val e = embParallel(s, d)
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.crossJoin(broadcast(probes))
+    val scored = cands.crossJoin(broadcast(probes))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosine(col("pvec"), col("cvec")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    topKPerProbe(scored, 5)
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
 
@@ -99,50 +137,59 @@ object VectorOps extends QueryModule {
     val cands = withBucket
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
         col("bucket"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.join(broadcast(probes), Seq("bucket"))
+    val scored = cands.join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("bucket"), col("neighbor_id"),
         cosine(col("pvec"), col("cvec")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    topKPerProbe(scored, 3)
       .select(col("probe_id"), col("bucket"), col("neighbor_id"), col("rank"))
   }
 
-  /** IVF-style search (rows-only check: float centroid means are summation-
-    * order-dependent, so no cross-engine oracle). Coarse quantizer = per-
-    * label element-wise mean; probes search only their nearest list. */
+  /** IVF-style search. Coarse quantizer = per-label element-wise mean;
+    * probes search only their nearest list.
+    *
+    * Centroids are DETERMINISTIC: each (label, pos) cell folds its values
+    * in vec_id order with double accumulation (`array_sort(collect_list)`
+    * then a sequential `aggregate`), so the mean is independent of
+    * partition order and bit-identical to the DuckDB oracle's
+    * `list_sum(list_transform(list_sort(...)))` — which is what lets this
+    * query be hash-checked rather than rows-only. The nearest-centroid
+    * pick is a `max_by` aggregation (no window); the candidate top-k is
+    * the two-level [[topKPerProbe]]. */
   def ivfTopk(s: SparkSession, d: String): DataFrame = {
     val e = embParallel(s, d)
     val centroids = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
+      .agg((aggregate(
+          array_sort(collect_list(struct(col("vec_id"), col("x")))),
+          lit(0.0),
+          (acc, p) => acc + p.getField("x").cast("double"))
+        / count(lit(1))).as("cx"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
       .select(col("label").as("c_label"),
         transform(col("pairs"), p => p.getField("cx").cast("float")).as("cvec"))
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
-    val wc = Window.partitionBy(col("probe_id"))
-      .orderBy(col("csim").desc, col("c_label").asc)
     val probeList = probes.crossJoin(broadcast(centroids))
       .select(col("probe_id"), col("pvec"), col("c_label"),
         cosine(col("pvec"), col("cvec")).as("csim"))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") === 1)
-      .select(col("probe_id"), col("pvec"), col("c_label"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+      .groupBy(col("probe_id"))
+      .agg(
+        max_by(struct(col("c_label"), col("pvec")),
+          struct(col("csim"), (-col("c_label")).as("neg"))).as("best"))
+      .select(col("probe_id"), col("best.c_label").as("c_label"),
+        col("best.pvec").as("pvec"))
+    val scored = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
         col("label").as("c_label"))
       .join(broadcast(probeList), Seq("c_label"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("c_label"), col("neighbor_id"),
         cosine(col("pvec"), col("cvec")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    topKPerProbe(scored, 5)
       .select(col("probe_id"), col("c_label"), col("neighbor_id"), col("rank"))
   }
 
@@ -199,5 +246,39 @@ object VectorOps extends QueryModule {
          |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |FROM scored
          |QUALIFY rank <= 3""".stripMargin,
+    "q_ivf_topk" ->
+      s"""WITH ex AS (
+         |  SELECT label, vec_id, UNNEST(embedding) AS x,
+         |    UNNEST(range(1, len(embedding)+1)) AS pos
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, pos,
+         |    list_sum(list_transform(
+         |      list_sort(list(struct_pack(vec_id := vec_id, x := x))),
+         |      s -> CAST(s.x AS DOUBLE))) / COUNT(*) AS cx
+         |  FROM ex GROUP BY 1, 2),
+         |cvecs AS (
+         |  SELECT label AS c_label,
+         |    list_transform(
+         |      list_sort(list(struct_pack(pos := pos, cx := cx))),
+         |      s -> CAST(s.cx AS REAL)) AS cvec
+         |  FROM cent GROUP BY label),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |      FROM embeddings WHERE vec_id < 8),
+         |pl AS (
+         |  SELECT probe_id, pvec, c_label,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY ${dCos("pvec", "cvec")} DESC, c_label ASC) AS crank
+         |  FROM p CROSS JOIN cvecs
+         |  QUALIFY crank = 1),
+         |scored AS (
+         |  SELECT probe_id, pl.c_label AS c_label, vec_id AS neighbor_id,
+         |    ${dCos("pvec", "embedding")} AS sim
+         |  FROM embeddings e JOIN pl ON e.label = pl.c_label
+         |  WHERE vec_id <> probe_id)
+         |SELECT probe_id, c_label, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |FROM scored
+         |QUALIFY rank <= 5""".stripMargin,
   )
 }
