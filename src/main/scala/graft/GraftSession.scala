@@ -37,6 +37,10 @@ object GraftSession {
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // SQL surface for the custom Catalyst expressions: graft_dot (scalar)
+    // and graft_tokenize (Generator, for LATERAL VIEW)
+    graft.plans.VectorExpressions.register(s)
+    graft.plans.TextExpressions.register(s)
     s
   }
 }

@@ -42,6 +42,25 @@ object AdsQueries extends QueryModule {
       .orderBy(col("score").desc, col("keyword").asc)
       .limit(20)
 
+  /** The same keyword shape through the SQL surface: the registered
+    * `graft_tokenize` Generator via LATERAL VIEW — the reference's
+    * SplitFunction UDTF + LATERAL TABLE parity (SplitFunction.java:12-27,
+    * DwsTrafficSourceKeywordPageViewWindow.java). */
+  def keywordLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents_sqlv")
+    s.sql(
+      """SELECT keyword,
+        |  CAST(SUM(CASE WHEN lang='en' THEN 10 WHEN lang='zh' THEN 8
+        |    ELSE 5 END) AS BIGINT) AS score,
+        |  COUNT(*) AS hits
+        |FROM documents_sqlv
+        |LATERAL VIEW graft_tokenize(text) t AS keyword
+        |WHERE length(keyword) >= 3
+        |GROUP BY keyword
+        |ORDER BY score DESC, keyword ASC
+        |LIMIT 20""".stripMargin)
+  }
+
   /** /traffic/visitorPerHr (TrafficVisitorStatsMapper.java:23-31): hourly
     * buckets with conditional sums (`if(is_new='1',uv_ct,0)` analog). */
   def visitorPerHour(s: SparkSession, d: String): DataFrame =
@@ -344,6 +363,7 @@ object AdsQueries extends QueryModule {
     "q_ads_user_trade"       -> userTradeCt _,
     "q_ads_visitor_type"     -> visitorPerType _,
     "q_ads_channel_derived"  -> channelDerived _,
+    "q_ads_keyword_lateral"  -> keywordLateral _,
   )
 
   private val liDimsSql =
@@ -437,6 +457,13 @@ object AdsQueries extends QueryModule {
         |  CAST(SUM(n_events) AS BIGINT) AS total_events,
         |  CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
         |FROM g GROUP BY user_id""".stripMargin,
+    "q_ads_keyword_lateral" ->
+      """SELECT keyword,
+        |  CAST(SUM(CASE WHEN lang='en' THEN 10 WHEN lang='zh' THEN 8 ELSE 5 END) AS BIGINT) AS score,
+        |  COUNT(*) AS hits
+        |FROM (SELECT lang, UNNEST(string_split(text,' ')) AS keyword FROM documents)
+        |WHERE length(keyword) >= 3
+        |GROUP BY keyword ORDER BY score DESC, keyword ASC LIMIT 20""".stripMargin,
     "q_ads_activity_subsidy" -> (OrderWide.wideSql +
       """
         |SELECT stt, activity_reduce_amount, origin_total_amount,
