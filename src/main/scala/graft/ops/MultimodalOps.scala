@@ -101,7 +101,24 @@ object MultimodalOps extends QueryModule {
         |  (octet_length(encode(text)) + 255) // 256 AS n_frames,
         |  ((octet_length(encode(text)) + 255) // 256 + 3) // 4 AS n_sampled
         |FROM documents""".stripMargin,
-    // q_mm_decode: rows-only (the decode stub is not SQL-expressible by
-    // design — it models an external codec)
+    // The decode STUB's arithmetic (mean of the first 64 payload bytes)
+    // happens to be SQL-expressible via hex-string byte access, so the
+    // plumbing around a future real codec is still hash-checked; a real
+    // codec body would move this back to rows-only.
+    "q_mm_decode" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(64 + doc_id % 128 AS INT) AS width,
+        |  CAST(48 + doc_id % 96 AS INT) AS height,
+        |  encode(text) AS payload FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |  octet_length(payload) AS len,
+        |  LEAST(octet_length(payload), 64) AS n, hex(payload) AS hx FROM m)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN n = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(range(0, n),
+        |      i -> CAST(('0x' || substring(hx, 2*i+1, 2))::BIGINT AS DOUBLE))) / n END
+        |    AS mean_byte,
+        |  (len + 255) // 256 AS n_frames
+        |FROM s""".stripMargin,
   )
 }
