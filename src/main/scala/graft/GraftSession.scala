@@ -34,13 +34,18 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
+  /** SQL surface for the custom Catalyst expressions: graft_dot (scalar)
+    * and graft_tokenize (Generator, for LATERAL VIEW). Temp functions are
+    * per-session — every session builder must call this. */
+  def registerFunctions(s: SparkSession): Unit = {
+    graft.plans.VectorExpressions.register(s)
+    graft.plans.TextExpressions.register(s)
+  }
+
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // SQL surface for the custom Catalyst expressions: graft_dot (scalar)
-    // and graft_tokenize (Generator, for LATERAL VIEW)
-    graft.plans.VectorExpressions.register(s)
-    graft.plans.TextExpressions.register(s)
+    registerFunctions(s)
     s
   }
 }

@@ -50,11 +50,18 @@ object CdcOps {
                         sinkColumns: Seq[String], sinkPk: String)
 
   /** F3/S8 — route a CDC micro-batch to per-table dim sinks with column
-    * keep-lists, keep-latest per pk (MERGE semantics over a parquet dir:
-    * read-modify-overwrite keyed by pk — at scale this is a Delta MERGE,
-    * the I/O pattern is identical). Returns rows written per sink. */
+    * keep-lists, keep-latest per pk (MERGE semantics over a parquet dir).
+    *
+    * The store is hash-partitioned on the pk into `nBuckets` directories,
+    * and a micro-batch rewrites ONLY the buckets its rows hash into
+    * (partition-pruned read + dynamic partition overwrite) — per-batch
+    * I/O is O(touched buckets × bucket size), not O(table). At scale the
+    * real sink is a Delta/Iceberg MERGE, but the bucket layout is the
+    * same I/O-bounding idea. Returns merged rows per sink (touched
+    * buckets only). */
   def routeDims(spark: SparkSession, cdc: DataFrame, routes: Seq[TableRoute],
-                sinkRoot: String): Map[String, Long] = {
+                sinkRoot: String, nBuckets: Int = 16): Map[String, Long] = {
+    import org.apache.spark.sql.expressions.Window
     val cached = cdc.cache()
     try {
       routes.map { r =>
@@ -63,21 +70,29 @@ object CdcOps {
           .select(
             (r.sinkColumns.map(c => element_at(col("data"), c).as(c)) :+
               col("ts").as("_cdc_ts")): _*)
+          .withColumn("_pk_bucket",
+            pmod(hash(col(r.sinkPk)), lit(nBuckets)).cast("int"))
+          .cache()
         val dir = s"$sinkRoot/${r.sinkTable}"
-        val merged = {
-          val existing =
-            try Some(spark.read.parquet(dir)) catch { case _: Exception => None }
-          val unioned = existing.map(_.unionByName(rows)).getOrElse(rows)
-          // keep-latest per pk by cdc ts
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(col(r.sinkPk)).orderBy(col("_cdc_ts").desc)
-          unioned.withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1).drop("_rn")
-        }
-        val out = merged.cache()
-        val n = out.count()
-        out.write.mode("overwrite").parquet(s"$dir.tmp")
-        spark.read.parquet(s"$dir.tmp").write.mode("overwrite").parquet(dir)
+        // bounded by nBuckets — a tiny driver-side list, not data rows
+        val touched = rows.select(col("_pk_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val existing =
+          try Some(spark.read.parquet(dir)
+            .filter(col("_pk_bucket").isin(touched: _*)))
+          catch { case _: Exception => None }
+        val unioned = existing.map(_.unionByName(rows)).getOrElse(rows)
+        val w = Window.partitionBy(col(r.sinkPk)).orderBy(col("_cdc_ts").desc)
+        // localCheckpoint truncates lineage so the dynamic overwrite below
+        // cannot re-read the very partitions it is replacing mid-write
+        val merged = unioned.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+          .localCheckpoint()
+        val n = merged.count()
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_pk_bucket").parquet(dir)
+        rows.unpersist()
         r.sinkTable -> n
       }.toMap
     } finally cached.unpersist()

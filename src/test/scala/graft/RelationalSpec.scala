@@ -5,8 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all specs (one JVM-wide session; suites are cheap). */
 object TestSession {
-  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(master = "local[4]").getOrCreate()
+    GraftSession.registerFunctions(s)
+    s
+  }
   val sf = "/root/testdata/sf0.001"
 }
 
