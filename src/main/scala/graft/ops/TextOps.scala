@@ -276,6 +276,31 @@ object TextOps extends QueryModule {
       .toDF("doc_id", "simhash16")
   }
 
+  /** SimHash near-dup pairs: 2×8-bit band candidates (a hamming-≤1 pair
+    * always shares one band exactly; hamming-2 pairs split 1+1 across
+    * bands are deliberately missed — banded recall, the same tradeoff as
+    * MinHash-LSH), verified by popcount of the XOR ≤ 2. Cost ∝ band
+    * collisions, never all-pairs. */
+  def simhashDups(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashDocs(s, d)
+    val bands = sig.select(col("doc_id"), col("simhash16"), explode(array(
+        struct(lit(0).as("band"),
+          col("simhash16").bitwiseAND(lit(255)).as("bval")),
+        struct(lit(1).as("band"),
+          shiftright(col("simhash16"), 8).as("bval")))).as("bk"))
+      .select(col("doc_id"), col("simhash16"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash16").bitwiseXOR(col("y.simhash16")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 2)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_stats"          -> docStats _,
     "q_doc_quality"        -> docQuality _,
@@ -288,6 +313,7 @@ object TextOps extends QueryModule {
     "q_minhash_lsh_pairs"  -> minhashLshPairs _,
     "q_near_dup_pipeline"  -> nearDupPipeline _,
     "q_simhash"            -> simhashDocs _,
+    "q_simhash_dups"       -> simhashDups _,
   )
 
   private val mhExprs: String = (0 until 8).map { j =>
@@ -405,5 +431,17 @@ object TextOps extends QueryModule {
     "q_simhash" ->
       s"""SELECT doc_id, $simhashExpr AS simhash16
          |FROM (SELECT doc_id, $dToks AS t FROM documents)""".stripMargin,
+    "q_simhash_dups" ->
+      s"""WITH s AS (SELECT doc_id, $simhashExpr AS sh
+         |           FROM (SELECT doc_id, $dToks AS t FROM documents)),
+         |b AS (SELECT doc_id, sh, 0 AS band, sh & 255 AS bval FROM s
+         |      UNION ALL
+         |      SELECT doc_id, sh, 1 AS band, sh >> 8 AS bval FROM s),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |    CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+         |  FROM b x JOIN b y
+         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, hamming FROM cand WHERE hamming <= 2""".stripMargin,
   )
 }

@@ -99,10 +99,16 @@ object VectorOps extends QueryModule {
     * measured 32 s at sf0.1); this tight loop runs the SAME fold — index
     * 0..n-1, float widened to double before the multiply — so bucket values
     * are bit-identical to the DuckDB oracle. */
-  private def withBucketFast(s: SparkSession, d: String): DataFrame = {
+  private def withBucketFast(s: SparkSession, d: String): DataFrame =
+    bucketize(s,
+      embParallel(s, d).select(col("vec_id"), col("label"), col("embedding")))
+
+  /** Same tight loop over any (vec_id, label, embedding) frame — the
+    * near-dup query buckets an augmented corpus through it. */
+  private def bucketize(s: SparkSession, vecs: DataFrame): DataFrame = {
     import s.implicits._
     val planes = Planes
-    embParallel(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    vecs
       .as[(Long, Int, Array[Float])]
       .mapPartitions { it =>
         it.map { case (id, label, v) =>
@@ -121,6 +127,32 @@ object VectorOps extends QueryModule {
         }
       }
       .toDF("vec_id", "label", "embedding", "bucket")
+  }
+
+  /** Embedding-cosine near-dup detection. The random testdata has no
+    * natural near-dups (max pairwise cosine ≈ 0.48), so the corpus is
+    * augmented with PLANTED near-copies derived inside the query: every
+    * 25th vector re-issued under vec_id+100000 with dim 0 zeroed — an
+    * exact (arithmetic-free) perturbation, so both engines see identical
+    * floats. Candidates come from the sign-LSH bucket join (cost ∝
+    * collisions, never all-pairs); the verifier is cosine ≥ 0.9. */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = embParallel(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val copies = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val aug = bucketize(s, base.unionAll(copies))
+    val a = aug.select(col("vec_id").as("d1"), col("embedding").as("v1"),
+      col("bucket"))
+    val b = aug.select(col("vec_id").as("d2"), col("embedding").as("v2"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= 0.9)
+      .select(col("d1"), col("d2"), col("bucket"), col("sim"))
   }
 
   /** Sign-LSH bucket assignment (8 planes → bucket ∈ [0,256)). */
@@ -198,6 +230,7 @@ object VectorOps extends QueryModule {
     "q_ann_bruteforce" -> annBruteforce _,
     "q_lsh_buckets"    -> lshBuckets _,
     "q_ann_lsh"        -> annLsh _,
+    "q_embed_neardup"  -> embedNearDup _,
     "q_ivf_topk"       -> ivfTopk _,
   )
 
@@ -246,6 +279,21 @@ object VectorOps extends QueryModule {
          |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |FROM scored
          |QUALIFY rank <= 3""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
+         |copies AS (
+         |  SELECT vec_id + 100000 AS vec_id, label,
+         |    list_transform(range(1, len(embedding)+1),
+         |      i -> CASE WHEN i = 1 THEN CAST(0.0 AS REAL)
+         |           ELSE embedding[CAST(i AS INT)] END) AS embedding
+         |  FROM base WHERE vec_id % 25 = 0),
+         |aug AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+         |wb AS (SELECT vec_id, embedding, $dBucket AS bucket FROM aug),
+         |pairs AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2, a.bucket AS bucket,
+         |    ${dCos("a.embedding", "b.embedding")} AS sim
+         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT d1, d2, bucket, sim FROM pairs WHERE sim >= 0.9""".stripMargin,
     "q_ivf_topk" ->
       s"""WITH ex AS (
          |  SELECT label, vec_id, UNNEST(embedding) AS x,
