@@ -277,6 +277,23 @@ object AdsQueries extends QueryModule {
           .agg(countDistinct(col("user_id")).as("ct"))))
   }
 
+  /** /user/uvPerPage (UserStatsMapper.java:12-39): the 5-way UNION ALL
+    * funnel of per-stage unique users across two source tables. */
+  def uvPerPage(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    def stage(name: String): DataFrame =
+      e.filter(col("event_type") === name)
+        .agg(countDistinct(col("user_id")).as("uv_ct"))
+        .select(lit(name).as("page_id"), col("uv_ct"))
+    stage("view")
+      .unionAll(stage("click"))
+      .unionAll(stage("signup"))
+      .unionAll(stage("purchase"))
+      .unionAll(Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("uv_ct"))
+        .select(lit("trade").as("page_id"), col("uv_ct")))
+  }
+
   /** /user/userTradeCt (UserStatsMapper.java:59-75): order vs payment
     * unique-user funnel ('F' = fulfilled ≈ payment-success). */
   def userTradeCt(s: SparkSession, d: String): DataFrame = {
@@ -359,6 +376,7 @@ object AdsQueries extends QueryModule {
     "q_ads_trademark_pie"    -> trademarkPie _,
     "q_ads_trademark_top"    -> trademarkTop _,
     "q_ads_tm_cat_user"      -> tmCatUserWindow _,
+    "q_ads_uv_page"          -> uvPerPage _,
     "q_ads_user_change"      -> userChangeCt _,
     "q_ads_user_trade"       -> userTradeCt _,
     "q_ads_visitor_type"     -> visitorPerType _,
@@ -512,6 +530,20 @@ object AdsQueries extends QueryModule {
         |  CAST(SUM(split_total_amount) AS DOUBLE) AS order_amount
         |FROM latest JOIN part ON sku_id = p_partkey
         |GROUP BY 1, 2, 3""".stripMargin),
+    "q_ads_uv_page" ->
+      """SELECT 'view' AS page_id, COUNT(DISTINCT user_id) AS uv_ct
+        |FROM events WHERE event_type = 'view'
+        |UNION ALL
+        |SELECT 'click', COUNT(DISTINCT user_id) FROM events
+        |WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'signup', COUNT(DISTINCT user_id) FROM events
+        |WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT 'purchase', COUNT(DISTINCT user_id) FROM events
+        |WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT 'trade', COUNT(DISTINCT o_custkey) FROM orders""".stripMargin,
     "q_ads_user_change" ->
       """SELECT 'backCt' AS type, COUNT(*) AS ct FROM (
         |  SELECT user_id FROM (

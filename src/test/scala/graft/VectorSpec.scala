@@ -29,6 +29,22 @@ class VectorSpec extends AnyFunSuite {
     assert(fast === hof)
   }
 
+  test("approximate ANN variants recall against brute-force ground truth") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(ops.VectorOps.annBruteforce(spark, TestSession.sf))
+    val lsh = pairs(ops.VectorOps.annLsh(spark, TestSession.sf))
+    val ivf = pairs(ops.VectorOps.ivfTopk(spark, TestSession.sf))
+    // approximate methods must (a) return candidates and (b) overlap the
+    // exact top-k — they search 1/256 (LSH) or 1/#labels (IVF) of the
+    // space, so the floor is deliberately loose; the point is a regression
+    // tripwire if bucketing/centroids break silently
+    assert(lsh.nonEmpty && ivf.nonEmpty)
+    assert((lsh & truth).nonEmpty, "sign-LSH found no true neighbor")
+    assert((ivf & truth).nonEmpty, "IVF found no true neighbor")
+  }
+
   test("lsh bucket is stable and in range") {
     val b = ops.VectorOps.lshBuckets(spark, TestSession.sf)
     val bad = b.filter(col("bucket") < 0 || col("bucket") > 255).count()
