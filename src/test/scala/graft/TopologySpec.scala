@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.{DwsWindows, LogSplitter}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's full layered topology as ONE streaming job: ODS (file
+  * source) → DWD (LogSplitter page branch, event-time extraction) → DWS
+  * (watermarked tumbling window per page_id) → parquet DWS store → ADS
+  * (batch query over the store). Asserts the streamed DWS store equals
+  * the same transform run in batch over the same lines — the engine's
+  * central batch≡streaming claim, end to end rather than per-operator. */
+class TopologySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def line(mid: String, page: String, ts: Long): String =
+    s"""{"common":{"mid":"$mid"},"page":{"page_id":"$page"},"ts":$ts}"""
+
+  private def dwd(raw: DataFrame): DataFrame =
+    LogSplitter.pageStream(LogSplitter.parse(raw))
+      .select(timestamp_millis(col("ts")).as("ets"),
+        col("page.page_id").as("page_id"), col("common.mid").as("mid"))
+
+  private def dws(pages: DataFrame, wm: Option[String]): DataFrame =
+    DwsWindows.tumblingAgg(pages, "ets", "10 seconds",
+      keys = Seq(col("page_id")),
+      aggs = Seq(count(lit(1)).as("pv_ct"),
+        approx_count_distinct(col("mid")).as("uv_est")),
+      watermark = wm)
+
+  test("ODS→DWD→DWS→ADS: streamed store equals batch over the same lines") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("topo_src").toString
+    val store = Files.createTempDirectory("topo_dws").toString
+    val ckpt = Files.createTempDirectory("topo_ckpt").toString
+
+    val lines = (0 until 200).map { i =>
+      line(s"m${i % 17}", if (i % 3 == 0) "home" else "detail",
+        1700000000000L + i * 700L)
+    }
+    writeFile(src, "b1.txt", lines.take(120))
+
+    val q = dws(dwd(spark.readStream.text(src).select(col("value").as("line"))),
+        wm = Some("2 seconds"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(store)
+      }
+      .start()
+    q.processAllAvailable()
+    writeFile(src, "b2.txt", lines.drop(120))
+    q.processAllAvailable()
+    // a far-future line pushes the watermark past every real window
+    writeFile(src, "flush.txt", Seq(line("mf", "flush", 1800000000000L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(store)
+      .filter(col("page_id") =!= "flush")
+    val want = dws(dwd(lines.toDF("line")), wm = None)
+    // ADS-style rollup over the DWS store must agree exactly too
+    def ads(df: DataFrame) = df.groupBy(col("page_id"))
+      .agg(sum(col("pv_ct")).as("pv"), count(lit(1)).as("n_windows"))
+    assert(got.collect().map(_.toSeq).toSet ===
+      want.collect().map(_.toSeq).toSet)
+    assert(ads(got).collect().map(_.toSeq).toSet ===
+      ads(want).collect().map(_.toSeq).toSet)
+  }
+
+  private def writeFile(dir: String, name: String, ls: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      String.join("\n", ls: _*).getBytes("UTF-8"))
+}
