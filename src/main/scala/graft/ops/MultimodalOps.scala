@@ -80,7 +80,30 @@ object MultimodalOps extends QueryModule {
       .toDF()
   }
 
+  /** Resize stub: half each spatial dim (area factor 4) and keep every
+    * 4th payload byte as the "downsampled pixel stream" — the same
+    * per-partition batch shape a real scaler (libvips/ffmpeg) slots
+    * into; arithmetic is SQL-expressible so the plumbing stays
+    * hash-checked. */
+  def mmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .select(col("doc_id"), col("payload"), col("width"), col("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, w, h) =>
+          val sampled = Array.range(0, bytes.length, 4).map(bytes(_))
+          val mean =
+            if (sampled.isEmpty) 0.0
+            else sampled.map(b => (b & 0xff).toDouble).sum / sampled.length
+          (id, w / 2, h / 2, sampled.length, mean)
+        }
+      }
+      .toDF("doc_id", "new_w", "new_h", "resized_n_bytes", "sample_mean")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_resize"   -> mmResize _,
     "q_mm_metadata" -> mmMetadata _,
     "q_mm_frames"   -> mmFrames _,
     "q_mm_decode"   -> mmDecodeFeatures _,
@@ -119,6 +142,22 @@ object MultimodalOps extends QueryModule {
         |      i -> CAST(('0x' || substring(hx, 2*i+1, 2))::BIGINT AS DOUBLE))) / n END
         |    AS mean_byte,
         |  (len + 255) // 256 AS n_frames
+        |FROM s""".stripMargin,
+    "q_mm_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(64 + doc_id % 128 AS INT) AS width,
+        |  CAST(48 + doc_id % 96 AS INT) AS height,
+        |  encode(text) AS payload FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |  octet_length(payload) AS len,
+        |  ((octet_length(payload) + 3) // 4) AS ns, hex(payload) AS hx
+        |  FROM m)
+        |SELECT doc_id, width // 2 AS new_w, height // 2 AS new_h,
+        |  CAST(ns AS INT) AS resized_n_bytes,
+        |  CASE WHEN ns = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(range(0, ns),
+        |      i -> CAST(('0x' || substring(hx, 8*i+1, 2))::BIGINT AS DOUBLE))) / ns END
+        |    AS sample_mean
         |FROM s""".stripMargin,
   )
 }

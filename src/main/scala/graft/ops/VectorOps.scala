@@ -39,6 +39,16 @@ object VectorOps extends QueryModule {
       size(col("embedding")).as("dim"),
       normSq(col("embedding")).as("norm_sq"))
 
+  /** The same norms through the SQL surface: `graft_dot` is registered in
+    * the session function registry (GraftSession.registerFunctions), so
+    * the native codegen expression is reachable from plain spark.sql. */
+  def embedNormsSql(s: SparkSession, d: String): DataFrame = {
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings_sqlv")
+    s.sql(
+      """SELECT vec_id, graft_dot(embedding, embedding) AS norm_sq
+        |FROM embeddings_sqlv""".stripMargin)
+  }
+
   /** Two-level exact top-k per probe over scored rows (must carry
     * `probe_id: Long`, `neighbor_id: Long`, `sim: Double`).
     *
@@ -227,6 +237,7 @@ object VectorOps extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_norms"    -> embedNorms _,
+    "q_embed_norms_sql" -> embedNormsSql _,
     "q_ann_bruteforce" -> annBruteforce _,
     "q_lsh_buckets"    -> lshBuckets _,
     "q_ann_lsh"        -> annLsh _,
@@ -252,6 +263,9 @@ object VectorOps extends QueryModule {
     "q_embed_norms" ->
       s"""SELECT vec_id, label, len(embedding) AS dim,
          |  ${dDot("embedding", "embedding")} AS norm_sq
+         |FROM embeddings""".stripMargin,
+    "q_embed_norms_sql" ->
+      s"""SELECT vec_id, ${dDot("embedding", "embedding")} AS norm_sq
          |FROM embeddings""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
