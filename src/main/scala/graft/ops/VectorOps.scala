@@ -60,7 +60,7 @@ object VectorOps extends QueryModule {
     * a probe into one task (the scale-killer at billions of candidates).
     * Ordering (sim DESC, neighbor_id ASC) is total, so results are
     * identical to the single-window form. */
-  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
     val schema = scored.schema
     val pIdx = schema.fieldIndex("probe_id")
     val nIdx = schema.fieldIndex("neighbor_id")

@@ -45,6 +45,29 @@ class VectorSpec extends AnyFunSuite {
     assert((ivf & truth).nonEmpty, "IVF found no true neighbor")
   }
 
+  test("two-level topKPerProbe equals the single global window, " +
+      "including duplicate-sim ties across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // seeded rows with deliberately clustered sims so ties cross partition
+    // boundaries: sim has only 7 distinct values per probe
+    val rnd = new scala.util.Random(42)
+    val rows = for (p <- 0L until 6L; n <- 0L until 200L) yield
+      (p, n, (rnd.nextInt(7) + 1).toDouble / 7.0)
+    val scored = rows.toDF("probe_id", "neighbor_id", "sim")
+      .repartition(16)
+    val got = ops.VectorOps.topKPerProbe(scored, 5)
+      .select("probe_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val want = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
   test("lsh bucket is stable and in range") {
     val b = ops.VectorOps.lshBuckets(spark, TestSession.sf)
     val bad = b.filter(col("bucket") < 0 || col("bucket") > 255).count()
