@@ -9,15 +9,22 @@ import org.apache.spark.sql.SparkSession
   * Per query it runs `SPARK_GRAFT_BENCH_RUNS` (default 3) executions and
   * reports the MIN (steady-state plan cost, headline `queries`/`value`)
   * alongside the MEDIAN (`queries_median`/`value_median`) — this box is
-  * shared and round-1 showed min-of-2 swinging 56 s → 1005 s under
-  * contention; the median documents the spread so a noisy run is
-  * recognizable as noise. A failed query reports -1 (and the failure goes
-  * to stderr so it is never silent).
+  * shared and contention makes medians 3-5x the mins; the median documents
+  * the spread so a noisy run is recognizable as noise. After the sweep the
+  * `SPARK_GRAFT_BENCH_ISOLATED` (default 5) slowest-by-median queries are
+  * re-run alone and reported under `isolated` — a sweep outlier whose
+  * isolated min is small is box noise, not plan cost.
+  *
+  * All seconds are rounded to 3 decimals and the headline min map is
+  * printed LAST so that if the driver's output capture truncates the line,
+  * it loses the diagnostic maps before the headline one. A failed query
+  * reports -1 (and the failure goes to stderr so it is never silent).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val nIsolated = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "5").toInt
     val spark = GraftSession.get()
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -32,11 +39,9 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    val selected =
-      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
-      else SparkEntry.queries
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (best, med) =
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              name: String): (Double, Double) = {
+      val r =
         try {
           val ts = (1 to runs).map(_ => time(fn))
           (ts.min, median(ts))
@@ -45,20 +50,34 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             (-1.0, -1.0)
         }
-      // queries may cache intermediates (LSH signatures); drop them so one
-      // query's working set never skews another's measurement
+      // queries may cache intermediates (LSH signatures, the DWD store);
+      // drop them so one query's working set never skews another's run
       spark.catalog.clearCache()
+      r
+    }
+
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+      else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (best, med) = timed(fn, name)
       (name, best, med)
     }
-    def obj(f: ((String, Double, Double)) => (String, Double)): String =
-      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-    val qs = obj(r => (r._1, r._2))
-    val qsMed = obj(r => (r._1, r._3))
+
+    // Sweep outliers get a second, uninterleaved measurement.
+    val isolated = results.filter(_._2 >= 0).sortBy(-_._3).take(nIsolated)
+      .map { case (name, _, _) => (name, timed(selected(name), name)._1) }
+
+    def jnum(v: Double): String = f"$v%.3f"
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    val qs = obj(results.map(r => (r._1, r._2)))
+    val qsMed = obj(results.map(r => (r._1, r._3)))
+    val iso = obj(isolated)
     val ok = results.filter(_._2 >= 0)
-    val total = ok.map(_._2).sum
-    val totalMed = ok.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${results.size - ok.size}}""")
+    val total = jnum(ok.map(_._2).sum)
+    val totalMed = jnum(ok.map(_._3).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${results.size - ok.size},"value_median":$totalMed,"queries_median":$qsMed,"isolated":$iso,"queries":$qs}""")
     spark.stop()
   }
 }

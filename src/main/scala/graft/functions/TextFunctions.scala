@@ -50,13 +50,15 @@ object TextFunctions {
       array_min(transform(shingleCol, s => hash32(s, j))).as(s"mh$j")
     }
 
-  /** SimHash over tokens with `bits` output bits: bit b set iff the sum of
-    * ±1 votes (sign = bit b of the token hash) is non-negative.
+  /** SimHash over tokens with `bits` output bits (≤ 32, the width of
+    * [[hash32]]): bit b set iff the sum of ±1 votes (sign = bit b of the
+    * token hash) is non-negative. Emitted as LONG so bit 31 never wraps the
+    * sign.
     *
     * The token hashes are materialized ONCE via an inner `transform` and the
-    * per-bit votes fold over that array — without this, each of the 16 bit
-    * expressions recomputes md5 per token (16× the hashing; measured 3.4 s →
-    * ~0.4 s on sf0.1). Callers get a single Column; Catalyst evaluates the
+    * per-bit votes fold over that array — without this, each of the bit
+    * expressions recomputes md5 per token (bits× the hashing; measured 3.4 s
+    * → ~0.4 s on sf0.1). Callers get a single Column; Catalyst evaluates the
     * shared `transform` subtree per row. */
   def simhash(toks: Column, bits: Int): Column = {
     val hashes = transform(toks, t => hash32(t, 0))
@@ -66,7 +68,7 @@ object TextFunctions {
         lit(0),
         (acc, h) => acc +
           when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(votes >= 0, lit(1 << b)).otherwise(lit(0))
+      when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     perBit
   }

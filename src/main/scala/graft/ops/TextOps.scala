@@ -238,13 +238,17 @@ object TextOps extends QueryModule {
       .select(col("d1"), col("d2"), col("common"), col("jaccard"))
   }
 
-  /** 16-bit SimHash per document (majority vote over token-hash bits).
+  /** 32-bit SimHash per document (majority vote over token-hash bits).
     *
     * Same typed-mapPartitions shape as [[minhashSignatures]] and for the
     * same reason: Catalyst HOFs (`aggregate`/`transform`) are
     * CodegenFallback, the measured 100×-class bottleneck on this path.
     * Bit-identical to the declarative [[TextFunctions.simhash]] Column
-    * (TextSpec asserts parity) and to the DuckDB oracle. */
+    * (TextSpec asserts parity) and to the DuckDB oracle.
+    *
+    * 32 bits (not 16) because the banded near-dup join's keyspace is a
+    * slice of this hash: hash width is the knob that scales the join-key
+    * cardinality with corpus size (see [[simhashDups]]). */
   def simhashDocs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docsParallel(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -252,7 +256,7 @@ object TextOps extends QueryModule {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
           val toks = text.split(" ", -1) // keep trailing empties: Spark split semantics
-          val votes = new Array[Int](16)
+          val votes = new Array[Int](32)
           var i = 0
           while (i < toks.length) {
             md.reset()
@@ -261,41 +265,48 @@ object TextOps extends QueryModule {
             val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
               ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
             var b = 0
-            while (b < 16) {
+            while (b < 32) {
               if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
               b += 1
             }
             i += 1
           }
-          var sh = 0
+          var sh = 0L
           var b = 0
-          while (b < 16) { if (votes(b) >= 0) sh |= (1 << b); b += 1 }
+          while (b < 32) { if (votes(b) >= 0) sh |= (1L << b); b += 1 }
           (id, sh)
         }
       }
-      .toDF("doc_id", "simhash16")
+      .toDF("doc_id", "simhash32")
   }
 
-  /** SimHash near-dup pairs: 2×8-bit band candidates (a hamming-≤1 pair
+  /** SimHash near-dup pairs: 2×16-bit band candidates (a hamming-≤1 pair
     * always shares one band exactly; hamming-2 pairs split 1+1 across
     * bands are deliberately missed — banded recall, the same tradeoff as
     * MinHash-LSH), verified by popcount of the XOR ≤ 2. Cost ∝ band
-    * collisions, never all-pairs. */
+    * collisions, never all-pairs.
+    *
+    * Scale: each band key is 16 bits = 65k values PER BAND over a uniform
+    * hash, vs the 256 of the round-2 8-bit bands — and the keyspace is not
+    * a ceiling but a dial: doubling hash width (simhash64, 4×16-bit bands)
+    * squares the per-band keyspace while WIDENING recall to hamming ≤ 3.
+    * Pick band width ≈ log2(corpus / target-bucket-size) so the expected
+    * bucket stays O(1) and the within-bucket pairing never goes quadratic. */
   def simhashDups(s: SparkSession, d: String): DataFrame = {
     val sig = simhashDocs(s, d)
-    val bands = sig.select(col("doc_id"), col("simhash16"), explode(array(
+    val bands = sig.select(col("doc_id"), col("simhash32"), explode(array(
         struct(lit(0).as("band"),
-          col("simhash16").bitwiseAND(lit(255)).as("bval")),
+          col("simhash32").bitwiseAND(lit(65535L)).as("bval")),
         struct(lit(1).as("band"),
-          shiftright(col("simhash16"), 8).as("bval")))).as("bk"))
-      .select(col("doc_id"), col("simhash16"),
+          shiftright(col("simhash32"), 16).as("bval")))).as("bk"))
+      .select(col("doc_id"), col("simhash32"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.simhash16").bitwiseXOR(col("y.simhash16")))
+        bit_count(col("x.simhash32").bitwiseXOR(col("y.simhash32")))
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= 2)
@@ -322,8 +333,8 @@ object TextOps extends QueryModule {
     s"list_min(list_transform(sh, s -> ('0x'||substr(md5('$g|'||s),$off,8))::BIGINT)) AS mh$j"
   }.mkString(", ")
 
-  private val simhashExpr: String = (0 until 16).map { b =>
-    s"(CASE WHEN list_sum(list_transform(t, x -> CASE WHEN (${dHash32(0, "x")} >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1 << b} ELSE 0 END)"
+  private val simhashExpr: String = (0 until 32).map { b =>
+    s"(CASE WHEN list_sum(list_transform(t, x -> CASE WHEN (${dHash32(0, "x")} >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
   }.mkString(" + ")
 
   override val oracles: Map[String, String] = Map(
@@ -429,14 +440,14 @@ object TextOps extends QueryModule {
          |  FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
          |SELECT d1, d2, common, jaccard FROM verified WHERE jaccard >= 0.6""".stripMargin,
     "q_simhash" ->
-      s"""SELECT doc_id, $simhashExpr AS simhash16
+      s"""SELECT doc_id, $simhashExpr AS simhash32
          |FROM (SELECT doc_id, $dToks AS t FROM documents)""".stripMargin,
     "q_simhash_dups" ->
       s"""WITH s AS (SELECT doc_id, $simhashExpr AS sh
          |           FROM (SELECT doc_id, $dToks AS t FROM documents)),
-         |b AS (SELECT doc_id, sh, 0 AS band, sh & 255 AS bval FROM s
+         |b AS (SELECT doc_id, sh, 0 AS band, sh & 65535 AS bval FROM s
          |      UNION ALL
-         |      SELECT doc_id, sh, 1 AS band, sh >> 8 AS bval FROM s),
+         |      SELECT doc_id, sh, 1 AS band, sh >> 16 AS bval FROM s),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
          |    CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming

@@ -25,6 +25,14 @@ object VectorOps extends QueryModule {
 
   private val Planes = hyperplanes(8, 64)
 
+  /** Near-dup path planes: 16 planes → 65,536 buckets. The plane count is
+    * the scale dial — pick ≈ log2(corpus / target-bucket-size) so expected
+    * bucket size stays O(1) and the within-bucket self-join never goes
+    * quadratic. The ANN-probe path keeps 8 planes (256 buckets) because a
+    * probe reads exactly one bucket: there, fewer/larger buckets buy recall
+    * and the cost is linear in bucket size, not quadratic. */
+  private val PlanesNearDup = hyperplanes(16, 64)
+
   /** Single-file table → single scan partition; fan the candidate side out
     * across cores before the compute-heavy scoring stages (no-op at real
     * scale where the input is already split). */
@@ -111,13 +119,15 @@ object VectorOps extends QueryModule {
     * are bit-identical to the DuckDB oracle. */
   private def withBucketFast(s: SparkSession, d: String): DataFrame =
     bucketize(s,
-      embParallel(s, d).select(col("vec_id"), col("label"), col("embedding")))
+      embParallel(s, d).select(col("vec_id"), col("label"), col("embedding")),
+      Planes)
 
   /** Same tight loop over any (vec_id, label, embedding) frame — the
-    * near-dup query buckets an augmented corpus through it. */
-  private def bucketize(s: SparkSession, vecs: DataFrame): DataFrame = {
+    * near-dup query buckets an augmented corpus through it (with its own,
+    * wider plane set). */
+  private def bucketize(s: SparkSession, vecs: DataFrame,
+      planes: Array[Array[Double]]): DataFrame = {
     import s.implicits._
-    val planes = Planes
     vecs
       .as[(Long, Int, Array[Float])]
       .mapPartitions { it =>
@@ -153,7 +163,7 @@ object VectorOps extends QueryModule {
       .select((col("vec_id") + 100000).as("vec_id"), col("label"),
         transform(col("embedding"),
           (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
-    val aug = bucketize(s, base.unionAll(copies))
+    val aug = bucketize(s, base.unionAll(copies), PlanesNearDup)
     val a = aug.select(col("vec_id").as("d1"), col("embedding").as("v1"),
       col("bucket"))
     val b = aug.select(col("vec_id").as("d2"), col("embedding").as("v2"),
@@ -253,11 +263,14 @@ object VectorOps extends QueryModule {
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
   private def dPlaneLit(p: Array[Double]): String =
     p.mkString("[", ",", "]")
-  private val dBucket: String = Planes.zipWithIndex.map { case (p, j) =>
-    s"(CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i -> " +
-      s"CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (${dPlaneLit(p)})[CAST(i AS INT)]" +
-      s")) > 0.0 THEN ${1 << j} ELSE 0 END)"
-  }.mkString(" + ")
+  private def dBucketFor(planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i -> " +
+        s"CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (${dPlaneLit(p)})[CAST(i AS INT)]" +
+        s")) > 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+  private val dBucket: String = dBucketFor(Planes)
+  private val dBucketNearDup: String = dBucketFor(PlanesNearDup)
 
   override val oracles: Map[String, String] = Map(
     "q_embed_norms" ->
@@ -302,7 +315,7 @@ object VectorOps extends QueryModule {
          |           ELSE embedding[CAST(i AS INT)] END) AS embedding
          |  FROM base WHERE vec_id % 25 = 0),
          |aug AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
-         |wb AS (SELECT vec_id, embedding, $dBucket AS bucket FROM aug),
+         |wb AS (SELECT vec_id, embedding, $dBucketNearDup AS bucket FROM aug),
          |pairs AS (
          |  SELECT a.vec_id AS d1, b.vec_id AS d2, a.bucket AS bucket,
          |    ${dCos("a.embedding", "b.embedding")} AS sim

@@ -15,8 +15,8 @@ class TextSpec extends AnyFunSuite {
     val fast = TextOps.simhashDocs(spark, dir)
     val declarative = Tables.documents(spark, dir).select(
       col("doc_id"),
-      TextFunctions.simhash(TextFunctions.tokens(col("text")), 16)
-        .as("simhash16"))
+      TextFunctions.simhash(TextFunctions.tokens(col("text")), 32)
+        .as("simhash32"))
     assert(fast.exceptAll(declarative).isEmpty &&
       declarative.exceptAll(fast).isEmpty)
   }
