@@ -1,7 +1,7 @@
 package graft.ads
 
 import graft.Tables
-import graft.ops.{OrderWide, QueryModule}
+import graft.ops.{DwdStore, OrderWide, QueryModule}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -165,10 +165,10 @@ object AdsQueries extends QueryModule {
   /** Shared DWS order-window analog (the §2.10 schema-gap fix: the
     * reference's ActivityStatsMapper queries order_activity_reduce_amount /
     * order_origin_total_amount columns its own DWS job never writes — we
-    * add them): the OrderWide wide rows ARE that window's input. */
+    * add them): the MATERIALIZED wide rows are that window's input — one
+    * DWD build per run, every consumer scans the store. */
   private def orderWindow(s: SparkSession, d: String): DataFrame =
-    OrderWide.buildWide(OrderWide.detail(s, d), OrderWide.info(s, d),
-      OrderWide.activity(s, d), OrderWide.coupon(s, d), OrderWide.dic(s, d))
+    DwdStore.wide(s, d)
 
   private val zero4 = lit(0).cast("decimal(22,4)")
 
@@ -253,8 +253,7 @@ object AdsQueries extends QueryModule {
     * dws_trade_trademark_category_user_spu_order_window — per (trademark,
     * category1, user) order aggregates over the deduped wide rows. */
   def tmCatUserWindow(s: SparkSession, d: String): DataFrame =
-    OrderWide.keepLatestBatch(
-        OrderWide.versions(orderWindow(s, d)))
+    DwdStore.latest(s, d)
       .join(broadcast(partDims(s, d)), col("sku_id") === col("p_partkey"))
       .groupBy(col("trademark"), col("category1"), col("user_id"))
       .agg(countDistinct(col("order_id")).as("order_ct"),

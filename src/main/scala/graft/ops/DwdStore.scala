@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialized DWD layer — the warehouse architecture the reference uses:
+  * DwdTradeOrderPreProcess.java:186-188 writes the five-table wide join to
+  * a Kafka topic ONCE and every DWS job consumes that topic; no consumer
+  * recomputes the join. The batch analog is a parquet store written once
+  * per (JVM run, sfDir) and scanned by every downstream query.
+  *
+  * Two stored tables:
+  *   - `wide`   — the raw five-table join ([[OrderWide.buildWide]]); read
+  *                by the subsidy-rate queries.
+  *   - `latest` — changelog-expanded + keep-latest-deduped wide rows
+  *                ([[OrderWide.keepLatestBatch]]); read by the DWS window
+  *                queries. Dedup is the expensive hash-exchange stage, so
+  *                storing post-dedup rows is what a streaming DWS state
+  *                store would hold.
+  *
+  * Freshness: the store is ALWAYS rebuilt on first access within a JVM
+  * (the memo is per-process, the directory is overwritten), so a stale
+  * store from a previous run can never leak into this one. At real scale
+  * this layer is the lakehouse DWD table (Delta/Iceberg), partitioned by
+  * date_id, with consumers pruning partitions — here it is plain parquet
+  * because the sandbox has no table format on the classpath.
+  */
+object DwdStore {
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def root: String =
+    sys.env.getOrElse("SPARK_GRAFT_DWD_DIR",
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_dwd_store").getPath)
+
+  /** One store dir per source sfDir (sanitized path, not hashCode — hash
+    * collisions across dirs would silently cross-wire results). */
+  private def dirFor(d: String): String =
+    new java.io.File(root, d.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+
+  private def ensure(s: SparkSession, d: String): String =
+    built.computeIfAbsent(d, _ => {
+      val base = dirFor(d)
+      val wide = OrderWide.buildWide(
+        OrderWide.detail(s, d), OrderWide.info(s, d),
+        OrderWide.activity(s, d), OrderWide.coupon(s, d), OrderWide.dic(s, d))
+      wide.write.mode("overwrite").parquet(s"$base/wide")
+      // latest derives from the STORED wide (one scan of the materialized
+      // table, not a second run of the join subtree)
+      OrderWide.keepLatestBatch(
+          OrderWide.versions(s.read.parquet(s"$base/wide")))
+        .write.mode("overwrite").parquet(s"$base/latest")
+      base
+    })
+
+  /** The materialized five-table wide join. */
+  def wide(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/wide")
+
+  /** The materialized keep-latest deduped changelog. */
+  def latest(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/latest")
+}

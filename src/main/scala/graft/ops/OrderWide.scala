@@ -188,11 +188,8 @@ object OrderWide extends QueryModule {
       .drop("p_partkey")
   }
 
-  def skuOrderWindow(s: SparkSession, d: String): DataFrame = {
-    val wide = buildWide(detail(s, d), info(s, d), activity(s, d),
-      coupon(s, d), dic(s, d))
-    skuAgg(keepLatestBatch(versions(wide)), Tables.part(s, d))
-  }
+  def skuOrderWindow(s: SparkSession, d: String): DataFrame =
+    skuAgg(DwdStore.latest(s, d), Tables.part(s, d))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
