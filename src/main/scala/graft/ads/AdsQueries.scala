@@ -276,6 +276,33 @@ object AdsQueries extends QueryModule {
           .agg(countDistinct(col("user_id")).as("ct"))))
   }
 
+  /** The 7-day back-flow window (DwsUserUserLoginWindow.java:103-117):
+    * per user, each first-event-of-a-day is a unique-visit (uuCt); it also
+    * counts as a BACK visit when the user's previous active day lies more
+    * than 7 days earlier (the `lastLoginDtState` gap check). Batch analog:
+    * distinct (user, day) pairs, lag(day) per user, per-day rollup.
+    *
+    * The reference keys on LOGIN events only (its TODO-3 filter keeps
+    * `page = 'login'` / session-start rows, not all traffic) — the `view`
+    * stream is that analog here; over ALL events every testdata user is
+    * active daily and the metric degenerates to constant zero.
+    *
+    * Scale: the distinct is a map-side-combining hash agg on (user, day);
+    * the lag window repartitions by user_id once — the same keyed-state
+    * partitioning the reference's KeyedStream uses. */
+  def userBack(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val prevDay = lag(col("day"), 1).over(
+      Window.partitionBy(col("user_id")).orderBy(col("day")))
+    days.withColumn("prev_day", prevDay)
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("uu_ct"),
+        sum(when(datediff(col("day"), col("prev_day")) > 7, 1).otherwise(0))
+          .cast("long").as("back_ct"))
+  }
+
   /** /user/uvPerPage (UserStatsMapper.java:12-39): the 5-way UNION ALL
     * funnel of per-stage unique users across two source tables. */
   def uvPerPage(s: SparkSession, d: String): DataFrame = {
@@ -377,6 +404,7 @@ object AdsQueries extends QueryModule {
     "q_ads_tm_cat_user"      -> tmCatUserWindow _,
     "q_ads_uv_page"          -> uvPerPage _,
     "q_ads_user_change"      -> userChangeCt _,
+    "q_ads_user_back"        -> userBack _,
     "q_ads_user_trade"       -> userTradeCt _,
     "q_ads_visitor_type"     -> visitorPerType _,
     "q_ads_channel_derived"  -> channelDerived _,
@@ -553,6 +581,18 @@ object AdsQueries extends QueryModule {
         |UNION ALL
         |SELECT 'newUserCt', COUNT(DISTINCT user_id) FROM events
         |WHERE event_type = 'signup'""".stripMargin,
+    "q_ads_user_back" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE event_type = 'view'),
+        |wp AS (
+        |  SELECT user_id, day,
+        |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+        |  FROM days)
+        |SELECT strftime(day, '%Y-%m-%d') AS dt, COUNT(*) AS uu_ct,
+        |  CAST(SUM(CASE WHEN date_diff('day', prev_day, day) > 7
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS back_ct
+        |FROM wp GROUP BY 1""".stripMargin,
     "q_ads_user_trade" ->
       """SELECT 'order' AS trade_type, COUNT(DISTINCT o_custkey) AS ct
         |FROM orders

@@ -188,6 +188,19 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("uv"))
 
+  /** Approx variant of [[distinctUsers]] — the unbounded-key-cardinality
+    * path the exact Set-state aggregator (Aggregators.distinctCount scale
+    * note) must NOT be used for: HLL++ sketches are O(1) state per key and
+    * merge associatively, so the agg stays map-side-combining at any
+    * cardinality. Sketch estimates aren't reproducible across engines →
+    * no SQL oracle (driver records rows-only); AggregatorSpec bounds the
+    * relative error against the exact count. */
+  def distinctUsersApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("uv_approx"))
+
   /** UNION ALL funnel of labeled aggregates — SURVEY U2
     * (ref publisher/mapper/UserStatsMapper.java:12-63). */
   def funnelUnion(s: SparkSession, d: String): DataFrame = {
@@ -280,6 +293,7 @@ object Relational extends QueryModule {
     "q_tumbling_window"   -> tumblingWindow _,
     "q_hourly_active"     -> hourlyActive _,
     "q_first_seen_daily"  -> firstSeenDaily _,
+    "q_distinct_users_approx" -> distinctUsersApprox _,
     "q_distinct_users"    -> distinctUsers _,
     "q_funnel_union"      -> funnelUnion _,
     "q_topk_brands"       -> topkBrands _,
