@@ -7,10 +7,13 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
 /** Kafka source/sink surface (SURVEY S1–S4) as thin, typed wrappers over
-  * Structured Streaming's kafka connector. No broker exists in the test
-  * container, so these are compile-checked here and the TRANSFORMS they
-  * wrap (JSON decode, envelope parse, key/value encode) are unit-tested on
-  * batch frames — the connector boundary is configuration, not logic.
+  * Structured Streaming's kafka connector. No broker (and no kafka
+  * artifact at all — coursier is offline) exists in the test container, so
+  * the connector boundary itself is compile-checked configuration; the
+  * full pipeline AROUND the byte transport — producer encode → topic log →
+  * readStream decode → null tolerance → keepLatest upsert reconstruction —
+  * is exercised end-to-end over a streaming file channel in
+  * KafkaContractSpec.
   *
   * Reference mapping:
   *   S1 readStrings   ← MyKafkaUtil.getFlinkKafkaConsumer (null-tolerant:
