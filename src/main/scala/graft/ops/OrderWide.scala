@@ -161,9 +161,6 @@ object OrderWide extends QueryModule {
           col("split_coupon_amount").asc_nulls_first)))
       .filter(col("rn") === 1).drop("rn")
 
-  /** q_dws_sku_order — the full composed chain: wide join → changelog →
-    * keep-latest → per-(sku, month) window agg → broadcast dim enrichment
-    * (trademark/category analogs from part, joined AFTER the agg). */
   /** The DWS stage alone: per-(month, sku) agg over deduped wide rows,
     * then broadcast dim enrichment (AFTER the agg — see scale stance). */
   def skuAgg(latest: DataFrame, part: DataFrame): DataFrame = {

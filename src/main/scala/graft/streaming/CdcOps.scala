@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * keep-list. Spark-first: `from_json` to a typed struct, `element_at` for
   * map access, and the router is a driver-side loop over config rows inside
   * `foreachBatch` — each iteration a filtered projection writing one sink.
+  *
+  * Writer contract: SINGLE WRITER PER SINK DIRECTORY. Structured Streaming
+  * serializes a query's foreachBatch invocations, so batches from one query
+  * never overlap; two QUERIES writing the same dim dir would race the
+  * read-merge-overwrite cycle (plain parquet has no atomic commit).
+  * ForeachBatchSpec stresses the serialized case with overlapping buckets
+  * and out-of-order versions; concurrent writers need the Delta/Iceberg
+  * MERGE this store's layout anticipates.
   */
 object CdcOps {
 

@@ -63,4 +63,37 @@ class ForeachBatchSpec extends AnyFunSuite {
       .select("id", "name").collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(dim === Map("1" -> "apricot", "2" -> "pear"))
   }
+
+  test("dim store: overlapping-bucket batches keep latest and spare untouched buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val sinkRoot = java.nio.file.Files.createTempDirectory("dimsink2").toString
+    val routes = Seq(CdcOps.TableRoute("base_trademark", "dim_tm",
+      Seq("id", "name"), "id"))
+    val in = MemoryStream[String]
+    // nBuckets=2 forces every batch to overlap buckets with every other
+    val q = in.toDF().toDF("line").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CdcOps.routeDims(spark, CdcOps.decode(batch), routes, sinkRoot,
+          nBuckets = 2): Unit
+      }
+      .start()
+    val mk = (typ: String, id: Int, name: String, ts: Long) =>
+      s"""{"database":"g","table":"base_trademark","type":"$typ","ts":$ts,"data":{"id":"$id","name":"$name"},"old":{}}"""
+    in.addData((1 to 8).map(i => mk("insert", i, s"v$i", 100)): _*)
+    q.processAllAvailable()
+    // batch 2: update two pks (hitting both buckets with high probability),
+    // and a LATE older version of pk=5 that must NOT win over ts=100
+    in.addData(mk("update", 1, "u1", 200), mk("update", 8, "u8", 200),
+      mk("update", 5, "stale", 50))
+    q.processAllAvailable()
+    q.stop()
+    val dim = spark.read.parquet(s"$sinkRoot/dim_tm")
+      .select("id", "name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = (2 to 7).map(i => i.toString -> s"v$i").toMap ++
+      Map("1" -> "u1", "8" -> "u8")
+    // pk=5's stale update lost to keep-latest; pks whose bucket batch 2
+    // never touched survived the dynamic overwrite untouched
+    assert(dim === expected)
+  }
 }
