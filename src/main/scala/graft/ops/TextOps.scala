@@ -145,9 +145,14 @@ object TextOps extends QueryModule {
     * yields four 32-bit functions (big-endian 4-byte words of the digest) —
     * byte-identical to the DuckDB oracle's
     * `('0x'||substr(md5('g|'||s), 8k+1, 8))::BIGINT`. */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSignaturesOf(s, docsParallel(s, d))
+
+  /** Same signature computation over any (doc_id, text) frame — the
+    * composed corpus pipeline runs it on an augmented corpus. */
+  private def minhashSignaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    docsParallel(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -215,9 +220,13 @@ object TextOps extends QueryModule {
     * on candidates only — the two-stage shape that scales to 100 TB where
     * the all-pairs q_ngram_jaccard verifier cannot. Output = verified
     * near-dup pairs (Jaccard ≥ 0.6) among LSH candidates. */
-  def nearDupPipeline(s: SparkSession, d: String): DataFrame = {
-    val cand = lshCandidates(minhashSignatures(s, d).cache()).cache()
-    val shingleSets = docsParallel(s, d).select(
+  def nearDupPipeline(s: SparkSession, d: String): DataFrame =
+    nearDupPairsOf(s, docsParallel(s, d))
+
+  /** The LSH→verify pipeline over any (doc_id, text) frame. */
+  private def nearDupPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val cand = lshCandidates(minhashSignaturesOf(s, docs).cache()).cache()
+    val shingleSets = docs.select(
       col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 3)).as("shset"))
     // Only docs that appear in ≥1 candidate pair need their shingle sets —
@@ -236,6 +245,60 @@ object TextOps extends QueryModule {
         (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jaccard") >= 0.6)
       .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+  }
+
+  /** The end-to-end training-corpus filter — the composed pipeline a
+    * 100 TB pretraining-data run actually executes, in the canonical stage
+    * order (cheap per-doc map stages first, pairwise stages on the
+    * survivors):
+    *
+    *   1. quality gate (length band + stopword ratio + token length) and
+    *      language gate (heuristic en) — shuffle-free codegen map;
+    *   2. exact dedup keep-first on the content fingerprint — one hash
+    *      shuffle keyed by md5, raw text never moves;
+    *   3. near-dup removal — MinHash-LSH candidates verified by shingle
+    *      Jaccard ≥ 0.6 (cost ∝ collisions), greedy keep-min-doc_id: every
+    *      verified pair's d2 is dropped;
+    *   4. token accounting per source — the corpus-mix report.
+    *
+    * The synthetic corpus is exact-dup-free, so the dedup stage is proven
+    * live with PLANTED copies (every 40th doc re-issued under
+    * doc_id+10000 — byte-identical text, so both engines agree exactly;
+    * the same honesty device as q_embed_neardup's planted near-copies).
+    * Stage 2 removes every planted copy (the original has the smaller
+    * doc_id), and stages 1–3 all run over the augmented corpus. */
+  def corpusFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val aug = docs.unionAll(
+      docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("source")))
+    val t = tokens(col("text"))
+    val scored = aug.select(
+        col("doc_id"), col("source"), col("text"),
+        size(t).as("n_tok"),
+        stopwordCount(t, EnMarkers).as("stop_ct"),
+        (length(col("text")) - (size(t) - 1)).cast("long").as("char_sum"),
+        langId(t).as("pred_lang"))
+      .withColumn("stop_ratio", col("stop_ct").cast("double") / col("n_tok"))
+      .withColumn("avg_tok_len", col("char_sum").cast("double") / col("n_tok"))
+      .filter(col("pred_lang") === "en" &&
+        (when(col("n_tok").between(30, 500), 1).otherwise(0) +
+         when(col("stop_ratio") >= 0.02 && col("stop_ratio") <= 0.6, 1)
+           .otherwise(0) +
+         when(col("avg_tok_len").between(3.0, 10.0), 1).otherwise(0)) >= 2)
+    val deduped = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val drops = nearDupPairsOf(s, aug)
+      .select(col("d2").as("doc_id")).distinct()
+    deduped.join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tok"),
+        sum(col("char_sum")).as("total_chars"))
   }
 
   /** 32-bit SimHash per document (majority vote over token-hash bits).
@@ -323,6 +386,7 @@ object TextOps extends QueryModule {
     "q_minhash_sig"        -> minhashSignatures _,
     "q_minhash_lsh_pairs"  -> minhashLshPairs _,
     "q_near_dup_pipeline"  -> nearDupPipeline _,
+    "q_corpus_filter"      -> corpusFilter _,
     "q_simhash"            -> simhashDocs _,
     "q_simhash_dups"       -> simhashDups _,
   )
@@ -439,6 +503,63 @@ object TextOps extends QueryModule {
          |      (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) AS jaccard
          |  FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
          |SELECT d1, d2, common, jaccard FROM verified WHERE jaccard >= 0.6""".stripMargin,
+    "q_corpus_filter" ->
+      s"""WITH docs AS (SELECT doc_id, text, source FROM documents),
+         |aug AS (SELECT * FROM docs UNION ALL
+         |        SELECT doc_id + 10000, text, source FROM docs
+         |        WHERE doc_id % 40 = 0),
+         |sig AS (
+         |  SELECT doc_id, $mhExprs
+         |  FROM (SELECT doc_id, $dShingles3 AS sh
+         |        FROM (SELECT doc_id, $dToks AS t FROM aug))),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct($dShingles3) AS shset
+         |  FROM (SELECT doc_id, $dToks AS t FROM aug)),
+         |drops AS (
+         |  SELECT DISTINCT d2 AS doc_id FROM cand
+         |  JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+         |    (len(a.shset) + len(b.shset) -
+         |     len(list_intersect(a.shset, b.shset))) >= 0.6),
+         |feat AS (
+         |  SELECT doc_id, source, text, len(t) AS n_tok,
+         |    len(list_filter(t, x -> x IN ${dIn(EnMarkers)})) AS stop_ct,
+         |    len(list_filter(t, x -> x IN ${dIn(CodeMarkers)})) AS code_ct,
+         |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+         |      AS char_sum
+         |  FROM (SELECT doc_id, source, text, $dToks AS t FROM aug)),
+         |qd AS (
+         |  SELECT *, CAST(stop_ct AS DOUBLE)/n_tok AS stop_ratio,
+         |    CAST(char_sum AS DOUBLE)/n_tok AS avg_tok_len,
+         |    CASE WHEN stop_ct = 0 AND code_ct = 0 THEN 'und'
+         |         WHEN stop_ct >= code_ct THEN 'en' ELSE 'code' END
+         |      AS pred_lang
+         |  FROM feat),
+         |filt AS (
+         |  SELECT * FROM qd WHERE pred_lang = 'en' AND
+         |    (CASE WHEN n_tok BETWEEN 30 AND 500 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.6
+         |       THEN 1 ELSE 0 END) +
+         |    (CASE WHEN avg_tok_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+         |    >= 2),
+         |ded AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |      ORDER BY doc_id) AS rn FROM filt) WHERE rn = 1)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+         |  CAST(SUM(char_sum) AS BIGINT) AS total_chars
+         |FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |GROUP BY 1""".stripMargin,
     "q_simhash" ->
       s"""SELECT doc_id, $simhashExpr AS simhash32
          |FROM (SELECT doc_id, $dToks AS t FROM documents)""".stripMargin,
