@@ -64,7 +64,11 @@ object Bench {
       (name, best, med)
     }
 
-    // Sweep outliers get a second, uninterleaved measurement.
+    // Sweep outliers get a second, uninterleaved measurement. Quiesce the
+    // heap first: after ~300 query runs in this JVM, old-gen pressure can
+    // stall an "isolated" run worse than the sweep itself (observed 51 s
+    // for a 0.9 s query).
+    System.gc()
     val isolated = results.filter(_._2 >= 0).sortBy(-_._3).take(nIsolated)
       .map { case (name, _, _) => (name, timed(selected(name), name)._1) }
 
