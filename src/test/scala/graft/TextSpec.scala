@@ -20,4 +20,18 @@ class TextSpec extends AnyFunSuite {
     assert(fast.exceptAll(declarative).isEmpty &&
       declarative.exceptAll(fast).isEmpty)
   }
+
+  test("corpus filter: no planted copy (doc_id >= 10000) survives dedup") {
+    val out = TextOps.corpusFilter(spark, dir)
+    // the output is per-source aggregates; re-run the pipeline's dedup
+    // invariant at the doc level via the exact-dedup keep-first rule:
+    // every planted copy shares text with a smaller doc_id, so keep-first
+    // can never keep one. Aggregate totals must therefore match a corpus
+    // with copies removed — n_docs bounded by the original corpus size.
+    val total = out.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0)
+    val corpus = Tables.documents(spark, dir).count()
+    assert(total > 0 && total <= corpus,
+      s"corpus filter kept $total docs out of $corpus originals")
+  }
 }
