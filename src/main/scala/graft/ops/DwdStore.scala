@@ -28,9 +28,23 @@ object DwdStore {
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def root: String =
-    sys.env.getOrElse("SPARK_GRAFT_DWD_DIR",
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_dwd_store").getPath)
+  /** Default root is PID-scoped: two driver JVMs (e.g. Verify and Bench
+    * overlapping) must never race each other's overwrite of the same store
+    * directory. The per-process store is removed on JVM exit; set
+    * SPARK_GRAFT_DWD_DIR to pin a shared, persistent location instead. */
+  private lazy val root: String =
+    sys.env.get("SPARK_GRAFT_DWD_DIR").getOrElse {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dwd_store_${ProcessHandle.current().pid()}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(dir)))
+      dir.getPath
+    }
+
+  private def delete(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(delete)
+    f.delete(): Unit
+  }
 
   /** One store dir per source sfDir (sanitized path, not hashCode — hash
     * collisions across dirs would silently cross-wire results). */
