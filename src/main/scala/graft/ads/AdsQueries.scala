@@ -261,14 +261,22 @@ object AdsQueries extends QueryModule {
         sum(col("split_total_amount")).cast("double").as("order_amount"))
 
   /** /user/userChangeCt (UserStatsMapper.java:41-57): 3-way UNION ALL —
-    * returning users / active users / new users. */
+    * returning users / active users / new users. backCt uses the true
+    * 7-day-gap rule (the DWS formula [[userBack]] aggregates per day;
+    * here: distinct users with ≥1 such gap on the login-analog view
+    * stream) — round 2 approximated it with ">1 active day". */
   def userChangeCt(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     def m(name: String, v: DataFrame): DataFrame =
       v.select(lit(name).as("type"), col("ct"))
-    m("backCt", e.select(col("user_id"), to_date(col("ts")).as("day"))
-        .distinct().groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).agg(count(lit(1)).as("ct")))
+    val days = e.filter(col("event_type") === "view")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val gap = datediff(col("day"),
+      lag(col("day"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))))
+    m("backCt", days.withColumn("gap", gap)
+        .filter(col("gap") > 7)
+        .agg(countDistinct(col("user_id")).as("ct")))
       .unionAll(m("activeUserCt",
         e.agg(countDistinct(col("user_id")).as("ct"))))
       .unionAll(m("newUserCt",
@@ -572,10 +580,16 @@ object AdsQueries extends QueryModule {
         |UNION ALL
         |SELECT 'trade', COUNT(DISTINCT o_custkey) FROM orders""".stripMargin,
     "q_ads_user_change" ->
-      """SELECT 'backCt' AS type, COUNT(*) AS ct FROM (
-        |  SELECT user_id FROM (
-        |    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
-        |  GROUP BY user_id HAVING COUNT(*) > 1)
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE event_type = 'view'),
+        |wp AS (
+        |  SELECT user_id,
+        |    date_diff('day',
+        |      LAG(day) OVER (PARTITION BY user_id ORDER BY day), day) AS gap
+        |  FROM days)
+        |SELECT 'backCt' AS type, COUNT(DISTINCT user_id) AS ct
+        |FROM wp WHERE gap > 7
         |UNION ALL
         |SELECT 'activeUserCt', COUNT(DISTINCT user_id) FROM events
         |UNION ALL

@@ -193,7 +193,7 @@ object Relational extends QueryModule {
     * note) must NOT be used for: HLL++ sketches are O(1) state per key and
     * merge associatively, so the agg stays map-side-combining at any
     * cardinality. Sketch estimates aren't reproducible across engines →
-    * no SQL oracle (driver records rows-only); AggregatorSpec bounds the
+    * no SQL oracle (driver records rows-only); RelationalSpec bounds the
     * relative error against the exact count. */
   def distinctUsersApprox(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
