@@ -52,6 +52,35 @@ object StatefulOps {
           out.result().iterator
         })
 
+  /** An ingested document: content fingerprint + identity. */
+  case class IngestDoc(fp: String, docId: Long, ts: Long)
+
+  private implicit val ingestDocEnc: Encoder[IngestDoc] = Encoders.product[IngestDoc]
+  private implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+
+  /** Streaming exact-dedup at INGEST — the streaming complement of the
+    * batch dedup stack (TextOps.dedupKeepFirst): emit only the first
+    * document per content fingerprint, drop every later arrival. This is
+    * the shape a training-data pipeline runs at the Kafka/file firehose,
+    * before anything lands in the lake.
+    *
+    * Within a micro-batch ties break on (ts, docId) — a total order, so
+    * output is replay-deterministic. State = one marker per DISTINCT
+    * fingerprint: bounded by unique content, not traffic; at 100 TB that
+    * state lives in the RocksDB state store, hash-partitioned by
+    * fingerprint across executors, and a TTL (timeout) bounds it further
+    * when the dedup horizon is a window rather than forever. */
+  def ingestDedup(ds: Dataset[IngestDoc]): Dataset[IngestDoc] =
+    ds.groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, docs: Iterator[IngestDoc], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(docs.minBy(d => (d.ts, d.docId)))
+          }
+        })
+
   /** O9 — new/old visitor repair: `is_new=1` is rewritten to `0` when the
     * mid was first seen on an earlier date (BaseLogApp.java:71-108). State =
     * first-visit date. */
