@@ -197,6 +197,31 @@ object VectorOps extends QueryModule {
       .select(col("probe_id"), col("bucket"), col("neighbor_id"), col("rank"))
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB'07): each probe searches its own
+    * bucket PLUS the 8 hamming-1 neighbor buckets (one sign-bit flipped) —
+    * the standard recall dial for sign-LSH without adding hash tables.
+    * Cost: 9/256 of the data per probe instead of 1/256; still
+    * partition-prunable at scale (9 bucket keys per probe), and the
+    * neighbor buckets are distinct so no candidate is scored twice. */
+  def annMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val withBucket = withBucketFast(s, d)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val probes = withBucket.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        explode(array(
+          col("bucket") +: (0 until Planes.length).map(j =>
+            col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+    val cands = withBucket
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+        col("bucket"))
+    val scored = cands.join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pvec"), col("cvec")).as("sim"))
+    topKPerProbe(scored, 5)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** IVF-style search. Coarse quantizer = per-label element-wise mean;
     * probes search only their nearest list.
     *
@@ -251,6 +276,7 @@ object VectorOps extends QueryModule {
     "q_ann_bruteforce" -> annBruteforce _,
     "q_lsh_buckets"    -> lshBuckets _,
     "q_ann_lsh"        -> annLsh _,
+    "q_ann_multiprobe" -> annMultiprobe _,
     "q_embed_neardup"  -> embedNearDup _,
     "q_ivf_topk"       -> ivfTopk _,
   )
@@ -306,6 +332,22 @@ object VectorOps extends QueryModule {
          |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |FROM scored
          |QUALIFY rank <= 3""".stripMargin,
+    "q_ann_multiprobe" -> {
+      val nbrs = "bucket" +: (0 until Planes.length).map(j => s"xor(bucket, ${1 << j})")
+      s"""WITH wb AS (SELECT vec_id, embedding, $dBucket AS bucket FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pvec, bucket
+         |      FROM wb WHERE vec_id < 8),
+         |pb AS (SELECT probe_id, pvec,
+         |         UNNEST([${nbrs.mkString(", ")}]) AS bucket FROM p),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM wb),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id, ${dCos("pvec", "cvec")} AS sim
+         |  FROM c JOIN pb USING (bucket) WHERE neighbor_id <> probe_id)
+         |SELECT probe_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |FROM scored
+         |QUALIFY rank <= 5""".stripMargin
+    },
     "q_embed_neardup" ->
       s"""WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
          |copies AS (
