@@ -72,6 +72,39 @@ class TopologySpec extends AnyFunSuite {
       ads(want).collect().map(_.toSeq).toSet)
   }
 
+  test("ingest topology: quality gate → fingerprint dedup as one stream") {
+    // The training-data ingest shape: documents stream in, a shuffle-free
+    // quality gate drops junk, and ingestDedup keeps the first arrival per
+    // content fingerprint — duplicates across later batches never land.
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val gated = in.toDF().toDF("doc_id", "text")
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 3)
+      .select(md5(col("text")).as("fp"), col("doc_id").as("docId"),
+        col("doc_id").as("ts"))
+      .as[StatefulOps.IngestDoc]
+    val q = StatefulOps.ingestDedup(gated).writeStream
+      .format("memory").queryName("ingest_topo")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"), // same-batch duplicate
+      (3L, "hi"))                  // fails the quality gate
+    q.processAllAvailable()
+    in.addData(
+      (4L, "the quick brown fox"), // later-batch duplicate
+      (5L, "another perfectly good doc"))
+    q.processAllAvailable()
+    val rows = spark.table("ingest_topo").as[StatefulOps.IngestDoc]
+      .collect().sortBy(_.docId)
+    q.stop()
+    assert(rows.map(_.docId).toSeq === Seq(1L, 5L),
+      s"expected first-arrival survivors only, got ${rows.toSeq}")
+  }
+
   private def writeFile(dir: String, name: String, ls: Seq[String]): Unit =
     Files.write(Paths.get(dir, name),
       String.join("\n", ls: _*).getBytes("UTF-8"))
