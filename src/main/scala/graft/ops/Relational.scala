@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational operator coverage (SURVEY.md §2.2–2.6) re-expressed over
@@ -152,6 +153,65 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("conversions"))
   }
 
+  /** As-of join (last-touch attribution): each purchase matches the LATEST
+    * view at-or-before it by the same user — the point-in-time variant of
+    * the temporal lookup join (SURVEY J3; the reference's dim lookups are
+    * "latest version as of processing time", DimUtil.java) generalized to
+    * event time. Spark has no ASOF JOIN operator, so this composes one
+    * Spark-first: union-tag both sides, one shuffle on user_id, and a
+    * carry-forward window (`last(_, ignoreNulls)` over rows unbounded
+    * preceding) instead of a pair-building join — cost is sort + linear
+    * scan per key, never |views|×|buys| pair explosion, and it scales to
+    * any per-key history length. Views sort before buys at the same second
+    * (ASOF `>=` is inclusive). Emitting the gap (not the matched row id)
+    * keeps same-second view ties deterministic. Oracle: DuckDB ASOF JOIN. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    asofLastTouch(
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("t")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+          col("event_id")))
+  }
+
+  /** Core of [[asofJoin]]: `views(user_id, t)` ⨝asof `buys(user_id, t,
+    * event_id)` → one row per buy that has a view at-or-before it,
+    * carrying the latest such view time. Separated so specs can drive
+    * synthetic frames through the exact production path. */
+  def asofLastTouch(views: DataFrame, buys: DataFrame): DataFrame = {
+    val v = views.select(col("user_id"), col("t"),
+      lit(0).as("side"), lit(null).cast("long").as("event_id"))
+    val b = buys.select(col("user_id"), col("t"),
+      lit(1).as("side"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.unionAll(b)
+      .withColumn("view_s",
+        last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("view_s").isNotNull)
+      .select(col("event_id"), col("user_id"), col("t").as("buy_s"),
+        (col("t") - col("view_s")).as("gap_s"))
+  }
+
+  /** Salted skew join — SURVEY scale note (ops/Salting). The q-entry proves
+    * the salt-invariance contract against the oracle: a 7-way salted
+    * lineitem⋈orders must hash-equal the PLAIN join's aggregate. The salt
+    * only steers shuffle placement; at 1000 executors it splits one hot key
+    * across `shards` tasks where AQE can't (non-SMJ plans, known-a-priori
+    * skew). */
+  def saltedJoin(s: SparkSession, d: String): DataFrame =
+    Salting.saltedEquiJoin(
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+          .withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", shards = 7)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+
   /** 10 s tumbling event-time window — SURVEY W1/A1/A3 (all DWS jobs).
     * Batch-mode equivalent of `groupBy(window($"ts","10 seconds"), key)`;
     * window start emitted as epoch seconds (determinism rule, QueryModule). */
@@ -282,6 +342,37 @@ object Relational extends QueryModule {
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("double").as("month_total"))
 
+  /** Exact distributed quantiles (p50/p90/p99 of value-cents per event
+    * type) WITHOUT a per-key row sort: aggregate to a (key, value) →count
+    * histogram first (map-side combinable, shuffle ∝ distinct values, not
+    * rows), then cumulate counts over the histogram and select the k-th
+    * order statistic (type-1 / lower quantile: k = ⌊(n−1)p⌋+1). At 100 TB
+    * the raw-row window sort this replaces would serialize each hot key
+    * through one task; the histogram is bounded by value cardinality.
+    * (The unbounded-cardinality escape hatch is `percentile_approx` —
+    * sketch results aren't cross-engine-reproducible, same caveat as
+    * [[distinctUsersApprox]].) */
+  def valueQuantiles(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("ct"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    def kth(p: Double) =
+      (floor((col("n") - 1) * lit(p)) + 1).cast("long")
+    def pick(p: Double, name: String) =
+      min(when(col("cum") >= kth(p), col("cents"))).as(name)
+    hist
+      .withColumn("cum", sum(col("ct")).over(wCum))
+      .withColumn("n", sum(col("ct")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary"   -> pricingSummary _,
     "q_rev_by_priority"   -> revenueByPriority _,
@@ -290,6 +381,8 @@ object Relational extends QueryModule {
     "q_star_dim_chain"    -> starDimChain _,
     "q_composite_key_join" -> compositeKeyJoin _,
     "q_interval_join"     -> intervalJoin _,
+    "q_asof_join"         -> asofJoin _,
+    "q_salted_join"       -> saltedJoin _,
     "q_tumbling_window"   -> tumblingWindow _,
     "q_hourly_active"     -> hourlyActive _,
     "q_first_seen_daily"  -> firstSeenDaily _,
@@ -302,6 +395,7 @@ object Relational extends QueryModule {
     "q_rollup_geo"        -> rollupGeo _,
     "q_filter_project"    -> filterProject _,
     "q_orders_per_month"  -> ordersPerMonth _,
+    "q_value_quantiles"   -> valueQuantiles _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -364,6 +458,34 @@ object Relational extends QueryModule {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b.buy_s >= v.view_s AND b.buy_s <= v.view_s + 3600
         |GROUP BY v.user_id""".stripMargin,
+    "q_value_quantiles" ->
+      """WITH hist AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
+        |    COUNT(*) AS ct
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, cents,
+        |    SUM(ct) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(ct) OVER (PARTITION BY event_type) AS n
+        |  FROM hist)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN cum >= CAST(FLOOR((n-1)*0.5) AS BIGINT)+1 THEN cents END) AS p50,
+        |  MIN(CASE WHEN cum >= CAST(FLOOR((n-1)*0.9) AS BIGINT)+1 THEN cents END) AS p90,
+        |  MIN(CASE WHEN cum >= CAST(FLOOR((n-1)*0.99) AS BIGINT)+1 THEN cents END) AS p99
+        |FROM cum GROUP BY event_type""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.buy_s, p.buy_s - v.view_s AS gap_s
+        |FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS buy_s
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS view_s
+        |           FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND p.buy_s >= v.view_s""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_tumbling_window" ->
       """SELECT CAST(FLOOR(epoch(ts)/10)*10 AS BIGINT) AS wstart, event_type,
         |  COUNT(*) AS n_events,

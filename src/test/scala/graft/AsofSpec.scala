@@ -1,0 +1,24 @@
+package graft
+
+import graft.ops.Relational
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tie/edge semantics of the as-of join (last view at-or-before each buy):
+  * inclusive same-second match, carry-forward across multiple buys,
+  * no-prior-view rows dropped (inner asof), per-user isolation. */
+class AsofSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("asof matches latest view at-or-before each buy") {
+    import spark.implicits._
+    // user 1: views at t=10,20; buys at t=20 (same-second → inclusive),
+    //         t=25 (matches 20), t=5 (no prior view → dropped)
+    // user 2: view at t=100; user 1's views must not leak to user 2
+    val views = Seq((1L, 10L), (1L, 20L), (2L, 100L)).toDF("user_id", "t")
+    val buys = Seq((1L, 20L, 901L), (1L, 25L, 902L), (1L, 5L, 903L),
+      (2L, 99L, 904L), (2L, 100L, 905L)).toDF("user_id", "t", "event_id")
+    val got = Relational.asofLastTouch(views, buys)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got === Map(901L -> 0L, 902L -> 5L, 905L -> 0L))
+  }
+}
