@@ -233,10 +233,8 @@ object VectorOps extends QueryModule {
     * query be hash-checked rather than rows-only. The nearest-centroid
     * pick is a `max_by` aggregation (no window); the candidate top-k is
     * the two-level [[topKPerProbe]]. */
-  def ivfTopk(s: SparkSession, d: String): DataFrame = {
-    val e = embParallel(s, d)
-    val centroids = e
-      .select(col("label"), col("vec_id"),
+  private def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg((aggregate(
@@ -248,6 +246,10 @@ object VectorOps extends QueryModule {
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
       .select(col("label").as("c_label"),
         transform(col("pairs"), p => p.getField("cx").cast("float")).as("cvec"))
+
+  def ivfTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embParallel(s, d)
+    val centroids = labelCentroids(e)
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val probeList = probes.crossJoin(broadcast(centroids))
@@ -270,6 +272,37 @@ object VectorOps extends QueryModule {
       .select(col("probe_id"), col("c_label"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF with nprobe=2 — the IVF recall dial (the inverted-list analog of
+    * [[annMultiprobe]]'s neighbor-bucket fan-out): each probe scans its TWO
+    * nearest inverted lists instead of one. Lists are label-disjoint, so
+    * the union of candidates needs no dedup; the nearest-list pick is a
+    * rank over #centroids rows per probe (centroid count ~√N — the window
+    * input is probes×√N, never data-sized). Candidate top-k stays the
+    * two-level [[topKPerProbe]]. */
+  def ivfMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val e = embParallel(s, d)
+    val centroids = labelCentroids(e)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc, col("c_label").asc)
+    val probeLists = probes.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("pvec"), col("c_label"),
+        cosine(col("pvec"), col("cvec")).as("csim"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= 2)
+      .select(col("probe_id"), col("pvec"), col("c_label"))
+    val scored = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+        col("label").as("c_label"))
+      .join(broadcast(probeLists), Seq("c_label"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("c_label"), col("neighbor_id"),
+        cosine(col("pvec"), col("cvec")).as("sim"))
+    topKPerProbe(scored, 5)
+      .select(col("probe_id"), col("c_label"), col("neighbor_id"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_norms"    -> embedNorms _,
     "q_embed_norms_sql" -> embedNormsSql _,
@@ -279,6 +312,7 @@ object VectorOps extends QueryModule {
     "q_ann_multiprobe" -> annMultiprobe _,
     "q_embed_neardup"  -> embedNearDup _,
     "q_ivf_topk"       -> ivfTopk _,
+    "q_ivf_multiprobe" -> ivfMultiprobe _,
   )
 
   // ---- DuckDB oracle fragments ----
@@ -388,6 +422,40 @@ object VectorOps extends QueryModule {
          |      ORDER BY ${dCos("pvec", "cvec")} DESC, c_label ASC) AS crank
          |  FROM p CROSS JOIN cvecs
          |  QUALIFY crank = 1),
+         |scored AS (
+         |  SELECT probe_id, pl.c_label AS c_label, vec_id AS neighbor_id,
+         |    ${dCos("pvec", "embedding")} AS sim
+         |  FROM embeddings e JOIN pl ON e.label = pl.c_label
+         |  WHERE vec_id <> probe_id)
+         |SELECT probe_id, c_label, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |FROM scored
+         |QUALIFY rank <= 5""".stripMargin,
+    "q_ivf_multiprobe" ->
+      s"""WITH ex AS (
+         |  SELECT label, vec_id, UNNEST(embedding) AS x,
+         |    UNNEST(range(1, len(embedding)+1)) AS pos
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, pos,
+         |    list_sum(list_transform(
+         |      list_sort(list(struct_pack(vec_id := vec_id, x := x))),
+         |      s -> CAST(s.x AS DOUBLE))) / COUNT(*) AS cx
+         |  FROM ex GROUP BY 1, 2),
+         |cvecs AS (
+         |  SELECT label AS c_label,
+         |    list_transform(
+         |      list_sort(list(struct_pack(pos := pos, cx := cx))),
+         |      s -> CAST(s.cx AS REAL)) AS cvec
+         |  FROM cent GROUP BY label),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |      FROM embeddings WHERE vec_id < 8),
+         |pl AS (
+         |  SELECT probe_id, pvec, c_label,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY ${dCos("pvec", "cvec")} DESC, c_label ASC) AS crank
+         |  FROM p CROSS JOIN cvecs
+         |  QUALIFY crank <= 2),
          |scored AS (
          |  SELECT probe_id, pl.c_label AS c_label, vec_id AS neighbor_id,
          |    ${dCos("pvec", "embedding")} AS sim

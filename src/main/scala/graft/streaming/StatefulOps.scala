@@ -81,6 +81,43 @@ object StatefulOps {
           }
         })
 
+  /** A tagged as-of event: side 0 = reference stream (view), 1 = probe
+    * stream (purchase). */
+  case class TaggedEvent(userId: Long, t: Long, side: Int, eventId: Long)
+
+  /** An as-of match: the probe plus its gap to the latest reference. */
+  case class AsofMatch(eventId: Long, userId: Long, buyS: Long, gapS: Long)
+
+  private implicit val taggedEnc: Encoder[TaggedEvent] = Encoders.product[TaggedEvent]
+  private implicit val asofMatchEnc: Encoder[AsofMatch] = Encoders.product[AsofMatch]
+  private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Streaming complement of the batch as-of join
+    * (Relational.asofLastTouch): each purchase matches the latest view
+    * at-or-before it by the same user. State = ONE long per user (latest
+    * view time) — O(1), the streaming-asof minimum. Within a micro-batch
+    * events process in (t, side) order (views before buys at the same
+    * second — the inclusive `>=` bound); across batches the same
+    * in-event-time-order assumption as [[dailyDedup]] applies (late
+    * cross-batch views would need watermark-buffered reordering, the
+    * documented trade for O(1) state). Emitting the gap, not the matched
+    * row id, keeps same-second view ties deterministic — identical to the
+    * batch operator, so StreamingSpec asserts batch ≡ streaming. */
+  def asofAttribution(ds: Dataset[TaggedEvent]): Dataset[AsofMatch] =
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, events: Iterator[TaggedEvent], state: GroupState[Long]) => {
+          var lastView = state.getOption.getOrElse(Long.MinValue)
+          val out = Vector.newBuilder[AsofMatch]
+          events.toSeq.sortBy(e => (e.t, e.side)).foreach { e =>
+            if (e.side == 0) lastView = math.max(lastView, e.t)
+            else if (lastView != Long.MinValue)
+              out += AsofMatch(e.eventId, e.userId, e.t, e.t - lastView)
+          }
+          if (lastView != Long.MinValue) state.update(lastView)
+          out.result().iterator
+        })
+
   /** O9 — new/old visitor repair: `is_new=1` is rewritten to `0` when the
     * mid was first seen on an earlier date (BaseLogApp.java:71-108). State =
     * first-visit date. */

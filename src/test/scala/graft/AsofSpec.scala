@@ -1,6 +1,10 @@
 package graft
 
 import graft.ops.Relational
+import graft.streaming.StatefulOps.{AsofMatch, TaggedEvent, asofAttribution}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Tie/edge semantics of the as-of join (last view at-or-before each buy):
@@ -20,5 +24,34 @@ class AsofSpec extends AnyFunSuite {
     val got = Relational.asofLastTouch(views, buys)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(got === Map(901L -> 0L, 902L -> 5L, 905L -> 0L))
+  }
+
+  test("streaming asofAttribution equals the batch as-of join on sf0.001") {
+    import spark.implicits._
+    val expected = Relational.asofJoin(spark, TestSession.sf)
+      .collect().map(r => AsofMatch(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+
+    val ev = Tables.events(spark, TestSession.sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        coalesce(col("event_id"), lit(-1L)).as("event_id"))
+      .collect()
+      .map(r => TaggedEvent(r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(e => (e.t, e.side)) // arrival in event-time order (op contract)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TaggedEvent]
+    val q = asofAttribution(in.toDS()).writeStream
+      .format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append).start()
+    ev.grouped(math.max(1, ev.length / 3)).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val got = spark.table("asof_stream").as[AsofMatch].collect().toSet
+    q.stop()
+    assert(got === expected)
   }
 }
