@@ -373,6 +373,19 @@ object Relational extends QueryModule {
         pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
   }
 
+  /** PIVOT (wide-format rollup) — the serving-layer shape ADS mappers
+    * build by hand with per-status CASE stacks (TradeStatsMapper-style);
+    * `.pivot` with an EXPLICIT value list keeps it one pass (no distinct
+    * pre-query) and map-side combinable — with the values pinned, Catalyst
+    * rewrites to the same conditional aggregate as the hand-written form,
+    * so the wide format costs nothing extra at scale. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary"   -> pricingSummary _,
     "q_rev_by_priority"   -> revenueByPriority _,
@@ -396,6 +409,7 @@ object Relational extends QueryModule {
     "q_filter_project"    -> filterProject _,
     "q_orders_per_month"  -> ordersPerMonth _,
     "q_value_quantiles"   -> valueQuantiles _,
+    "q_pivot_status"      -> pivotStatus _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -458,6 +472,12 @@ object Relational extends QueryModule {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b.buy_s >= v.view_s AND b.buy_s <= v.view_s + 3600
         |GROUP BY v.user_id""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_value_quantiles" ->
       """WITH hist AS (
         |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,

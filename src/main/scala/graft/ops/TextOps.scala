@@ -375,6 +375,88 @@ object TextOps extends QueryModule {
       .filter(col("hamming") <= 2)
   }
 
+  /** Deterministic stratified train/val/test split — the corpus-assembly
+    * primitive every training run needs: assignment is a pure function of
+    * the stable doc identity (md5 of doc_id → percent bucket: 90/5/5), so
+    * it is reproducible across runs, engines, and cluster sizes — no RNG,
+    * no sampling-order dependence — and any doc's split membership can be
+    * audited after the fact. Shuffle-free until the final per-(source,
+    * split) rollup (a 60-key agg). Hash-exact vs DuckDB because both
+    * engines compute the identical md5-prefix integer. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    docsParallel(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("h") < 90, "train").when(col("h") < 95, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+
+  /** 60-bit SimHash per document — the WIDE end of the hash-width dial
+    * [[simhashDocs]] documents (60 not 64 so the value stays in signed-long
+    * range in both engines: 15 md5 hex chars, same device as fp60 in
+    * docFingerprint). Token hash = first 8 digest bytes big-endian >>> 4 —
+    * bit-identical to DuckDB's `('0x'||substr(md5(...),1,15))::BIGINT`. */
+  def simhashWideDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docsParallel(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val votes = new Array[Int](60)
+          var i = 0
+          while (i < toks.length) {
+            md.reset()
+            val dg = md.digest(("0|" + toks(i)).getBytes("UTF-8"))
+            var h = 0L
+            var k = 0
+            while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+            h = h >>> 4 // keep the high 60 bits = first 15 hex chars
+            var b = 0
+            while (b < 60) {
+              if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+            i += 1
+          }
+          var sh = 0L
+          var b = 0
+          while (b < 60) { if (votes(b) >= 0) sh |= (1L << b); b += 1 }
+          (id, sh)
+        }
+      }
+      .toDF("doc_id", "simhash60")
+  }
+
+  /** Near-dup pairs over the wide hash: 4×15-bit bands (hamming ≤ 3
+    * guaranteed to share a band), popcount-verified. This is
+    * [[simhashDups]] one notch along the dial: per-band keyspace 32k,
+    * total banded keyspace 4×32k, recall widened from hamming ≤ 2 to ≤ 3 —
+    * doubling hash width squares the per-band keyspace while WIDENING
+    * recall, which is why width (not bucket-capping) is the scale knob. */
+  def simhashWideDups(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashWideDocs(s, d)
+    val bands = sig.select(col("doc_id"), col("simhash60"), explode(array(
+        (0 until 4).map(k => struct(lit(k).as("band"),
+          shiftright(col("simhash60"), 15 * k).bitwiseAND(lit(32767L))
+            .as("bval"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash60"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash60").bitwiseXOR(col("y.simhash60")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_stats"          -> docStats _,
     "q_doc_quality"        -> docQuality _,
@@ -389,6 +471,8 @@ object TextOps extends QueryModule {
     "q_corpus_filter"      -> corpusFilter _,
     "q_simhash"            -> simhashDocs _,
     "q_simhash_dups"       -> simhashDups _,
+    "q_simhash_wide_dups"  -> simhashWideDups _,
+    "q_stratified_sample"  -> stratifiedSample _,
   )
 
   private val mhExprs: String = (0 until 8).map { j =>
@@ -400,6 +484,15 @@ object TextOps extends QueryModule {
   private val simhashExpr: String = (0 until 32).map { b =>
     s"(CASE WHEN list_sum(list_transform(t, x -> CASE WHEN (${dHash32(0, "x")} >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
   }.mkString(" + ")
+
+  private def dHash60(seed: Int, s: String): String =
+    s"('0x'||substr(md5('$seed|'||($s)),1,15))::BIGINT"
+
+  // per-token hashes materialize ONCE (hs list), then 60 bit-votes fold
+  // over the precomputed list — the naive form re-hashes every token 60×
+  private val simhashWideExpr: String = "(" + (0 until 60).map { b =>
+    s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+  }.mkString(" + ") + ")"
 
   override val oracles: Map[String, String] = Map(
     "q_doc_stats" ->
@@ -575,5 +668,29 @@ object TextOps extends QueryModule {
          |  FROM b x JOIN b y
          |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
          |SELECT d1, d2, hamming FROM cand WHERE hamming <= 2""".stripMargin,
+    "q_simhash_wide_dups" ->
+      s"""WITH hs AS (SELECT doc_id,
+         |              list_transform($dToks, x -> ${dHash60(0, "x")}) AS hs
+         |            FROM documents),
+         |s AS (SELECT doc_id, $simhashWideExpr AS sh FROM hs),
+         |b AS (SELECT doc_id, sh, band, (sh >> (15*band)) & 32767 AS bval
+         |      FROM s CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |    CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+         |  FROM b x JOIN b y
+         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT source, n_chars,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS h
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM h GROUP BY 1, 2""".stripMargin,
   )
 }
