@@ -373,6 +373,30 @@ object Relational extends QueryModule {
         pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
   }
 
+  /** Lag-gap sessionization — the batch/SQL complement of the native
+    * `session_window` (q_session_window): a session breaks when the gap to
+    * the previous event exceeds 30 min; session ids are the running sum of
+    * break flags. One shuffle on user_id, then two linear window passes —
+    * the same single-partition-per-key cost every sessionizer pays, with
+    * per-user output invariant under same-second tie order (gaps over the
+    * sorted multiset of times don't depend on tie permutation). */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("t"), 1).over(wOrd)
+    e.withColumn("new_sess",
+        when(prev.isNull || col("t") - prev > 1800, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(wCum))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(max(col("sess_id")).as("n_sessions"),
+        sum(col("cnt")).as("n_events"),
+        max(col("cnt")).as("max_sess_events"))
+  }
+
   /** PIVOT (wide-format rollup) — the serving-layer shape ADS mappers
     * build by hand with per-status CASE stacks (TradeStatsMapper-style);
     * `.pivot` with an EXPLICIT value list keeps it one pass (no distinct
@@ -410,6 +434,7 @@ object Relational extends QueryModule {
     "q_orders_per_month"  -> ordersPerMonth _,
     "q_value_quantiles"   -> valueQuantiles _,
     "q_pivot_status"      -> pivotStatus _,
+    "q_sessionize"        -> sessionize _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -472,6 +497,26 @@ object Relational extends QueryModule {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b.buy_s >= v.view_s AND b.buy_s <= v.view_s + 3600
         |GROUP BY v.user_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+        |g AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN LAG(t) OVER w IS NULL
+        |         OR t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g),
+        |per_sess AS (
+        |  SELECT user_id, sess_id, COUNT(*) AS cnt
+        |  FROM s GROUP BY user_id, sess_id)
+        |SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_sess_events
+        |FROM per_sess GROUP BY user_id""".stripMargin,
     "q_pivot_status" ->
       """SELECT o_orderpriority,
         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,

@@ -457,6 +457,44 @@ object TextOps extends QueryModule {
       .filter(col("hamming") <= 3)
   }
 
+  /** Near-dup CLUSTERS: connected components over the SimHash dup-pair
+    * graph, so each duplicate family keeps exactly one representative (the
+    * min doc_id) — the step after pair generation in every dedup pipeline
+    * (pairs alone over-delete: A~B, B~C must not drop both B and C on A's
+    * account unless they're one family).
+    *
+    * Pregel-style min-label propagation: every node adopts the min
+    * component id among itself and its neighbors until fixpoint. The loop
+    * is a driver loop but the DATA never leaves the cluster — each round
+    * is one join + one agg over the PAIR graph, which is collision-sized
+    * (≈ dup families), orders of magnitude smaller than the corpus;
+    * rounds ≈ graph diameter (near-dup families are dense, so 2–4).
+    * Each round localCheckpoints to cut lineage growth. Deterministic:
+    * min-label is order-free. Oracle: DuckDB recursive-CTE reachability
+    * with MIN over the reachable set. */
+  def neardupComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = simhashDups(s, d).select(col("d1"), col("d2"))
+    val edges = pairs
+      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("d2") === labels("id"))
+        .groupBy(edges("d1").as("nid")).agg(min(col("comp")).as("nbr_comp"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp2"))
+        .localCheckpoint()
+      changed = updated.filter(col("comp2") < col("comp")).count()
+      labels = updated.select(col("id"), col("comp2").as("comp"))
+    }
+    labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_stats"          -> docStats _,
     "q_doc_quality"        -> docQuality _,
@@ -473,6 +511,7 @@ object TextOps extends QueryModule {
     "q_simhash_dups"       -> simhashDups _,
     "q_simhash_wide_dups"  -> simhashWideDups _,
     "q_stratified_sample"  -> stratifiedSample _,
+    "q_neardup_components" -> neardupComponents _,
   )
 
   private val mhExprs: String = (0 until 8).map { j =>
@@ -681,6 +720,26 @@ object TextOps extends QueryModule {
          |  FROM b x JOIN b y
          |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
          |SELECT d1, d2, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+    "q_neardup_components" ->
+      s"""WITH RECURSIVE
+         |s AS (SELECT doc_id, $simhashExpr AS sh
+         |      FROM (SELECT doc_id, $dToks AS t FROM documents)),
+         |b AS (SELECT doc_id, sh, 0 AS band, sh & 65535 AS bval FROM s
+         |      UNION ALL
+         |      SELECT doc_id, sh, 1 AS band, sh >> 16 AS bval FROM s),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM b x JOIN b y
+         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.sh, y.sh)) <= 2),
+         |e AS (SELECT d1, d2 FROM cand UNION SELECT d2, d1 FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT d1, d1 FROM e
+         |  UNION
+         |  SELECT r.src, e.d2 FROM reach r JOIN e ON r.dst = e.d1),
+         |lab AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
+         |SELECT comp, COUNT(*) AS n_docs, MAX(id) AS max_doc
+         |FROM lab GROUP BY comp""".stripMargin,
     "q_stratified_sample" ->
       """WITH h AS (
         |  SELECT source, n_chars,
