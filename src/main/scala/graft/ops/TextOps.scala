@@ -495,6 +495,69 @@ object TextOps extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
   }
 
+  /** Intra-document repetition ratio — the Gopher/MassiveText-class
+    * quality signal the inter-doc dedup stack can't see: the fraction of
+    * REPEATED 3-gram shingles inside one document (boilerplate loops, SEO
+    * spam, degenerate generations). Pure per-row map over the shingle
+    * array — shuffle-free, whole-stage codegen, composes into the
+    * corpus-filter gate stage at zero extra passes. */
+  def repetitionRatio(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(tokens(col("text")), 3)
+    docsParallel(s, d).select(
+        col("doc_id"),
+        size(sh).as("n_sh"),
+        size(array_distinct(sh)).as("n_uniq"))
+      .withColumn("rep_ratio",
+        when(col("n_sh") > 0,
+          lit(1.0) - col("n_uniq").cast("double") / col("n_sh"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Deterministic sequence packing — the pretraining step that
+    * concatenates documents into fixed-token-budget training sequences
+    * (2048 here): docs pack in doc_id order per source, a doc starts the
+    * next sequence when its START offset crosses the budget boundary.
+    * Greedy packing is inherently order-defined, so the parallel unit is
+    * the PACKING GROUP (source here): one shuffle on the group key, one
+    * cumulative window per group. At 100 TB the group key widens to
+    * (source, hash-shard) — same plan, #shards× the parallelism, still
+    * byte-reproducible because shard assignment is content-addressed, not
+    * partition-dependent. */
+  def seqPacking(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsParallel(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(2048L)))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+  }
+
+  /** TF-IDF top terms per document (keyword extraction over the corpus).
+    * Score = tf/df as a single textually-identical division (log-free IDF
+    * keeps the ranking cross-engine bit-exact; log changes no ordering
+    * for fixed tf since log is monotone in 1/df). Two shuffles — tf by
+    * (doc, term), df by term — then a per-doc top-3 window; the df side
+    * is a broadcast-sized term dictionary at any corpus size that fits a
+    * vocabulary. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val terms = docsParallel(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_stats"          -> docStats _,
     "q_doc_quality"        -> docQuality _,
@@ -512,6 +575,9 @@ object TextOps extends QueryModule {
     "q_simhash_wide_dups"  -> simhashWideDups _,
     "q_stratified_sample"  -> stratifiedSample _,
     "q_neardup_components" -> neardupComponents _,
+    "q_repetition_ratio"   -> repetitionRatio _,
+    "q_seq_packing"        -> seqPacking _,
+    "q_tfidf_topterms"     -> tfidfTopTerms _,
   )
 
   private val mhExprs: String = (0 until 8).map { j =>
@@ -740,6 +806,34 @@ object TextOps extends QueryModule {
          |lab AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
          |SELECT comp, COUNT(*) AS n_docs, MAX(id) AS max_doc
          |FROM lab GROUP BY comp""".stripMargin,
+    "q_repetition_ratio" ->
+      s"""SELECT doc_id, len(sh) AS n_sh, len(list_distinct(sh)) AS n_uniq,
+         |  CASE WHEN len(sh) > 0
+         |       THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+         |       ELSE 0.0 END AS rep_ratio
+         |FROM (SELECT doc_id, $dShingles3 AS sh
+         |      FROM (SELECT doc_id, $dToks AS t FROM documents))""".stripMargin,
+    "q_seq_packing" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |             CAST(len($dToks) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT source, doc_id, n_tok,
+         |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM d)
+         |SELECT source, CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_tfidf_topterms" ->
+      s"""WITH terms AS (SELECT doc_id, UNNEST($dToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+         |j AS (SELECT doc_id, term, tf, df,
+         |        CAST(tf AS DOUBLE) / df AS score FROM tf JOIN df USING (term))
+         |SELECT doc_id, term, tf, df,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term ASC) AS rank
+         |FROM j QUALIFY rank <= 3""".stripMargin,
     "q_stratified_sample" ->
       """WITH h AS (
         |  SELECT source, n_chars,
