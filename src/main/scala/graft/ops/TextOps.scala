@@ -472,8 +472,17 @@ object TextOps extends QueryModule {
     * Each round localCheckpoints to cut lineage growth. Deterministic:
     * min-label is order-free. Oracle: DuckDB recursive-CTE reachability
     * with MIN over the reachable set. */
-  def neardupComponents(s: SparkSession, d: String): DataFrame = {
-    val pairs = simhashDups(s, d).select(col("d1"), col("d2"))
+  def neardupComponents(s: SparkSession, d: String): DataFrame =
+    connectedComponents(simhashDups(s, d).select(col("d1"), col("d2")))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+
+  /** Min-label propagation over an undirected `pairs(d1, d2)` graph →
+    * `(id, comp)` with comp = min node id of the component. Separated from
+    * [[neardupComponents]] so specs can drive synthetic graphs (long
+    * chains exercise multi-round convergence) through the exact
+    * production loop. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
@@ -491,8 +500,7 @@ object TextOps extends QueryModule {
       changed = updated.filter(col("comp2") < col("comp")).count()
       labels = updated.select(col("id"), col("comp2").as("comp"))
     }
-    labels.groupBy(col("comp"))
-      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+    labels
   }
 
   /** Intra-document repetition ratio — the Gopher/MassiveText-class

@@ -34,4 +34,19 @@ class TextSpec extends AnyFunSuite {
     assert(total > 0 && total <= corpus,
       s"corpus filter kept $total docs out of $corpus originals")
   }
+
+  test("connectedComponents converges on chains longer than one round " +
+      "and keeps disjoint families apart") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6-7 (diameter 6 → multi-round), triangle 10-11-12,
+    // isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("d1", "d2")
+    val got = TextOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((1L to 7L).map(_ -> 1L) ++
+      (10L to 12L).map(_ -> 10L) ++ Seq(20L -> 20L, 21L -> 20L)).toMap
+    assert(got === expected)
+  }
 }
