@@ -32,6 +32,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
+  test("every query is oracle-checked except the documented rows-only set") {
+    // adding a query without an oracle silently weakens the driver gate to
+    // a rows-only check — this list is the explicit opt-out
+    val rowsOnlyByDesign = Set("q_distinct_users_approx") // HLL: not cross-engine
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked === rowsOnlyByDesign,
+      s"queries missing oracles: ${unchecked -- rowsOnlyByDesign}")
+  }
+
   test("approx distinct tracks exact distinct within the configured rsd") {
     import org.apache.spark.sql.functions.col
     val exact = graft.ops.Relational.distinctUsers(spark, TestSession.sf)
