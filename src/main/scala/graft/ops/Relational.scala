@@ -325,6 +325,54 @@ object Relational extends QueryModule {
         sum(col("c_acctbal").cast("decimal(18,2)"))
           .cast("double").as("acctbal_sum"))
 
+  /** CUBE — all grouping-set combinations of the geo hierarchy (rollup's
+    * superset; same one-shuffle partial-agg plan, 4 grouping sets). */
+  def cubeGeo(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)"))
+          .cast("double").as("acctbal_sum"))
+
+  /** Trailing-window analytics over event-time VALUES (RANGE frame, not
+    * ROWS): per-customer daily revenue with a trailing-7-day sum. The
+    * range frame is the piece ROWS frames can't express when days are
+    * sparse — a customer ordering on days {1, 9} must NOT see day 1 in
+    * day 9's trailing week. One shuffle on the key; revenue accumulates
+    * in DECIMAL through the window and exits as double (determinism rule). */
+  def trailing7d(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_custkey"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400L).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    daily.withColumn("trail7_d", sum(col("rev_d")).over(w))
+      .select(col("o_custkey"), col("day"),
+        col("rev_d").cast("double").as("rev"),
+        col("trail7_d").cast("double").as("trail7"))
+  }
+
+  /** NTILE quartiles — equal-frequency bucketing per group (the serving
+    * layer's "quartile of customers by balance"). Total order (balance,
+    * custkey) makes bucket assignment deterministic; the rollup emits
+    * bucket stats so output stays group-sized. */
+  def ntileCustbal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("c_acctbal")).as("bal_lo"),
+        max(col("c_acctbal")).as("bal_hi"))
+  }
+
   /** Row-level filter + projection — SURVEY O2/O8 (CDC status filters,
     * column keep-lists). Predicates/pruning reach the parquet scan. */
   def filterProject(s: SparkSession, d: String): DataFrame =
@@ -435,6 +483,9 @@ object Relational extends QueryModule {
     "q_value_quantiles"   -> valueQuantiles _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
+    "q_cube_geo"          -> cubeGeo _,
+    "q_trailing_7d"       -> trailing7d _,
+    "q_ntile_custbal"     -> ntileCustbal _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -497,6 +548,32 @@ object Relational extends QueryModule {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b.buy_s >= v.view_s AND b.buy_s <= v.view_s + 3600
         |GROUP BY v.user_id""".stripMargin,
+    "q_cube_geo" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)""".stripMargin,
+    "q_trailing_7d" ->
+      """WITH daily AS (
+        |  SELECT o_custkey,
+        |    CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, day, CAST(rev_d AS DOUBLE) AS rev,
+        |  CAST(SUM(rev_d) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail7
+        |FROM daily""".stripMargin,
+    "q_ntile_custbal" ->
+      """SELECT c_mktsegment, quartile, COUNT(*) AS n_cust,
+        |  MIN(c_acctbal) AS bal_lo, MAX(c_acctbal) AS bal_hi
+        |FROM (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    NTILE(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer)
+        |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
