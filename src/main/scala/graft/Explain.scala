@@ -11,7 +11,8 @@ object Explain {
       "q_star_dim_chain", "q_rev_by_priority", "q_topk_brands",
       "q_filter_project", "q_minhash_lsh_pairs", "q_ann_bruteforce",
       "q_tumbling_window", "q_dws_sku_order", "q_corpus_filter",
-      "q_ann_multiprobe")
+      "q_ann_multiprobe", "q_asof_join", "q_neardup_components",
+      "q_tfidf_topterms", "q_value_quantiles")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sf).explain("formatted")

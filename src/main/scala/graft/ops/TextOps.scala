@@ -555,8 +555,9 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf's rows ARE the distinct (doc, term) pairs — derive df from them
+    // instead of re-scanning and re-exploding the corpus
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(broadcast(df), Seq("term"))
