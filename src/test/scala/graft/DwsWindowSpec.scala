@@ -40,4 +40,39 @@ class DwsWindowSpec extends AnyFunSuite {
     q.stop()
     assert(got === expected)
   }
+
+  test("native session_window: batch and streaming agree") {
+    // the merging-session-state path (W4): same transform, bounded vs
+    // watermark-append streaming — finalized sessions must be identical
+    def sessions(df: org.apache.spark.sql.DataFrame,
+                 watermark: Option[String]): org.apache.spark.sql.DataFrame = {
+      val src = watermark.fold(df)(w => df.withWatermark("ts", w))
+      src.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("n_events"))
+    }
+    val batchIn = Tables.events(spark, TestSession.sf)
+      .filter(col("user_id") < 10)
+      .select(col("ts"), col("user_id")).cache()
+    val expected = sessions(batchIn, None).collect().map(_.toSeq).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = sessions(in.toDF().toDF("ts", "user_id"), Some("2 seconds"))
+      .writeStream.format("memory").queryName("dws_sess")
+      .outputMode(OutputMode.Append).start()
+    in.addData(batchIn.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq)
+    q.processAllAvailable()
+    // watermark far past every session end → all sessions finalize
+    in.addData((java.sql.Timestamp.from(
+      java.time.Instant.parse("2030-01-01T00:00:00Z")), 99999L))
+    q.processAllAvailable()
+    val got = spark.table("dws_sess")
+      .filter(col("user_id") =!= 99999L)
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    assert(got === expected)
+  }
 }
