@@ -567,6 +567,33 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Corpus mixing — enforce per-source document quotas (the mixture-
+    * weights step after filtering, before packing): keep the first
+    * `quota(source)` docs per source in md5-hash order. Hash order makes
+    * the selection a deterministic uniform subsample (no RNG, stable
+    * across engines/cluster sizes) and keeps it consistent under corpus
+    * growth: a doc's keep/drop flips only when the quota boundary moves
+    * past its hash. Top-N-per-group rides the rank window with
+    * WindowGroupLimit pushdown — each task pre-prunes to N before the
+    * group shuffle. */
+  def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val quota = when(col("source") === "web", 60)
+      .when(col("source") === "books", 40)
+      .when(col("source") === "code", 30)
+      .otherwise(20)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hkey").asc, col("doc_id").asc)
+    docsParallel(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("hkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"),
+        min(col("hkey")).as("first_hkey"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_stats"          -> docStats _,
     "q_doc_quality"        -> docQuality _,
@@ -587,6 +614,7 @@ object TextOps extends QueryModule {
     "q_repetition_ratio"   -> repetitionRatio _,
     "q_seq_packing"        -> seqPacking _,
     "q_tfidf_topterms"     -> tfidfTopTerms _,
+    "q_corpus_mix"         -> corpusMix _,
   )
 
   private val mhExprs: String = (0 until 8).map { j =>
@@ -815,6 +843,21 @@ object TextOps extends QueryModule {
          |lab AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
          |SELECT comp, COUNT(*) AS n_docs, MAX(id) AS max_doc
          |FROM lab GROUP BY comp""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hkey,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM ranked
+        |  WHERE rk <= CASE source WHEN 'web' THEN 60 WHEN 'books' THEN 40
+        |                          WHEN 'code' THEN 30 ELSE 20 END)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+        |  MIN(hkey) AS first_hkey
+        |FROM kept GROUP BY source""".stripMargin,
     "q_repetition_ratio" ->
       s"""SELECT doc_id, len(sh) AS n_sh, len(list_distinct(sh)) AS n_uniq,
          |  CASE WHEN len(sh) > 0

@@ -41,6 +41,19 @@ class RelationalSpec extends AnyFunSuite {
       s"queries missing oracles: ${unchecked -- rowsOnlyByDesign}")
   }
 
+  test("lag-gap sessionizer agrees with native session_window") {
+    import org.apache.spark.sql.functions._
+    // two independent 30-min-gap sessionizers over the same events must
+    // count the same sessions per user
+    val viaLag = graft.ops.Relational.sessionize(spark, TestSession.sf)
+      .select(col("user_id"), col("n_sessions")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaNative = graft.ops.WindowOps.sessionWindow(spark, TestSession.sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLag === viaNative)
+  }
+
   test("approx distinct tracks exact distinct within the configured rsd") {
     import org.apache.spark.sql.functions.col
     val exact = graft.ops.Relational.distinctUsers(spark, TestSession.sf)
