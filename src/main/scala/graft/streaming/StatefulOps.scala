@@ -118,6 +118,54 @@ object StatefulOps {
           out.result().iterator
         })
 
+  /** Buffer for the out-of-order as-of variant: the latest FINALIZED view
+    * time plus the not-yet-finalized events above the watermark. */
+  case class AsofBuffer(lastView: Long, pending: Seq[TaggedEvent])
+
+  private implicit val asofBufEnc: Encoder[AsofBuffer] = Encoders.product[AsofBuffer]
+
+  /** Watermark-correct as-of attribution: unlike [[asofAttribution]] (O(1)
+    * state, but requires cross-batch event-time-ordered arrival), this
+    * variant accepts ARBITRARY cross-batch disorder within the watermark
+    * bound — the trade every streaming join makes explicit. Events buffer
+    * in state until the watermark passes their time; only then do they
+    * process, in full (t, side) event order, so a view arriving two
+    * batches after a later buy still wins attribution. State is bounded by
+    * the watermark horizon per key (not history): finalized prefix
+    * collapses to ONE long. The input must carry a watermark on
+    * `timestamp_seconds(t)`; an event-time timeout drains buffers for
+    * keys that stop receiving events. */
+  def asofBuffered(ds: Dataset[TaggedEvent]): Dataset[AsofMatch] =
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, events: Iterator[TaggedEvent],
+         state: GroupState[AsofBuffer]) => {
+          val st = state.getOption.getOrElse(AsofBuffer(Long.MinValue, Nil))
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val all = st.pending ++ events
+          // watermark guarantees nothing older arrives: times ≤ watermark
+          // are final and safe to order
+          val (ripe, hold) = all.partition(_.t <= wmSec)
+          var lastView = st.lastView
+          val out = Vector.newBuilder[AsofMatch]
+          ripe.sortBy(e => (e.t, e.side)).foreach { e =>
+            if (e.side == 0) lastView = math.max(lastView, e.t)
+            else if (lastView != Long.MinValue)
+              out += AsofMatch(e.eventId, e.userId, e.t, e.t - lastView)
+          }
+          if (hold.isEmpty && lastView == Long.MinValue) state.remove()
+          else {
+            state.update(AsofBuffer(lastView, hold))
+            if (hold.nonEmpty)
+              // wake when the earliest held event finalizes (must arm
+              // strictly above the current watermark)
+              state.setTimeoutTimestamp(math.max(hold.map(_.t).min * 1000,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          out.result().iterator
+        })
+
   /** O9 — new/old visitor repair: `is_new=1` is rewritten to `0` when the
     * mid was first seen on an earlier date (BaseLogApp.java:71-108). State =
     * first-visit date. */

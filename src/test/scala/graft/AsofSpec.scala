@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Relational
-import graft.streaming.StatefulOps.{AsofMatch, TaggedEvent, asofAttribution}
+import graft.streaming.StatefulOps.{AsofMatch, TaggedEvent, asofAttribution, asofBuffered}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -51,6 +51,68 @@ class AsofSpec extends AnyFunSuite {
       q.processAllAvailable()
     }
     val got = spark.table("asof_stream").as[AsofMatch].collect().toSet
+    q.stop()
+    assert(got === expected)
+  }
+
+  private def bufferedStream(name: String, delay: String)(implicit
+      sqlCtx: org.apache.spark.sql.SQLContext) = {
+    import sqlCtx.sparkSession.implicits._
+    val in = MemoryStream[TaggedEvent]
+    val withWm = in.toDS().toDF()
+      .withColumn("eventTime", timestamp_seconds(col("t")))
+      .withWatermark("eventTime", delay)
+      .as[TaggedEvent]
+    val q = asofBuffered(withWm).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    (in, q)
+  }
+
+  test("asofBuffered attributes a view that arrives AFTER a later buy") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 60 s disorder budget: the t=50 view arriving after the t=100 buy is
+    // within-watermark disorder, not late data
+    val (in, q) = bufferedStream("asof_ooo", "60 seconds")
+    in.addData(TaggedEvent(1L, 100L, 1, 901L)) // buy first — held (wm=0)
+    q.processAllAvailable()
+    assert(spark.table("asof_ooo").isEmpty)
+    in.addData(TaggedEvent(1L, 50L, 0, -1L)) // the view arrives late
+    q.processAllAvailable()
+    in.addData(TaggedEvent(2L, 10000L, 0, -1L)) // push watermark far past
+    q.processAllAvailable()
+    val got = spark.table("asof_ooo").as[AsofMatch].collect().toSet
+    q.stop()
+    assert(got === Set(AsofMatch(901L, 1L, 100L, 50L)))
+  }
+
+  test("asofBuffered equals the batch as-of join under shuffled chunks") {
+    import spark.implicits._
+    val expected = Relational.asofJoin(spark, TestSession.sf)
+      .collect().map(r => AsofMatch(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+
+    val ev = Tables.events(spark, TestSession.sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        coalesce(col("event_id"), lit(-1L)).as("event_id"))
+      .collect()
+      .map(r => TaggedEvent(r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_.t)
+
+    implicit val sqlCtx = spark.sqlContext
+    val (in, q) = bufferedStream("asof_buf", "60 seconds")
+    // time-ordered chunks, each internally REVERSED: arbitrary disorder
+    // inside the watermark bound, monotone across chunks
+    ev.grouped(math.max(1, ev.length / 5)).foreach { chunk =>
+      in.addData(chunk.reverse.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    in.addData(TaggedEvent(99999L, ev.last.t + 100000L, 0, -1L)) // drain
+    q.processAllAvailable()
+    val got = spark.table("asof_buf").as[AsofMatch].collect().toSet
     q.stop()
     assert(got === expected)
   }
