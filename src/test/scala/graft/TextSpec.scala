@@ -35,6 +35,32 @@ class TextSpec extends AnyFunSuite {
       s"corpus filter kept $total docs out of $corpus originals")
   }
 
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { trial =>
+      val n = 12 + rnd.nextInt(12)
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: plain union-find with min-root normalization
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(x => x -> find(x)).toMap
+      val got = TextOps.connectedComponents(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial, edges $edges")
+    }
+  }
+
   test("connectedComponents converges on chains longer than one round " +
       "and keeps disjoint families apart") {
     import spark.implicits._
