@@ -102,7 +102,27 @@ object MultimodalOps extends QueryModule {
       .toDF("doc_id", "new_w", "new_h", "resized_n_bytes", "sample_mean")
   }
 
+  /** Feature-extract-then-aggregate: per-format 16-bin value histogram
+    * over each payload's first 64 "pixels" — the corpus-statistics shape
+    * (channel distributions, clipping detection) a real vision pipeline
+    * aggregates after decode. Payload bytes stay map-side; only (format,
+    * bin) pairs reach the shuffle, and the partial agg combines them to
+    * ≤ formats×16 rows per task regardless of corpus size. */
+  def mmHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .select(col("format"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fmt, bytes) =>
+        bytes.take(64).map(b => (fmt, (b & 0xff) / 16))
+      })
+      .toDF("format", "bin")
+      .groupBy(col("format"), col("bin"))
+      .agg(count(lit(1)).as("n_bytes"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_histogram" -> mmHistogram _,
     "q_mm_resize"   -> mmResize _,
     "q_mm_metadata" -> mmMetadata _,
     "q_mm_frames"   -> mmFrames _,
@@ -110,6 +130,17 @@ object MultimodalOps extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_mm_histogram" ->
+      """WITH m AS (SELECT
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  hex(encode(text)) AS hx,
+        |  LEAST(octet_length(encode(text)), 64) AS n FROM documents),
+        |e AS (SELECT format, hx, UNNEST(range(0, n)) AS i FROM m)
+        |SELECT format,
+        |  ('0x' || substring(hx, 2*i+1, 2))::BIGINT // 16 AS bin,
+        |  COUNT(*) AS n_bytes
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "q_mm_metadata" ->
       """SELECT doc_id,
         |  CAST(64 + doc_id % 128 AS INT) AS width,
