@@ -267,7 +267,18 @@ object TextOps extends QueryModule {
     * the same honesty device as q_embed_neardup's planted near-copies).
     * Stage 2 removes every planted copy (the original has the smaller
     * doc_id), and stages 1–3 all run over the augmented corpus. */
-  def corpusFilter(s: SparkSession, d: String): DataFrame = {
+  def corpusFilter(s: SparkSession, d: String): DataFrame =
+    filteredCorpus(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tok"),
+        sum(col("char_sum")).as("total_chars"))
+
+  /** Stages 1–3 of [[corpusFilter]] (gates → exact dedup → near-dup
+    * removal), returning the SURVIVING docs — exposed so downstream
+    * compositions (the cleaned-index ANN pipeline in VectorOps) consume
+    * the same filtered corpus the rollup reports on. */
+  private[ops] def filteredCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d)
       .select(col("doc_id"), col("text"), col("source"))
     val aug = docs.unionAll(
@@ -295,10 +306,7 @@ object TextOps extends QueryModule {
     val drops = nearDupPairsOf(s, aug)
       .select(col("d2").as("doc_id")).distinct()
     deduped.join(drops, Seq("doc_id"), "left_anti")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).cast("long").as("total_tok"),
-        sum(col("char_sum")).as("total_chars"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("char_sum"))
   }
 
   /** 32-bit SimHash per document (majority vote over token-hash bits).
@@ -636,6 +644,67 @@ object TextOps extends QueryModule {
     s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
   }.mkString(" + ") + ")"
 
+  /** Shared oracle CTE chain for the corpus filter: documents → planted
+    * copies → MinHash bands → LSH candidates → Jaccard drops →
+    * quality/lang gates → keep-first dedup (`ded`) → the surviving doc
+    * set (`surv`). Consumers prepend WITH and append their final SELECT
+    * (the cleaned-index ANN oracle in VectorOps builds on this). */
+  private[ops] val corpusSurvivorCtes: String =
+    s"""docs AS (SELECT doc_id, text, source FROM documents),
+       |aug AS (SELECT * FROM docs UNION ALL
+       |        SELECT doc_id + 10000, text, source FROM docs
+       |        WHERE doc_id % 40 = 0),
+       |sig AS (
+       |  SELECT doc_id, $mhExprs
+       |  FROM (SELECT doc_id, $dShingles3 AS sh
+       |        FROM (SELECT doc_id, $dToks AS t FROM aug))),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS bkey FROM sig
+       |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+       |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig
+       |  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sets AS (
+       |  SELECT doc_id, list_distinct($dShingles3) AS shset
+       |  FROM (SELECT doc_id, $dToks AS t FROM aug)),
+       |drops AS (
+       |  SELECT DISTINCT d2 AS doc_id FROM cand
+       |  JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+       |    (len(a.shset) + len(b.shset) -
+       |     len(list_intersect(a.shset, b.shset))) >= 0.6),
+       |feat AS (
+       |  SELECT doc_id, source, text, len(t) AS n_tok,
+       |    len(list_filter(t, x -> x IN ${dIn(EnMarkers)})) AS stop_ct,
+       |    len(list_filter(t, x -> x IN ${dIn(CodeMarkers)})) AS code_ct,
+       |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+       |      AS char_sum
+       |  FROM (SELECT doc_id, source, text, $dToks AS t FROM aug)),
+       |qd AS (
+       |  SELECT *, CAST(stop_ct AS DOUBLE)/n_tok AS stop_ratio,
+       |    CAST(char_sum AS DOUBLE)/n_tok AS avg_tok_len,
+       |    CASE WHEN stop_ct = 0 AND code_ct = 0 THEN 'und'
+       |         WHEN stop_ct >= code_ct THEN 'en' ELSE 'code' END
+       |      AS pred_lang
+       |  FROM feat),
+       |filt AS (
+       |  SELECT * FROM qd WHERE pred_lang = 'en' AND
+       |    (CASE WHEN n_tok BETWEEN 30 AND 500 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.6
+       |       THEN 1 ELSE 0 END) +
+       |    (CASE WHEN avg_tok_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+       |    >= 2),
+       |ded AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |      ORDER BY doc_id) AS rn FROM filt) WHERE rn = 1),
+       |surv AS (
+       |  SELECT doc_id FROM ded
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM drops))""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "q_doc_stats" ->
       s"""SELECT doc_id, length(text) AS len_chars,
@@ -739,61 +808,11 @@ object TextOps extends QueryModule {
          |  FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
          |SELECT d1, d2, common, jaccard FROM verified WHERE jaccard >= 0.6""".stripMargin,
     "q_corpus_filter" ->
-      s"""WITH docs AS (SELECT doc_id, text, source FROM documents),
-         |aug AS (SELECT * FROM docs UNION ALL
-         |        SELECT doc_id + 10000, text, source FROM docs
-         |        WHERE doc_id % 40 = 0),
-         |sig AS (
-         |  SELECT doc_id, $mhExprs
-         |  FROM (SELECT doc_id, $dShingles3 AS sh
-         |        FROM (SELECT doc_id, $dToks AS t FROM aug))),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS bkey FROM sig
-         |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
-         |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig
-         |  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |sets AS (
-         |  SELECT doc_id, list_distinct($dShingles3) AS shset
-         |  FROM (SELECT doc_id, $dToks AS t FROM aug)),
-         |drops AS (
-         |  SELECT DISTINCT d2 AS doc_id FROM cand
-         |  JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id
-         |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
-         |    (len(a.shset) + len(b.shset) -
-         |     len(list_intersect(a.shset, b.shset))) >= 0.6),
-         |feat AS (
-         |  SELECT doc_id, source, text, len(t) AS n_tok,
-         |    len(list_filter(t, x -> x IN ${dIn(EnMarkers)})) AS stop_ct,
-         |    len(list_filter(t, x -> x IN ${dIn(CodeMarkers)})) AS code_ct,
-         |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
-         |      AS char_sum
-         |  FROM (SELECT doc_id, source, text, $dToks AS t FROM aug)),
-         |qd AS (
-         |  SELECT *, CAST(stop_ct AS DOUBLE)/n_tok AS stop_ratio,
-         |    CAST(char_sum AS DOUBLE)/n_tok AS avg_tok_len,
-         |    CASE WHEN stop_ct = 0 AND code_ct = 0 THEN 'und'
-         |         WHEN stop_ct >= code_ct THEN 'en' ELSE 'code' END
-         |      AS pred_lang
-         |  FROM feat),
-         |filt AS (
-         |  SELECT * FROM qd WHERE pred_lang = 'en' AND
-         |    (CASE WHEN n_tok BETWEEN 30 AND 500 THEN 1 ELSE 0 END) +
-         |    (CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.6
-         |       THEN 1 ELSE 0 END) +
-         |    (CASE WHEN avg_tok_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
-         |    >= 2),
-         |ded AS (
-         |  SELECT * FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
-         |      ORDER BY doc_id) AS rn FROM filt) WHERE rn = 1)
+      s"""WITH $corpusSurvivorCtes
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
          |  CAST(SUM(char_sum) AS BIGINT) AS total_chars
-         |FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |FROM ded WHERE doc_id IN (SELECT doc_id FROM surv)
          |GROUP BY 1""".stripMargin,
     "q_simhash" ->
       s"""SELECT doc_id, $simhashExpr AS simhash32

@@ -303,7 +303,33 @@ object VectorOps extends QueryModule {
       .select(col("probe_id"), col("c_label"), col("neighbor_id"), col("rank"))
   }
 
+  /** The composed EMBEDDING flagship — ANN over the CLEANED corpus: the
+    * text-side pipeline (quality gate → language gate → exact dedup →
+    * near-dup removal, TextOps.filteredCorpus) decides which docs exist;
+    * only the survivors' embeddings enter the index; probes rank against
+    * that filtered index. The cross-module shape a training-data platform
+    * actually runs — filtering must happen BEFORE index build, or deleted
+    * near-dups keep surfacing as neighbors. Survivor set broadcasts as a
+    * semi-join (ids only, never text); scoring and top-k reuse the
+    * brute-force path (codegen dot product, two-level heaps). */
+  def embedPipeline(s: SparkSession, d: String): DataFrame = {
+    val surv = TextOps.filteredCorpus(s, d).select(col("doc_id").as("vec_id"))
+    val e = embParallel(s, d)
+    val index = e.join(broadcast(surv), Seq("vec_id"), "left_semi")
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val scored = index
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pvec"), col("cvec")).as("sim"))
+    topKPerProbe(scored, 5)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_pipeline" -> embedPipeline _,
     "q_embed_norms"    -> embedNorms _,
     "q_embed_norms_sql" -> embedNormsSql _,
     "q_ann_bruteforce" -> annBruteforce _,
@@ -333,6 +359,20 @@ object VectorOps extends QueryModule {
   private val dBucketNearDup: String = dBucketFor(PlanesNearDup)
 
   override val oracles: Map[String, String] = Map(
+    "q_embed_pipeline" ->
+      s"""WITH ${TextOps.corpusSurvivorCtes},
+         |p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |      FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+         |      FROM embeddings
+         |      WHERE vec_id IN (SELECT doc_id FROM surv)),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id, ${dCos("pvec", "cvec")} AS sim
+         |  FROM c CROSS JOIN p WHERE neighbor_id <> probe_id)
+         |SELECT probe_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |FROM scored
+         |QUALIFY rank <= 5""".stripMargin,
     "q_embed_norms" ->
       s"""SELECT vec_id, label, len(embedding) AS dim,
          |  ${dDot("embedding", "embedding")} AS norm_sq
