@@ -3,13 +3,15 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** The four custom stateful operators SURVEY §4 concludes Spark needs code
+/** The custom stateful operators SURVEY §4 concludes Spark needs code
   * for (everything else maps to built-ins): per-day dedup counters (A5),
-  * new/old visitor repair (O9), keep-latest changelog dedup (O18), and the
-  * CEP-equivalent bounce detector (W6). All are `flatMapGroupsWithState`
-  * over typed Datasets — state lives in the state store, scales with
-  * #executors, and is checkpointable (which the reference's jobs designed
-  * but disabled, BaseLogApp.java:33-44).
+  * new/old visitor repair (O9), keep-latest changelog dedup (O18), the
+  * CEP-equivalent bounce detector (W6), plus the training-pipeline
+  * extensions — ingest-time exact dedup and as-of attribution in two
+  * variants (O(1)-state in-order, and watermark-buffered out-of-order).
+  * All are `flatMapGroupsWithState` over typed Datasets — state lives in
+  * the state store, scales with #executors, and is checkpointable (which
+  * the reference's jobs designed but disabled, BaseLogApp.java:33-44).
   *
   * Scale: state is per-key and O(bytes) — a date string (A5/O9), one held
   * row (O18/W6). Keys hash-partition across the cluster; no operator here

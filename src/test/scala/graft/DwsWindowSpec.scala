@@ -41,6 +41,32 @@ class DwsWindowSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("drop-late default: a window agg ignores events behind the watermark") {
+    // SURVEY W3 — the reference relies on Flink's drop-late default; the
+    // Spark equivalent is watermark-based finalization: an event arriving
+    // after the watermark passed its window must not resurrect it
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = in.toDF().toDF("ts", "event_type", "value")
+    val q = DwsWindows.trafficChannelWindow(streamDf, watermark = Some("2 seconds"))
+      .writeStream.format("memory").queryName("dws_late")
+      .outputMode(OutputMode.Append).start()
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    in.addData((ts(100), "on_time", 1.0))
+    q.processAllAvailable()
+    in.addData((ts(200), "advance", 1.0)) // watermark → 198 s
+    q.processAllAvailable()
+    in.addData((ts(50), "too_late", 1.0)) // behind the watermark → dropped
+    q.processAllAvailable()
+    in.addData((ts(10000), "flush", 1.0)) // finalize everything live
+    q.processAllAvailable()
+    val types = spark.table("dws_late")
+      .select("event_type").collect().map(_.getString(0)).toSet
+    q.stop()
+    assert(types.contains("on_time") && types.contains("advance"))
+    assert(!types.contains("too_late"), "late event resurrected a closed window")
+  }
+
   test("native session_window: batch and streaming agree") {
     // the merging-session-state path (W4): same transform, bounded vs
     // watermark-append streaming — finalized sessions must be identical
