@@ -325,6 +325,21 @@ object Relational extends QueryModule {
         sum(col("c_acctbal").cast("decimal(18,2)"))
           .cast("double").as("acctbal_sum"))
 
+  /** Fuzzy matching / entity resolution on a value DICTIONARY: near-equal
+    * brand pairs by edit distance ≤ 1. The quadratic self-join runs over
+    * DISTINCT values (vocabulary-sized, broadcast), never over rows — the
+    * dim-hygiene shape (typo'd brand/category labels) where the
+    * dictionary stays small as data grows. A dictionary too big to
+    * broadcast gets q-gram LSH blocking first — the same
+    * candidates-then-verify pattern as the MinHash near-dup stack. */
+  def fuzzyBrand(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.part(s, d).select(col("p_brand")).distinct()
+    b.as("x").join(broadcast(b.as("y")), col("x.p_brand") < col("y.p_brand"))
+      .select(col("x.p_brand").as("b1"), col("y.p_brand").as("b2"),
+        levenshtein(col("x.p_brand"), col("y.p_brand")).as("dist"))
+      .filter(col("dist") <= 1)
+  }
+
   /** CUBE — all grouping-set combinations of the geo hierarchy (rollup's
     * superset; same one-shuffle partial-agg plan, 4 grouping sets). */
   def cubeGeo(s: SparkSession, d: String): DataFrame =
@@ -484,6 +499,7 @@ object Relational extends QueryModule {
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
     "q_cube_geo"          -> cubeGeo _,
+    "q_fuzzy_brand"       -> fuzzyBrand _,
     "q_trailing_7d"       -> trailing7d _,
     "q_ntile_custbal"     -> ntileCustbal _,
   )
@@ -548,6 +564,12 @@ object Relational extends QueryModule {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b.buy_s >= v.view_s AND b.buy_s <= v.view_s + 3600
         |GROUP BY v.user_id""".stripMargin,
+    "q_fuzzy_brand" ->
+      """WITH b AS (SELECT DISTINCT p_brand FROM part)
+        |SELECT x.p_brand AS b1, y.p_brand AS b2,
+        |  levenshtein(x.p_brand, y.p_brand) AS dist
+        |FROM b x JOIN b y ON x.p_brand < y.p_brand
+        |WHERE levenshtein(x.p_brand, y.p_brand) <= 1""".stripMargin,
     "q_cube_geo" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
