@@ -575,6 +575,33 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Content scrubbing with an audit trail — the redaction stage (PII /
+    * policy terms) every corpus runs before training, plus the counts
+    * compliance wants: per source, how many docs were touched, how many
+    * terms dropped, size before/after. Token-level rewrite (the corpus is
+    * single-space tokenized) — interpreted HOFs are fine here because
+    * scrub runs once per ingest, not in the per-query hot path; a
+    * throughput-critical deployment would lower it into the same
+    * mapPartitions shape as the SimHash loop. */
+  def docScrub(s: SparkSession, d: String): DataFrame = {
+    val sensitive = Seq("customer", "order", "user")
+    val t = tokens(col("text"))
+    val hits = size(filter(t, x => x.isin(sensitive.map(lit): _*)))
+    val redacted = array_join(
+      transform(t, x =>
+        when(x.isin(sensitive.map(lit): _*), lit("<x>")).otherwise(x)), " ")
+    docsParallel(s, d)
+      .select(col("source"), col("doc_id"), hits.as("n_hits"),
+        length(col("text")).as("len_before"),
+        length(redacted).as("len_after"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1).otherwise(0)).as("docs_touched"),
+        sum(col("n_hits")).as("terms_redacted"),
+        sum(col("len_before")).as("chars_before"),
+        sum(col("len_after")).as("chars_after"))
+  }
+
   /** Corpus mixing — enforce per-source document quotas (the mixture-
     * weights step after filtering, before packing): keep the first
     * `quota(source)` docs per source in md5-hash order. Hash order makes
@@ -623,6 +650,7 @@ object TextOps extends QueryModule {
     "q_seq_packing"        -> seqPacking _,
     "q_tfidf_topterms"     -> tfidfTopTerms _,
     "q_corpus_mix"         -> corpusMix _,
+    "q_doc_scrub"          -> docScrub _,
   )
 
   private val mhExprs: String = (0 until 8).map { j =>
@@ -862,6 +890,21 @@ object TextOps extends QueryModule {
          |lab AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
          |SELECT comp, COUNT(*) AS n_docs, MAX(id) AS max_doc
          |FROM lab GROUP BY comp""".stripMargin,
+    "q_doc_scrub" ->
+      s"""WITH b AS (
+         |  SELECT source,
+         |    len(list_filter(t, x -> x IN ('customer','order','user'))) AS n_hits,
+         |    length(text) AS len_before,
+         |    length(array_to_string(list_transform(t,
+         |      x -> CASE WHEN x IN ('customer','order','user')
+         |           THEN '<x>' ELSE x END), ' ')) AS len_after
+         |  FROM (SELECT source, text, $dToks AS t FROM documents))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+         |  CAST(SUM(n_hits) AS BIGINT) AS terms_redacted,
+         |  CAST(SUM(len_before) AS BIGINT) AS chars_before,
+         |  CAST(SUM(len_after) AS BIGINT) AS chars_after
+         |FROM b GROUP BY source""".stripMargin,
     "q_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT source, doc_id, n_chars,
