@@ -72,7 +72,10 @@ object Bench {
     val isolated = results.filter(_._2 >= 0).sortBy(-_._3).take(nIsolated)
       .map { case (name, _, _) => (name, timed(selected(name), name)._1) }
 
-    def jnum(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which on a
+    // comma-decimal JVM would print 53,200 and corrupt the JSON line
+    def jnum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val qs = obj(results.map(r => (r._1, r._2)))

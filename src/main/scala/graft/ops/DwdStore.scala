@@ -46,10 +46,16 @@ object DwdStore {
     f.delete(): Unit
   }
 
-  /** One store dir per source sfDir (sanitized path, not hashCode — hash
-    * collisions across dirs would silently cross-wire results). */
-  private def dirFor(d: String): String =
-    new java.io.File(root, d.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+  /** One store dir per source sfDir. The readable sanitized path alone is
+    * NOT collision-free ("/x/y" and "/x_y" both sanitize to "_x_y"), so an
+    * md5 of the raw path is appended — sanitized prefix for debuggability,
+    * digest for uniqueness. */
+  private def dirFor(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    new java.io.File(root,
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest).getPath
+  }
 
   private def ensure(s: SparkSession, d: String): String =
     built.computeIfAbsent(d, _ => {

@@ -266,7 +266,9 @@ object TextOps extends QueryModule {
     * doc_id+10000 — byte-identical text, so both engines agree exactly;
     * the same honesty device as q_embed_neardup's planted near-copies).
     * Stage 2 removes every planted copy (the original has the smaller
-    * doc_id), and stages 1–3 all run over the augmented corpus. */
+    * doc_id); stage 3's pairwise work then runs on the gate+dedup
+    * SURVIVORS only — the stage order the 100 TB cost model demands
+    * (and near-dup pairs do survive the gates, so stage 3 is live). */
   def corpusFilter(s: SparkSession, d: String): DataFrame =
     filteredCorpus(s, d)
       .groupBy(col("source"))
@@ -303,7 +305,10 @@ object TextOps extends QueryModule {
       .withColumn("rn", row_number().over(
         Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
-    val drops = nearDupPairsOf(s, aug)
+    // pairwise stage runs on the gate+dedup SURVIVORS — the documented
+    // stage order (cheap per-doc filters first); at 100 TB the survivors
+    // are the only rows that may pay MinHash/LSH/Jaccard cost
+    val drops = nearDupPairsOf(s, deduped.select(col("doc_id"), col("text")))
       .select(col("d2").as("doc_id")).distinct()
     deduped.join(drops, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_tok"), col("char_sum"))
@@ -320,23 +325,35 @@ object TextOps extends QueryModule {
     * 32 bits (not 16) because the banded near-dup join's keyspace is a
     * slice of this hash: hash width is the knob that scales the join-key
     * cardinality with corpus size (see [[simhashDups]]). */
-  def simhashDocs(s: SparkSession, d: String): DataFrame = {
+  def simhashDocs(s: SparkSession, d: String): DataFrame =
+    simhashOf(s, docsParallel(s, d), bits = 32, colName = "simhash32")
+
+  /** The one SimHash loop, parameterized by hash width — turning the
+    * width dial must never mean copy-pasting the loop. Token hash = the
+    * first `bits` bits of md5("0|tok") (first 8 digest bytes big-endian,
+    * logically right-shifted to width), which for 32 reduces to the first
+    * 4 bytes = first 8 hex chars, and for 60 to the first 15 hex chars —
+    * both bit-identical to the DuckDB oracles and (at 32) to the
+    * declarative [[TextFunctions.simhash]] Column (TextSpec parity). */
+  private def simhashOf(s: SparkSession, docs: DataFrame, bits: Int,
+      colName: String): DataFrame = {
     import s.implicits._
-    docsParallel(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
           val toks = text.split(" ", -1) // keep trailing empties: Spark split semantics
-          val votes = new Array[Int](32)
+          val votes = new Array[Int](bits)
           var i = 0
           while (i < toks.length) {
             md.reset()
             val dg = md.digest(("0|" + toks(i)).getBytes("UTF-8"))
-            // hash32 parity: first 4 digest bytes, big-endian unsigned
-            val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
-              ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+            var h = 0L
+            var k = 0
+            while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+            h = h >>> (64 - bits)
             var b = 0
-            while (b < 32) {
+            while (b < bits) {
               if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
               b += 1
             }
@@ -344,11 +361,36 @@ object TextOps extends QueryModule {
           }
           var sh = 0L
           var b = 0
-          while (b < 32) { if (votes(b) >= 0) sh |= (1L << b); b += 1 }
+          while (b < bits) { if (votes(b) >= 0) sh |= (1L << b); b += 1 }
           (id, sh)
         }
       }
-      .toDF("doc_id", "simhash32")
+      .toDF("doc_id", colName)
+  }
+
+  /** The one banded near-dup self-join, parameterized by band geometry:
+    * explode each doc into `nBands` (band, bval) keys of `bandBits` bits,
+    * self-join on the key, verify by popcount of the XOR ≤ `maxHamming`.
+    * Cost ∝ band collisions, never all-pairs; per-band keyspace =
+    * 2^bandBits scales with the hash-width dial. */
+  private def bandedDups(sig: DataFrame, hashCol: String, nBands: Int,
+      bandBits: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val bands = sig.select(col("doc_id"), col(hashCol), explode(array(
+        (0 until nBands).map(k => struct(lit(k).as("band"),
+          shiftright(col(hashCol), bandBits * k).bitwiseAND(lit(mask))
+            .as("bval"))): _*)).as("bk"))
+      .select(col("doc_id"), col(hashCol),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash near-dup pairs: 2×16-bit band candidates (a hamming-≤1 pair
@@ -363,25 +405,9 @@ object TextOps extends QueryModule {
     * squares the per-band keyspace while WIDENING recall to hamming ≤ 3.
     * Pick band width ≈ log2(corpus / target-bucket-size) so the expected
     * bucket stays O(1) and the within-bucket pairing never goes quadratic. */
-  def simhashDups(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashDocs(s, d)
-    val bands = sig.select(col("doc_id"), col("simhash32"), explode(array(
-        struct(lit(0).as("band"),
-          col("simhash32").bitwiseAND(lit(65535L)).as("bval")),
-        struct(lit(1).as("band"),
-          shiftright(col("simhash32"), 16).as("bval")))).as("bk"))
-      .select(col("doc_id"), col("simhash32"),
-        col("bk.band").as("band"), col("bk.bval").as("bval"))
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.simhash32").bitwiseXOR(col("y.simhash32")))
-          .as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 2)
-  }
+  def simhashDups(s: SparkSession, d: String): DataFrame =
+    bandedDups(simhashDocs(s, d), "simhash32",
+      nBands = 2, bandBits = 16, maxHamming = 2)
 
   /** Deterministic stratified train/val/test split — the corpus-assembly
     * primitive every training run needs: assignment is a pure function of
@@ -408,37 +434,8 @@ object TextOps extends QueryModule {
     * range in both engines: 15 md5 hex chars, same device as fp60 in
     * docFingerprint). Token hash = first 8 digest bytes big-endian >>> 4 —
     * bit-identical to DuckDB's `('0x'||substr(md5(...),1,15))::BIGINT`. */
-  def simhashWideDocs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docsParallel(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) =>
-          val toks = text.split(" ", -1)
-          val votes = new Array[Int](60)
-          var i = 0
-          while (i < toks.length) {
-            md.reset()
-            val dg = md.digest(("0|" + toks(i)).getBytes("UTF-8"))
-            var h = 0L
-            var k = 0
-            while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
-            h = h >>> 4 // keep the high 60 bits = first 15 hex chars
-            var b = 0
-            while (b < 60) {
-              if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-              b += 1
-            }
-            i += 1
-          }
-          var sh = 0L
-          var b = 0
-          while (b < 60) { if (votes(b) >= 0) sh |= (1L << b); b += 1 }
-          (id, sh)
-        }
-      }
-      .toDF("doc_id", "simhash60")
-  }
+  def simhashWideDocs(s: SparkSession, d: String): DataFrame =
+    simhashOf(s, docsParallel(s, d), bits = 60, colName = "simhash60")
 
   /** Near-dup pairs over the wide hash: 4×15-bit bands (hamming ≤ 3
     * guaranteed to share a band), popcount-verified. This is
@@ -446,24 +443,9 @@ object TextOps extends QueryModule {
     * total banded keyspace 4×32k, recall widened from hamming ≤ 2 to ≤ 3 —
     * doubling hash width squares the per-band keyspace while WIDENING
     * recall, which is why width (not bucket-capping) is the scale knob. */
-  def simhashWideDups(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashWideDocs(s, d)
-    val bands = sig.select(col("doc_id"), col("simhash60"), explode(array(
-        (0 until 4).map(k => struct(lit(k).as("band"),
-          shiftright(col("simhash60"), 15 * k).bitwiseAND(lit(32767L))
-            .as("bval"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash60"),
-        col("bk.band").as("band"), col("bk.bval").as("bval"))
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.simhash60").bitwiseXOR(col("y.simhash60")))
-          .as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
-  }
+  def simhashWideDups(s: SparkSession, d: String): DataFrame =
+    bandedDups(simhashWideDocs(s, d), "simhash60",
+      nBands = 4, bandBits = 15, maxHamming = 3)
 
   /** Near-dup CLUSTERS: connected components over the SimHash dup-pair
     * graph, so each duplicate family keeps exactly one representative (the
@@ -673,37 +655,16 @@ object TextOps extends QueryModule {
   }.mkString(" + ") + ")"
 
   /** Shared oracle CTE chain for the corpus filter: documents → planted
-    * copies → MinHash bands → LSH candidates → Jaccard drops →
-    * quality/lang gates → keep-first dedup (`ded`) → the surviving doc
-    * set (`surv`). Consumers prepend WITH and append their final SELECT
-    * (the cleaned-index ANN oracle in VectorOps builds on this). */
+    * copies → quality/lang gates → keep-first dedup (`ded`) → MinHash
+    * bands → LSH candidates → Jaccard drops (survivors only) → the
+    * surviving doc set (`surv`). Consumers prepend WITH and append their
+    * final SELECT (the cleaned-index ANN oracle in VectorOps builds on
+    * this). */
   private[ops] val corpusSurvivorCtes: String =
     s"""docs AS (SELECT doc_id, text, source FROM documents),
        |aug AS (SELECT * FROM docs UNION ALL
        |        SELECT doc_id + 10000, text, source FROM docs
        |        WHERE doc_id % 40 = 0),
-       |sig AS (
-       |  SELECT doc_id, $mhExprs
-       |  FROM (SELECT doc_id, $dShingles3 AS sh
-       |        FROM (SELECT doc_id, $dToks AS t FROM aug))),
-       |bands AS (
-       |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS bkey FROM sig
-       |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
-       |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig
-       |  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |sets AS (
-       |  SELECT doc_id, list_distinct($dShingles3) AS shset
-       |  FROM (SELECT doc_id, $dToks AS t FROM aug)),
-       |drops AS (
-       |  SELECT DISTINCT d2 AS doc_id FROM cand
-       |  JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id
-       |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
-       |    (len(a.shset) + len(b.shset) -
-       |     len(list_intersect(a.shset, b.shset))) >= 0.6),
        |feat AS (
        |  SELECT doc_id, source, text, len(t) AS n_tok,
        |    len(list_filter(t, x -> x IN ${dIn(EnMarkers)})) AS stop_ct,
@@ -729,6 +690,28 @@ object TextOps extends QueryModule {
        |  SELECT * FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
        |      ORDER BY doc_id) AS rn FROM filt) WHERE rn = 1),
+       |sig AS (
+       |  SELECT doc_id, $mhExprs
+       |  FROM (SELECT doc_id, $dShingles3 AS sh
+       |        FROM (SELECT doc_id, $dToks AS t FROM ded))),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS bkey FROM sig
+       |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+       |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig
+       |  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sets AS (
+       |  SELECT doc_id, list_distinct($dShingles3) AS shset
+       |  FROM (SELECT doc_id, $dToks AS t FROM ded)),
+       |drops AS (
+       |  SELECT DISTINCT d2 AS doc_id FROM cand
+       |  JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+       |    (len(a.shset) + len(b.shset) -
+       |     len(list_intersect(a.shset, b.shset))) >= 0.6),
        |surv AS (
        |  SELECT doc_id FROM ded
        |  WHERE doc_id NOT IN (SELECT doc_id FROM drops))""".stripMargin

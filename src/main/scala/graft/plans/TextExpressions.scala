@@ -47,5 +47,10 @@ object TextExpressions {
   /** Register `graft_tokenize` for SQL / LATERAL VIEW use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_tokenize", exprs => TokenizeGenerator(exprs.head), "built-in")
+      "graft_tokenize", exprs => {
+        // arity check at analysis time — not NoSuchElement from the builder
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"graft_tokenize expects 1 argument(s), got ${exprs.length}")
+        TokenizeGenerator(exprs.head)
+      }, "built-in")
 }

@@ -82,5 +82,10 @@ object VectorExpressions {
   /** Register `graft_dot` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+      "graft_dot", exprs => {
+        // arity check at analysis time — not IndexOutOfBounds from the builder
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_dot expects 2 argument(s), got ${exprs.length}")
+        FloatDotProduct(exprs(0), exprs(1))
+      }, "built-in")
 }

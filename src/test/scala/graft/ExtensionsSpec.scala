@@ -34,6 +34,12 @@ class ExtensionsSpec extends AnyFunSuite {
           "LATERAL VIEW graft_tokenize(t) x AS word")
         .collect().map(_.getString(0)).toSeq
       assert(words === Seq("a", "b", "c"))
+      // wrong arity surfaces as a comprehensible error, not
+      // IndexOutOfBounds from inside the builder
+      val err = intercept[Exception] {
+        s2.sql("SELECT graft_dot(array(CAST(1.0 AS FLOAT)))").collect()
+      }
+      assert(err.getMessage.contains("graft_dot expects 2 argument"))
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
