@@ -460,6 +460,29 @@ object Relational extends QueryModule {
         max(col("cnt")).as("max_sess_events"))
   }
 
+  /** Join-key skew profile — the diagnostic that DECIDES between a plain
+    * shuffle join, AQE skew split, and [[Salting.saltedEquiJoin]]: per-key
+    * row counts over the join key, top-20 hottest keys with their share of
+    * the table and their multiple of the average key size (`skew_x`). At
+    * 100 TB this is the first query an operator runs before shipping a
+    * fact⋈fact join — a key with skew_x ≫ shuffle-partition-count/keys
+    * serializes its stage through one task. One hash agg (map-side
+    * combinable, shuffle ∝ distinct keys) + a broadcast-sized global
+    * average + a top-k sort over the key-count table, never the raw rows. */
+  def skewProfile(s: SparkSession, d: String): DataFrame = {
+    val k = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = k.agg(sum(col("n")).cast("double").as("t"),
+      avg(col("n")).as("a"))
+    k.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("t"))
+      .withColumn("skew_x", col("n").cast("double") / col("a"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(20)
+      .select(col("key"), col("n"), col("share"), col("skew_x"))
+  }
+
   /** PIVOT (wide-format rollup) — the serving-layer shape ADS mappers
     * build by hand with per-status CASE stacks (TradeStatsMapper-style);
     * `.pivot` with an EXPLICIT value list keeps it one pass (no distinct
@@ -498,6 +521,7 @@ object Relational extends QueryModule {
     "q_value_quantiles"   -> valueQuantiles _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
+    "q_skew_profile"      -> skewProfile _,
     "q_cube_geo"          -> cubeGeo _,
     "q_fuzzy_brand"       -> fuzzyBrand _,
     "q_trailing_7d"       -> trailing7d _,
@@ -650,6 +674,14 @@ object Relational extends QueryModule {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_skew_profile" ->
+      """WITH k AS (SELECT o_custkey AS key, COUNT(*) AS n
+        |           FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t, AVG(n) AS a FROM k)
+        |SELECT key, n, CAST(n AS DOUBLE) / t AS share,
+        |  CAST(n AS DOUBLE) / a AS skew_x
+        |FROM k CROSS JOIN tot
+        |ORDER BY n DESC, key ASC LIMIT 20""".stripMargin,
     "q_tumbling_window" ->
       """SELECT CAST(FLOOR(epoch(ts)/10)*10 AS BIGINT) AS wstart, event_type,
         |  COUNT(*) AS n_events,
