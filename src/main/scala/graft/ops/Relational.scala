@@ -436,6 +436,25 @@ object Relational extends QueryModule {
         pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
   }
 
+  /** Approx quantiles — the unbounded-cardinality escape hatch
+    * [[valueQuantiles]]'s scale note names: `percentile_approx`'s summary
+    * is mergeable map-side and its memory is bounded by the accuracy
+    * parameter, not by value cardinality, so it stays safe when the value
+    * domain explodes (raw doubles, high-resolution timestamps). Sketch
+    * contents aren't cross-engine reproducible, so like
+    * [[distinctUsersApprox]] this is rows-only at the driver gate;
+    * RelationalSpec bounds its error against the exact histogram
+    * quantiles instead. */
+  def valueQuantilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("cents"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("cents"), lit(0.9), lit(10000)).as("p90_approx"),
+        percentile_approx(col("cents"), lit(0.99), lit(10000)).as("p99_approx"))
+
   /** Lag-gap sessionization — the batch/SQL complement of the native
     * `session_window` (q_session_window): a session breaks when the gap to
     * the previous event exceeds 30 min; session ids are the running sum of
@@ -522,6 +541,7 @@ object Relational extends QueryModule {
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
     "q_skew_profile"      -> skewProfile _,
+    "q_value_quantiles_approx" -> valueQuantilesApprox _,
     "q_cube_geo"          -> cubeGeo _,
     "q_fuzzy_brand"       -> fuzzyBrand _,
     "q_trailing_7d"       -> trailing7d _,

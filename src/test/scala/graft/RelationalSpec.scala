@@ -35,7 +35,9 @@ class RelationalSpec extends AnyFunSuite {
   test("every query is oracle-checked except the documented rows-only set") {
     // adding a query without an oracle silently weakens the driver gate to
     // a rows-only check — this list is the explicit opt-out
-    val rowsOnlyByDesign = Set("q_distinct_users_approx") // HLL: not cross-engine
+    val rowsOnlyByDesign = Set(
+      "q_distinct_users_approx",   // HLL sketch: not cross-engine
+      "q_value_quantiles_approx")  // percentile sketch: not cross-engine
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === rowsOnlyByDesign,
       s"queries missing oracles: ${unchecked -- rowsOnlyByDesign}")
@@ -68,6 +70,36 @@ class RelationalSpec extends AnyFunSuite {
       val ex = exact(k).toDouble
       assert(math.abs(est - ex) / ex <= 0.05,
         s"$k: approx $est vs exact $ex beyond 5%")
+    }
+  }
+
+  test("approx quantiles are rank-correct (the sketch's actual guarantee)") {
+    import org.apache.spark.sql.functions._
+    // percentile_approx promises RANK error (≤ 1/accuracy), not value
+    // error — at a jumpy tail a one-position rank slip can move the VALUE
+    // by several percent, so the right check is quantile bracketing:
+    // a is a valid (p±eps) quantile iff count(<a)/n ≤ p+eps and
+    // count(≤a)/n ≥ p−eps.
+    val cents = graft.Tables.events(spark, TestSession.sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val approx = graft.ops.Relational
+      .valueQuantilesApprox(spark, TestSession.sf)
+      .select(col("event_type"), col("p50_approx"), col("p90_approx"),
+        col("p99_approx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == cents.keySet)
+    val eps = 0.01
+    approx.foreach { case (k, (a50, a90, a99)) =>
+      val vs = cents(k); val n = vs.length.toDouble
+      Seq((a50, 0.50, "p50"), (a90, 0.90, "p90"), (a99, 0.99, "p99")).foreach {
+        case (a, p, lbl) =>
+          val below = vs.count(_ < a) / n
+          val atOrBelow = vs.count(_ <= a) / n
+          assert(below <= p + eps && atOrBelow >= p - eps,
+            s"$k $lbl: $a has rank window [$below, $atOrBelow], target $p±$eps")
+      }
     }
   }
 
