@@ -12,7 +12,8 @@ object Explain {
       "q_filter_project", "q_minhash_lsh_pairs", "q_ann_bruteforce",
       "q_tumbling_window", "q_dws_sku_order", "q_corpus_filter",
       "q_ann_multiprobe", "q_asof_join", "q_neardup_components",
-      "q_tfidf_topterms", "q_value_quantiles")
+      "q_tfidf_topterms", "q_value_quantiles", "q_skew_profile",
+      "q_mm_dedup")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sf).explain("formatted")
