@@ -19,6 +19,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the near-dup/LSH builders cache intermediates for their own
+      // multi-consumer plans; drop them between queries (as Bench does)
+      // so ~100 queries don't accumulate pinned blocks in one session
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -416,7 +416,11 @@ object Relational extends QueryModule {
     * sketch results aren't cross-engine-reproducible, same caveat as
     * [[distinctUsersApprox]].) */
   def valueQuantiles(s: SparkSession, d: String): DataFrame = {
+    // quantiles are over NON-NULL values by definition — and without the
+    // filter a NULL histogram row would sort NULLS FIRST here but NULLS
+    // LAST in DuckDB, shifting every cumulative count by one
     val hist = Tables.events(s, d)
+      .filter(col("value").isNotNull)
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("event_type"), col("cents"))
@@ -670,7 +674,7 @@ object Relational extends QueryModule {
       """WITH hist AS (
         |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
         |    COUNT(*) AS ct
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         |cum AS (
         |  SELECT event_type, cents,
         |    SUM(ct) OVER (PARTITION BY event_type ORDER BY cents

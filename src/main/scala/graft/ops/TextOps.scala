@@ -188,9 +188,14 @@ object TextOps extends QueryModule {
   /** LSH candidate pairs from banded signatures (4 bands × 2 rows): docs
     * colliding in ≥1 band meet in a (band, key)-keyed self-join. */
   private def lshCandidates(sig: DataFrame): DataFrame = {
+    // concat (NOT concat_ws): a shingle-less doc has NULL minhashes, and
+    // concat_ws would silently collapse them to bkey "" — pairing ALL
+    // short docs with each other. concat propagates the NULL so the
+    // equi-join skips them, exactly like the oracle's `mh0 || '_' || mh1`.
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
-        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))): _*
+        concat(col(s"mh${2 * b}"), lit("_"), col(s"mh${2 * b + 1}"))
+          .as("bkey"))): _*
     )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
     bands.as("x")
       .join(bands.as("y"),

@@ -88,9 +88,23 @@ object CdcOps {
         val existing =
           try Some(spark.read.parquet(dir)
             .filter(col("_pk_bucket").isin(touched: _*)))
-          catch { case _: Exception => None }
+          catch {
+            // ONLY first-write path-not-found means "no store yet"; any
+            // other read failure must propagate — swallowing it would
+            // rebuild the touched buckets from this batch alone and
+            // silently drop all previously merged rows
+            case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition).exists(_.contains("PATH_NOT_FOUND")) =>
+              None
+          }
         val unioned = existing.map(_.unionByName(rows)).getOrElse(rows)
-        val w = Window.partitionBy(col(r.sinkPk)).orderBy(col("_cdc_ts").desc)
+        // total order (ts desc, then every payload column) — same-ts
+        // versions of a pk must pick the SAME winner on every replay,
+        // the invariant OrderWide.keepLatestBatch pins for the batch path
+        val w = Window.partitionBy(col(r.sinkPk)).orderBy(
+          col("_cdc_ts").desc +:
+            r.sinkColumns.filterNot(_ == r.sinkPk)
+              .map(c => col(c).asc_nulls_first): _*)
         // localCheckpoint truncates lineage so the dynamic overwrite below
         // cannot re-read the very partitions it is replacing mid-write
         val merged = unioned.withColumn("_rn", row_number().over(w))
