@@ -96,4 +96,46 @@ class ForeachBatchSpec extends AnyFunSuite {
     // never touched survived the dynamic overwrite untouched
     assert(dim === expected)
   }
+
+  test("dim store: a corrupt existing store FAILS the batch instead of " +
+      "silently rebuilding the touched buckets from the batch alone") {
+    import spark.implicits._
+    val sinkRoot = java.nio.file.Files.createTempDirectory("dimsink3").toString
+    val routes = Seq(CdcOps.TableRoute("base_trademark", "dim_bad",
+      Seq("id", "name"), "id"))
+    val dir = java.nio.file.Paths.get(sinkRoot, "dim_bad")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("part-00000.parquet"),
+      "not a parquet footer".getBytes)
+    val line =
+      """{"database":"g","table":"base_trademark","type":"insert","ts":100,"data":{"id":"1","name":"apple"},"old":{}}"""
+    intercept[Exception] {
+      CdcOps.routeDims(spark, CdcOps.decode(Seq(line).toDF("line")),
+        routes, sinkRoot)
+    }
+    // and the broken store was NOT overwritten by the failed batch
+    assert(java.nio.file.Files.readAllBytes(
+      dir.resolve("part-00000.parquet")).length > 0)
+  }
+
+  test("dim store: same-timestamp versions of a pk pick a deterministic " +
+      "winner (total tie-break order)") {
+    import spark.implicits._
+    def run(): Map[String, String] = {
+      val sinkRoot = java.nio.file.Files.createTempDirectory("dimsink4").toString
+      val routes = Seq(CdcOps.TableRoute("base_trademark", "dim_tie",
+        Seq("id", "name"), "id"))
+      val mk = (name: String) =>
+        s"""{"database":"g","table":"base_trademark","type":"insert","ts":100,"data":{"id":"1","name":"$name"},"old":{}}"""
+      // same pk, same ts, conflicting payloads, adversarial input orders
+      CdcOps.routeDims(spark,
+        CdcOps.decode(Seq(mk("zebra"), mk("aardvark"), mk("mango"))
+          .toDF("line").repartition(3)), routes, sinkRoot)
+      spark.read.parquet(s"$sinkRoot/dim_tie").select("id", "name")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val r1 = run(); val r2 = run()
+    assert(r1 === r2)
+    assert(r1 === Map("1" -> "aardvark")) // asc_nulls_first tie-break = min
+  }
 }

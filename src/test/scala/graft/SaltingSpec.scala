@@ -20,4 +20,26 @@ class SaltingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(salted === plain)
   }
+
+  test("salted left join keeps unmatched fact rows exactly once") {
+    import spark.implicits._
+    val facts = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val dim = Seq((1L, "x")).toDF("k", "w")
+    val out = Salting.saltedEquiJoin(facts, dim, "k", shards = 5, "left")
+      .collect()
+    assert(out.length === 3) // 2 matched + the k=2 row once, not 5 times
+    assert(out.count(_.isNullAt(2)) === 1)
+  }
+
+  test("right/full join types are rejected: replication would duplicate " +
+      "unmatched rows per shard") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    Seq("right", "full_outer", "full").foreach { jt =>
+      val e = intercept[IllegalArgumentException] {
+        Salting.saltedEquiJoin(df, df, "k", shards = 3, jt)
+      }
+      assert(e.getMessage.contains("per shard"))
+    }
+  }
 }

@@ -21,6 +21,21 @@ class TextSpec extends AnyFunSuite {
       declarative.exceptAll(fast).isEmpty)
   }
 
+  test("LSH bands: shingle-less docs (NULL minhashes) never pair with " +
+      "each other") {
+    import spark.implicits._
+    // two sub-3-token docs (no shingles → all-NULL signatures) plus two
+    // identical long docs; only the long pair may be a candidate
+    val tmp = java.nio.file.Files.createTempDirectory("lshshort").toString
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Seq((1L, "a b"), (2L, "c d"), (3L, long), (4L, long))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = TextOps.minhashLshPairs(spark, tmp)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((3L, 4L)))
+  }
+
   test("corpus filter: no planted copy (doc_id >= 10000) survives dedup") {
     val out = TextOps.corpusFilter(spark, dir)
     // the output is per-source aggregates; re-run the pipeline's dedup
