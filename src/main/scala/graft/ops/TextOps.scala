@@ -39,9 +39,14 @@ object TextOps extends QueryModule {
   private def dHash32(seed: Int, s: String): String =
     s"('0x'||substr(md5('$seed|'||($s)),1,8))::BIGINT"
   private val dToks = "string_split(text, ' ')"
-  private val dShingles3 =
-    "CASE WHEN len(t) < 3 THEN [] ELSE list_transform(range(1, len(t)-1), " +
-      "i -> t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)]) END"
+  /** n-token shingle list over `t` — mirrors [[TextFunctions.shingles]]. */
+  private def dShinglesN(n: Int): String = {
+    val parts = (0 until n).map(k => s"t[CAST(i+$k AS INT)]")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN len(t) < $n THEN [] ELSE " +
+      s"list_transform(range(1, len(t)-${n - 2}), i -> $parts) END"
+  }
+  private val dShingles3 = dShinglesN(3)
   private def dIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** Token statistics — whitespace + regex "BPE-ish" counts.
@@ -589,6 +594,44 @@ object TextOps extends QueryModule {
         sum(col("len_after")).as("chars_after"))
   }
 
+  /** Eval-set decontamination — the pretraining hygiene step none of the
+    * self-dedup stack covers: flag training docs sharing any long n-gram
+    * span (8 tokens here) with a held-out BENCHMARK set, so eval answers
+    * can't leak into training. Distinct from near-dup: the reference set
+    * is external and tiny, the match rule is containment (one shared
+    * span), not whole-doc similarity.
+    *
+    * Scale shape: the eval set's distinct 8-gram dictionary is
+    * benchmark-sized (thousands of docs) at ANY corpus scale → broadcast
+    * semi-probe; the corpus side is a shuffle-free explode→probe map
+    * stage. Cost is O(corpus tokens), independent of corpus×eval pairing.
+    *
+    * Honesty device: the synthetic corpus and the %17 stand-in eval set
+    * share no natural 8-gram, so half the eval docs are PLANTED into the
+    * corpus under doc_id+30000 ("leaked" training copies); the query must
+    * flag exactly those. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d).select(col("doc_id"), col("text"), col("source"))
+    val evalSet = docs.filter(col("doc_id") % 17 === 0)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+      .unionAll(evalSet.filter(col("doc_id") % 34 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text"),
+          col("source")))
+    val evalGrams = evalSet
+      .select(explode(array_distinct(shingles(tokens(col("text")), 8)))
+        .as("g")).distinct()
+    val hits = corpus
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 8))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+    corpus
+      .join(hits.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+  }
+
   /** Corpus mixing — enforce per-source document quotas (the mixture-
     * weights step after filtering, before packing): keep the first
     * `quota(source)` docs per source in md5-hash order. Hash order makes
@@ -638,6 +681,7 @@ object TextOps extends QueryModule {
     "q_tfidf_topterms"     -> tfidfTopTerms _,
     "q_corpus_mix"         -> corpusMix _,
     "q_doc_scrub"          -> docScrub _,
+    "q_decontaminate"      -> decontaminate _,
   )
 
   private val mhExprs: String = (0 until 8).map { j =>
@@ -936,6 +980,22 @@ object TextOps extends QueryModule {
          |  ROW_NUMBER() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, term ASC) AS rank
          |FROM j QUALIFY rank <= 3""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH docs AS (SELECT doc_id, text, source FROM documents),
+         |ev AS (SELECT * FROM docs WHERE doc_id % 17 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text, source FROM docs WHERE doc_id % 17 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text, source FROM ev WHERE doc_id % 34 = 0),
+         |eg AS (SELECT DISTINCT UNNEST(${dShinglesN(8)}) AS g
+         |       FROM (SELECT $dToks AS t FROM ev)),
+         |cg AS (SELECT DISTINCT doc_id, UNNEST(list_distinct(${dShinglesN(8)})) AS g
+         |       FROM (SELECT doc_id, $dToks AS t FROM corpus)),
+         |hits AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (g))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+         |FROM corpus GROUP BY source""".stripMargin,
     "q_stratified_sample" ->
       """WITH h AS (
         |  SELECT source, n_chars,
