@@ -105,6 +105,45 @@ class TopologySpec extends AnyFunSuite {
       s"expected first-arrival survivors only, got ${rows.toSeq}")
   }
 
+  test("ingest decontamination: stream-static broadcast probe flags " +
+      "leaked eval spans on every micro-batch") {
+    // PLANS.md claims decontamination can run AT INGEST, not as an
+    // offline pass — proven here: the eval 8-gram dictionary is a STATIC
+    // frame broadcast into a stream-static inner join against the
+    // exploded gram stream; a doc containing any eval span is flagged in
+    // the micro-batch it arrives in.
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalSpan = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalGrams = Seq(evalSpan).toDF("text")
+      .select(explode(array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 8)))
+        .as("g")).distinct()
+    val in = MemoryStream[(Long, String)]
+    val flagged = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), explode(array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 8)))
+        .as("g"))
+      .join(broadcast(evalGrams), Seq("g")) // stream-static inner join
+      .select(col("doc_id"))
+    val q = flagged.writeStream.format("memory").queryName("decon_topo")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      (1L, s"intro words $evalSpan trailing tail"), // span embedded mid-doc
+      (2L, "a completely unrelated document with plenty of tokens here"))
+    q.processAllAvailable()
+    in.addData(
+      (3L, "another clean doc with more than eight whitespace tokens in"),
+      (4L, evalSpan)) // the leak arrives in a LATER batch
+    q.processAllAvailable()
+    val got = spark.table("decon_topo").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got === Set(1L, 4L))
+  }
+
   private def writeFile(dir: String, name: String, ls: Seq[String]): Unit =
     Files.write(Paths.get(dir, name),
       String.join("\n", ls: _*).getBytes("UTF-8"))
