@@ -594,6 +594,33 @@ object TextOps extends QueryModule {
         sum(col("len_after")).as("chars_after"))
   }
 
+  /** Document chunking — the doc→chunk explosion every embedding / RAG
+    * pipeline runs before encoding: fixed 64-token windows on a 48-token
+    * stride (16-token overlap so no span is split across a boundary
+    * without context). A trailing grid position whose window is entirely
+    * covered by the previous chunk is dropped (`start-stride+size < n`
+    * keep-rule); the final partial chunk is kept. Chunk identity =
+    * (doc_id, grid position) — content-addressed, reproducible across
+    * engines and cluster sizes. Pure per-row explode: shuffle-free,
+    * cost linear in corpus tokens, parallelism = input splits. */
+  def docChunks(s: SparkSession, d: String): DataFrame = {
+    val size_ = 64
+    val stride = 48
+    docsParallel(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(stride))).as("start"))
+      .filter(col("start") === 0 ||
+        col("start") - stride + size_ < col("n"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        least(col("n") - col("start"), lit(size_)).cast("long")
+          .as("chunk_tok"),
+        element_at(col("toks"), col("start") + 1).as("first_tok"))
+  }
+
   /** Eval-set decontamination — the pretraining hygiene step none of the
     * self-dedup stack covers: flag training docs sharing any long n-gram
     * span (8 tokens here) with a held-out BENCHMARK set, so eval answers
@@ -682,6 +709,7 @@ object TextOps extends QueryModule {
     "q_corpus_mix"         -> corpusMix _,
     "q_doc_scrub"          -> docScrub _,
     "q_decontaminate"      -> decontaminate _,
+    "q_doc_chunks"         -> docChunks _,
   )
 
   private val mhExprs: String = (0 until 8).map { j =>
@@ -980,6 +1008,15 @@ object TextOps extends QueryModule {
          |  ROW_NUMBER() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, term ASC) AS rank
          |FROM j QUALIFY rank <= 3""".stripMargin,
+    "q_doc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $dToks AS t FROM documents),
+         |st AS (SELECT doc_id, len(t) AS n, t,
+         |         UNNEST(range(0, GREATEST(len(t), 1), 48)) AS start
+         |       FROM d)
+         |SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_id,
+         |  CAST(LEAST(n - start, 64) AS BIGINT) AS chunk_tok,
+         |  t[CAST(start + 1 AS INT)] AS first_tok
+         |FROM st WHERE start = 0 OR start - 48 + 64 < n""".stripMargin,
     "q_decontaminate" ->
       s"""WITH docs AS (SELECT doc_id, text, source FROM documents),
          |ev AS (SELECT * FROM docs WHERE doc_id % 17 = 0),
