@@ -506,6 +506,40 @@ object Relational extends QueryModule {
       .select(col("key"), col("n"), col("share"), col("skew_x"))
   }
 
+  /** Data-quality constraint suite — the ingest-gate primitive every
+    * warehouse load runs (completeness, pk uniqueness, value bounds,
+    * referential integrity), batched the way a DQ analyzer batches them:
+    * ALL single-table metrics ride ONE aggregate over ONE scan (stack()
+    * unpivots the 1-row result), and the referential check is one
+    * broadcast anti-join pass against the dim — 2 table passes total for
+    * 5 constraints, independent of constraint count within a pass. Output
+    * is the (metric, value, ok) shape a quality dashboard stores per
+    * load. */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val base = o.agg(
+      count(lit(1)).cast("double").as("row_count"),
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("double")
+        .as("null_custkey"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).cast("double")
+        .as("pk_dups"),
+      min(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("min_price"))
+    val orphans = o.join(
+        broadcast(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"))),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).cast("double").as("orphan_custkey"))
+    base.crossJoin(orphans)
+      .select(expr(
+        "stack(5, 'row_count', row_count, 'null_custkey', null_custkey, " +
+          "'pk_dups', pk_dups, 'min_price', min_price, " +
+          "'orphan_custkey', orphan_custkey) as (metric, value)"))
+      .withColumn("ok",
+        when(col("metric").isin("row_count", "min_price"), col("value") > 0)
+          .otherwise(col("value") === 0).cast("long"))
+  }
+
   /** PIVOT (wide-format rollup) — the serving-layer shape ADS mappers
     * build by hand with per-status CASE stacks (TradeStatsMapper-style);
     * `.pivot` with an EXPLICIT value list keeps it one pass (no distinct
@@ -546,6 +580,7 @@ object Relational extends QueryModule {
     "q_sessionize"        -> sessionize _,
     "q_skew_profile"      -> skewProfile _,
     "q_value_quantiles_approx" -> valueQuantilesApprox _,
+    "q_dq_checks"         -> dqChecks _,
     "q_cube_geo"          -> cubeGeo _,
     "q_fuzzy_brand"       -> fuzzyBrand _,
     "q_trailing_7d"       -> trailing7d _,
@@ -698,6 +733,28 @@ object Relational extends QueryModule {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_dq_checks" ->
+      """WITH b AS (SELECT
+        |    CAST(COUNT(*) AS DOUBLE) AS row_count,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS null_custkey,
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS pk_dups,
+        |    CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS min_price
+        |  FROM orders),
+        |orph AS (SELECT CAST(COUNT(*) AS DOUBLE) AS orphan_custkey
+        |         FROM orders
+        |         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |m AS (
+        |  SELECT 'row_count' AS metric, row_count AS value FROM b
+        |  UNION ALL SELECT 'null_custkey', null_custkey FROM b
+        |  UNION ALL SELECT 'pk_dups', pk_dups FROM b
+        |  UNION ALL SELECT 'min_price', min_price FROM b
+        |  UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM orph)
+        |SELECT metric, value,
+        |  CAST(CASE WHEN metric IN ('row_count', 'min_price')
+        |       THEN value > 0 ELSE value = 0 END AS BIGINT) AS ok
+        |FROM m""".stripMargin,
     "q_skew_profile" ->
       """WITH k AS (SELECT o_custkey AS key, COUNT(*) AS n
         |           FROM orders GROUP BY 1),
