@@ -525,7 +525,11 @@ object Relational extends QueryModule {
         .as("pk_dups"),
       min(col("o_totalprice").cast("decimal(18,2)")).cast("double")
         .as("min_price"))
-    val orphans = o.join(
+    // orphan = NON-NULL key with no parent (nulls are their own metric);
+    // the explicit filter also makes Spark's anti-join (NULL never
+    // matches → kept) and SQL NOT IN (NULL → filtered) agree on dirty data
+    val orphans = o.filter(col("o_custkey").isNotNull)
+      .join(
         broadcast(Tables.customer(s, d)
           .select(col("c_custkey").as("o_custkey"))),
         Seq("o_custkey"), "left_anti")
@@ -744,7 +748,9 @@ object Relational extends QueryModule {
         |  FROM orders),
         |orph AS (SELECT CAST(COUNT(*) AS DOUBLE) AS orphan_custkey
         |         FROM orders
-        |         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |         WHERE o_custkey IS NOT NULL
+        |           AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                                 WHERE c_custkey IS NOT NULL)),
         |m AS (
         |  SELECT 'row_count' AS metric, row_count AS value FROM b
         |  UNION ALL SELECT 'null_custkey', null_custkey FROM b

@@ -633,17 +633,22 @@ object TextOps extends QueryModule {
     * semi-probe; the corpus side is a shuffle-free explode→probe map
     * stage. Cost is O(corpus tokens), independent of corpus×eval pairing.
     *
-    * Honesty device: the synthetic corpus and the %17 stand-in eval set
-    * share no natural 8-gram, so half the eval docs are PLANTED into the
-    * corpus under doc_id+30000 ("leaked" training copies); the query must
-    * flag exactly those. */
+    * Honesty device: half the eval docs are PLANTED into the corpus under
+    * doc_id+30000 ("leaked" training copies), guaranteeing the flag count
+    * is non-degenerate; a handful of natural 8-gram overlaps between
+    * corpus and eval docs are flagged too (correctly — containment is the
+    * contract), and both engines agree on the full flagged set. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d).select(col("doc_id"), col("text"), col("source"))
     val evalSet = docs.filter(col("doc_id") % 17 === 0)
+    // cached: the corpus feeds both the gram-probe branch and the final
+    // per-source rollup — without it the scan + repartition + union run
+    // twice (Verify clears the cache between queries)
     val corpus = docs.filter(col("doc_id") % 17 =!= 0)
       .unionAll(evalSet.filter(col("doc_id") % 34 === 0)
         .select((col("doc_id") + 30000).as("doc_id"), col("text"),
           col("source")))
+      .cache()
     val evalGrams = evalSet
       .select(explode(array_distinct(shingles(tokens(col("text")), 8)))
         .as("g")).distinct()
