@@ -515,8 +515,13 @@ object Relational extends QueryModule {
     * 5 constraints, independent of constraint count within a pass. Output
     * is the (metric, value, ok) shape a quality dashboard stores per
     * load. */
-  def dqChecks(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
+  def dqChecks(s: SparkSession, d: String): DataFrame =
+    dqChecksOf(Tables.orders(s, d), Tables.customer(s, d))
+
+  /** The constraint suite over injectable frames — specs drive it with
+    * planted dirty rows (NULL fks, duplicate pks, orphans) that the
+    * clean testdata cannot produce. */
+  private[graft] def dqChecksOf(o: DataFrame, customer: DataFrame): DataFrame = {
     val base = o.agg(
       count(lit(1)).cast("double").as("row_count"),
       sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("double")
@@ -530,8 +535,7 @@ object Relational extends QueryModule {
     // matches → kept) and SQL NOT IN (NULL → filtered) agree on dirty data
     val orphans = o.filter(col("o_custkey").isNotNull)
       .join(
-        broadcast(Tables.customer(s, d)
-          .select(col("c_custkey").as("o_custkey"))),
+        broadcast(customer.select(col("c_custkey").as("o_custkey"))),
         Seq("o_custkey"), "left_anti")
       .agg(count(lit(1)).cast("double").as("orphan_custkey"))
     base.crossJoin(orphans)

@@ -103,6 +103,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("dq checks classify planted dirty rows: null fk is NOT an orphan, " +
+      "dup pks and true orphans are counted") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // pk 10 duplicated; custkey 99 has no parent; one NULL fk; one price <= 0
+    val orders = Seq(
+      (10L, Option(1L), "50.00"), (10L, Option(1L), "60.00"),
+      (11L, Option(99L), "70.00"), (12L, None, "80.00"),
+      (13L, Option(2L), "-5.00"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq(1L, 2L).toDF("c_custkey")
+    val m = graft.ops.Relational.dqChecksOf(orders, customer)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(m("row_count") === ((5.0, 1L)))
+    assert(m("null_custkey") === ((1.0, 0L)))   // the None fk, failing
+    assert(m("pk_dups") === ((1.0, 0L)))        // one extra pk-10 row
+    assert(m("orphan_custkey") === ((1.0, 0L))) // custkey 99 only — NOT the null
+    assert(m("min_price") === ((-5.0, 0L)))
+  }
+
   test("7-day back-flow counts gap>7 transitions only") {
     import org.apache.spark.sql.functions._
     val out = graft.ads.AdsQueries.userBack(spark, TestSession.sf)
