@@ -36,6 +36,29 @@ class TextSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((3L, 4L)))
   }
 
+  test("doc chunking keep-rule at window/stride boundaries") {
+    import spark.implicits._
+    // chunk=64, stride=48: a trailing grid position whose window is fully
+    // inside the previous chunk must be dropped; a window contributing
+    // even one new token must be kept
+    val tmp = java.nio.file.Files.createTempDirectory("chunkb").toString
+    val lens = Seq(1, 47, 48, 49, 64, 65, 112, 113)
+    lens.zipWithIndex
+      .map { case (n, i) =>
+        (i.toLong, (1 to n).map(k => s"t$k").mkString(" ")) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.docChunks(spark, tmp)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=49: grid pos 48 covers tokens 49..49 ⊂ chunk@0 (1..64) → dropped;
+    // n=65: chunk@48 contributes token 65 → kept; n=112: chunk@48 ends at
+    // n exactly so grid pos 96 is redundant; n=113: all three kept
+    val want = Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 1L, 5L -> 2L, 6L -> 2L, 7L -> 3L)
+    assert(got === want)
+  }
+
   test("corpus filter: no planted copy (doc_id >= 10000) survives dedup") {
     val out = TextOps.corpusFilter(spark, dir)
     // the output is per-source aggregates; re-run the pipeline's dedup
