@@ -15,10 +15,14 @@ import org.apache.spark.sql.SparkSession
   * re-run alone and reported under `isolated` — a sweep outlier whose
   * isolated min is small is box noise, not plan cost.
   *
-  * All seconds are rounded to 3 decimals and the headline min map is
-  * printed LAST so that if the driver's output capture truncates the line,
-  * it loses the diagnostic maps before the headline one. A failed query
-  * reports -1 (and the failure goes to stderr so it is never silent).
+  * The stdout line carries ONLY the headline figures — totals plus the
+  * per-query min map (~2.4 kB for 100+ queries) — so it always fits the
+  * driver's output capture. The diagnostic maps (per-query medians, the
+  * isolated re-runs) go to stderr, where truncation cannot eat the record.
+  * As final insurance the line ends with a duplicate `"total":<sec>` key
+  * after the queries map: even a capture that clips mid-map still shows
+  * the headline total at whichever end survived. A failed query reports
+  * -1 (and the failure goes to stderr so it is never silent).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
