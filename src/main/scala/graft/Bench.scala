@@ -88,7 +88,8 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val total = jnum(ok.map(_._2).sum)
     val totalMed = jnum(ok.map(_._3).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${results.size - ok.size},"value_median":$totalMed,"queries_median":$qsMed,"isolated":$iso,"queries":$qs}""")
+    System.err.println(s"""[bench-diagnostics] {"value_median":$totalMed,"queries_median":$qsMed,"isolated":$iso}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${results.size - ok.size},"queries":$qs,"total":$total}""")
     spark.stop()
   }
 }
