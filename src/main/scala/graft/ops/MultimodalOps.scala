@@ -124,14 +124,17 @@ object MultimodalOps extends QueryModule {
   /** Exact payload dedup over the BINARY column — the image-dedup stage a
     * multimodal corpus runs before training: group by md5 of the payload
     * bytes; re-ingested copies (planted: every 25th media row re-issued
-    * under doc_id+20000 — same bytes, new id, the corpus-filter honesty
-    * device) collapse onto the original (min doc_id). The hash-groupBy
+    * under doc_id+[[TextOps.PlantOffset]] — same bytes, new id, the
+    * corpus-filter honesty device; the high-bit offset cannot collide
+    * with a real doc_id at any scale) collapse onto the original (min
+    * doc_id). The hash-groupBy
     * ships only (fp, doc_id) — payload bytes never shuffle, the property
     * that matters when the column is 100 TB of images. */
   def mmDedup(s: SparkSession, d: String): DataFrame = {
     val m = mediaTable(s, d).select(col("doc_id"), col("payload"))
     val aug = m.unionAll(m.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + 20000).as("doc_id"), col("payload")))
+      .select((col("doc_id") + TextOps.PlantOffset).as("doc_id"),
+        col("payload")))
     aug.groupBy(md5(col("payload")).as("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"))
   }
@@ -147,9 +150,9 @@ object MultimodalOps extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "q_mm_dedup" ->
-      """WITH aug AS (
+      s"""WITH aug AS (
         |  SELECT doc_id, text FROM documents UNION ALL
-        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 25 = 0)
+        |  SELECT doc_id + ${TextOps.PlantOffset}, text FROM documents WHERE doc_id % 25 = 0)
         |SELECT md5(text) AS fp, COUNT(*) AS n_copies,
         |  MIN(doc_id) AS keep_doc
         |FROM aug GROUP BY 1""".stripMargin,

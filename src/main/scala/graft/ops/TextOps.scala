@@ -49,6 +49,14 @@ object TextOps extends QueryModule {
   private val dShingles3 = dShinglesN(3)
   private def dIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Planted-copy id offset (corpus-filter / decontamination / multimodal
+    * honesty devices). A HIGH BIT, not a small additive constant: a real
+    * doc_id can never reach 2^62, so a planted id can never collide with a
+    * live one at any scale factor — a collision would corrupt planted-copy
+    * semantics identically in both engines, which the hash gate cannot
+    * catch. Still BIGINT-safe: 2^62 + doc_id < 2^63 for any id < 2^62. */
+  private[ops] val PlantOffset: Long = 1L << 62
+
   /** Token statistics — whitespace + regex "BPE-ish" counts.
     * char_sum uses the codegen-friendly identity
     * `Σ len(tok) = len(text) - (n_tok - 1)` (single-space corpus, verified)
@@ -273,7 +281,7 @@ object TextOps extends QueryModule {
     *
     * The synthetic corpus is exact-dup-free, so the dedup stage is proven
     * live with PLANTED copies (every 40th doc re-issued under
-    * doc_id+10000 — byte-identical text, so both engines agree exactly;
+    * doc_id+[[PlantOffset]] — byte-identical text, so both engines agree exactly;
     * the same honesty device as q_embed_neardup's planted near-copies).
     * Stage 2 removes every planted copy (the original has the smaller
     * doc_id); stage 3's pairwise work then runs on the gate+dedup
@@ -295,7 +303,7 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("text"), col("source"))
     val aug = docs.unionAll(
       docs.filter(col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+        .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"),
           col("source")))
     val t = tokens(col("text"))
     val scored = aug.select(
@@ -482,25 +490,60 @@ object TextOps extends QueryModule {
     * [[neardupComponents]] so specs can drive synthetic graphs (long
     * chains exercise multi-round convergence) through the exact
     * production loop. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame,
+                                         maxRounds: Int = 64): DataFrame =
+    connectedComponentsCounted(pairs, maxRounds)._1
+
+  /** The loop body, returning (labels, rounds) so specs can assert the
+    * O(log diameter) convergence claim, not just the fixpoint.
+    *
+    * Each round does TWO label-shrinking steps over the collision-sized
+    * pair graph:
+    *   1. HOP — adopt the min comp among the node's direct neighbors
+    *      (classic Pregel min-label; alone this needs diameter rounds).
+    *   2. JUMP — pointer-double through the label table: follow your new
+    *      comp (always itself a node id in your component) to THAT node's
+    *      comp. Composing the label map with itself doubles the distance
+    *      a min label travels per round, the same device as
+    *      large-star/small-star — a 2^k chain converges in ~k rounds,
+    *      so the driver loop is O(log diameter), not O(diameter).
+    *
+    * `maxRounds` is a defensive bound: label descent is monotone, so a
+    * regression that breaks it (a join-key typo, a schema drift) would
+    * otherwise loop the driver forever; 64 rounds covers any graph a
+    * 2^64-id space can express with a wide margin. Each round
+    * localCheckpoints to cut lineage growth; one count() action per round
+    * is the convergence test. Deterministic: min-label is order-free. */
+  private[graft] def connectedComponentsCounted(
+      pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
     var labels = edges.select(col("d1").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds — " +
+            "monotone label descent is broken")
       val nbrMin = edges.join(labels, edges("d2") === labels("id"))
         .groupBy(edges("d1").as("nid")).agg(min(col("comp")).as("nbr_comp"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val hopped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp2"))
+            .as("hop"))
+      val jump = hopped.select(col("id").as("jid"), col("hop").as("jcomp"))
+      val updated = hopped.join(jump, hopped("hop") === jump("jid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("hop"), coalesce(col("jcomp"), col("hop"))).as("comp2"))
         .localCheckpoint()
       changed = updated.filter(col("comp2") < col("comp")).count()
       labels = updated.select(col("id"), col("comp2").as("comp"))
     }
-    labels
+    (labels, rounds)
   }
 
   /** Intra-document repetition ratio — the Gopher/MassiveText-class
@@ -527,10 +570,9 @@ object TextOps extends QueryModule {
     * next sequence when its START offset crosses the budget boundary.
     * Greedy packing is inherently order-defined, so the parallel unit is
     * the PACKING GROUP (source here): one shuffle on the group key, one
-    * cumulative window per group. At 100 TB the group key widens to
-    * (source, hash-shard) — same plan, #shards× the parallelism, still
-    * byte-reproducible because shard assignment is content-addressed, not
-    * partition-dependent. */
+    * cumulative window per group. At 100 TB one window task per source
+    * serializes — [[seqPackingSharded]] is the scale path (two-phase
+    * parallel scan, byte-identical output, #shards× the parallelism). */
   def seqPacking(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -538,6 +580,52 @@ object TextOps extends QueryModule {
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(2048L)))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+  }
+
+  /** Sharded sequence packing — the [[seqPacking]] scale path executed,
+    * not just promised. The per-source prefix sum is associative, so it
+    * decomposes into a classic two-phase parallel scan:
+    *
+    *   1. shard = floor(doc_id / width): a pure function of the row's key
+    *      (content-addressed, partition-independent), and monotone in
+    *      doc_id, so concatenating shards in shard order IS doc_id order.
+    *   2. per-shard token totals → one tiny exclusive-prefix window over
+    *      #shards rows per source (thousands of rows at 100 TB, not
+    *      billions) → broadcast back.
+    *   3. per-(source, shard) local cumulative window + the shard offset
+    *      = the exact global running total.
+    *
+    * `seq_id` is therefore BYTE-IDENTICAL to the single-group form for any
+    * shard width — shard count is a pure parallelism dial, which is why
+    * this entry shares `q_seq_packing`'s oracle verbatim (the hash gate
+    * proves shard-invariance, the same trick the salted join uses). The
+    * serial window over a whole 100 TB source in [[seqPacking]] becomes
+    * #shards concurrent window tasks here; only the doc-count-sized
+    * (source, shard, offset) table is driver/broadcast-visible. */
+  def seqPackingSharded(s: SparkSession, d: String): DataFrame =
+    seqPackingSharded(s, d, shardWidth = 512L)
+
+  def seqPackingSharded(s: SparkSession, d: String, shardWidth: Long): DataFrame = {
+    require(shardWidth >= 1L, s"shardWidth must be >= 1, got $shardWidth")
+    val base = docsParallel(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      // integer div, not floor(double-divide): doc_id stays exact past 2^53
+      .withColumn("shard", expr(s"doc_id div ${shardWidth}L"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .withColumn("offset", sum(col("shard_tok")).over(wOff) - col("shard_tok"))
+      .select(col("source"), col("shard"), col("offset"))
+    val wLoc = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("cum", col("offset") + sum(col("n_tok")).over(wLoc))
       .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(2048L)))
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
@@ -634,21 +722,24 @@ object TextOps extends QueryModule {
     * stage. Cost is O(corpus tokens), independent of corpus×eval pairing.
     *
     * Honesty device: half the eval docs are PLANTED into the corpus under
-    * doc_id+30000 ("leaked" training copies), guaranteeing the flag count
+    * doc_id+[[PlantOffset]] ("leaked" training copies), guaranteeing the flag count
     * is non-degenerate; a handful of natural 8-gram overlaps between
     * corpus and eval docs are flagged too (correctly — containment is the
     * contract), and both engines agree on the full flagged set. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d).select(col("doc_id"), col("text"), col("source"))
     val evalSet = docs.filter(col("doc_id") % 17 === 0)
-    // cached: the corpus feeds both the gram-probe branch and the final
-    // per-source rollup — without it the scan + repartition + union run
-    // twice (Verify clears the cache between queries)
+    // materialized once (eager localCheckpoint): the corpus feeds both the
+    // gram-probe branch and the final per-source rollup — without it the
+    // scan + repartition + union run twice. localCheckpoint, not cache():
+    // its blocks are GC-reclaimed when the plan is dropped, so repeated
+    // callers (tests, notebooks, composed pipelines) don't accumulate
+    // pinned storage across invocations
     val corpus = docs.filter(col("doc_id") % 17 =!= 0)
       .unionAll(evalSet.filter(col("doc_id") % 34 === 0)
-        .select((col("doc_id") + 30000).as("doc_id"), col("text"),
+        .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"),
           col("source")))
-      .cache()
+      .localCheckpoint()
     val evalGrams = evalSet
       .select(explode(array_distinct(shingles(tokens(col("text")), 8)))
         .as("g")).distinct()
@@ -710,12 +801,26 @@ object TextOps extends QueryModule {
     "q_neardup_components" -> neardupComponents _,
     "q_repetition_ratio"   -> repetitionRatio _,
     "q_seq_packing"        -> seqPacking _,
+    "q_seq_packing_sharded" -> ((s: SparkSession, d: String) => seqPackingSharded(s, d)),
     "q_tfidf_topterms"     -> tfidfTopTerms _,
     "q_corpus_mix"         -> corpusMix _,
     "q_doc_scrub"          -> docScrub _,
     "q_decontaminate"      -> decontaminate _,
     "q_doc_chunks"         -> docChunks _,
   )
+
+  /** Shared by `q_seq_packing` and `q_seq_packing_sharded`: both must
+    * produce the global-cumulative-sum packing exactly. */
+  private val seqPackingSql: String =
+    s"""WITH d AS (SELECT source, doc_id,
+       |             CAST(len($dToks) AS BIGINT) AS n_tok FROM documents),
+       |c AS (SELECT source, doc_id, n_tok,
+       |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM d)
+       |SELECT source, CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT) AS seq_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+       |FROM c GROUP BY 1, 2""".stripMargin
 
   private val mhExprs: String = (0 until 8).map { j =>
     val g = j / 4
@@ -745,7 +850,7 @@ object TextOps extends QueryModule {
   private[ops] val corpusSurvivorCtes: String =
     s"""docs AS (SELECT doc_id, text, source FROM documents),
        |aug AS (SELECT * FROM docs UNION ALL
-       |        SELECT doc_id + 10000, text, source FROM docs
+       |        SELECT doc_id + $PlantOffset, text, source FROM docs
        |        WHERE doc_id % 40 = 0),
        |feat AS (
        |  SELECT doc_id, source, text, len(t) AS n_tok,
@@ -992,16 +1097,10 @@ object TextOps extends QueryModule {
          |       ELSE 0.0 END AS rep_ratio
          |FROM (SELECT doc_id, $dShingles3 AS sh
          |      FROM (SELECT doc_id, $dToks AS t FROM documents))""".stripMargin,
-    "q_seq_packing" ->
-      s"""WITH d AS (SELECT source, doc_id,
-         |             CAST(len($dToks) AS BIGINT) AS n_tok FROM documents),
-         |c AS (SELECT source, doc_id, n_tok,
-         |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |          ROWS UNBOUNDED PRECEDING) AS cum
-         |      FROM d)
-         |SELECT source, CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT) AS seq_id,
-         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
-         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_seq_packing" -> seqPackingSql,
+    // deliberately the SAME oracle: the sharded two-phase scan must be
+    // byte-identical to the serial window — the hash gate proves it
+    "q_seq_packing_sharded" -> seqPackingSql,
     "q_tfidf_topterms" ->
       s"""WITH terms AS (SELECT doc_id, UNNEST($dToks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
@@ -1028,7 +1127,7 @@ object TextOps extends QueryModule {
          |corpus AS (
          |  SELECT doc_id, text, source FROM docs WHERE doc_id % 17 <> 0
          |  UNION ALL
-         |  SELECT doc_id + 30000, text, source FROM ev WHERE doc_id % 34 = 0),
+         |  SELECT doc_id + $PlantOffset, text, source FROM ev WHERE doc_id % 34 = 0),
          |eg AS (SELECT DISTINCT UNNEST(${dShinglesN(8)}) AS g
          |       FROM (SELECT $dToks AS t FROM ev)),
          |cg AS (SELECT DISTINCT doc_id, UNNEST(list_distinct(${dShinglesN(8)})) AS g

@@ -152,7 +152,7 @@ object VectorOps extends QueryModule {
   /** Embedding-cosine near-dup detection. The random testdata has no
     * natural near-dups (max pairwise cosine ≈ 0.48), so the corpus is
     * augmented with PLANTED near-copies derived inside the query: every
-    * 25th vector re-issued under vec_id+100000 with dim 0 zeroed — an
+    * 25th vector re-issued under vec_id+[[TextOps.PlantOffset]] with dim 0 zeroed — an
     * exact (arithmetic-free) perturbation, so both engines see identical
     * floats. Candidates come from the sign-LSH bucket join (cost ∝
     * collisions, never all-pairs); the verifier is cosine ≥ 0.9. */
@@ -160,7 +160,7 @@ object VectorOps extends QueryModule {
     val base = embParallel(s, d)
       .select(col("vec_id"), col("label"), col("embedding"))
     val copies = base.filter(col("vec_id") % 25 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+      .select((col("vec_id") + TextOps.PlantOffset).as("vec_id"), col("label"),
         transform(col("embedding"),
           (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
     val aug = bucketize(s, base.unionAll(copies), PlanesNearDup)
@@ -425,7 +425,7 @@ object VectorOps extends QueryModule {
     "q_embed_neardup" ->
       s"""WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
          |copies AS (
-         |  SELECT vec_id + 100000 AS vec_id, label,
+         |  SELECT vec_id + ${TextOps.PlantOffset} AS vec_id, label,
          |    list_transform(range(1, len(embedding)+1),
          |      i -> CASE WHEN i = 1 THEN CAST(0.0 AS REAL)
          |           ELSE embedding[CAST(i AS INT)] END) AS embedding

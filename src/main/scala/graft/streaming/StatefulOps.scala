@@ -146,9 +146,11 @@ object StatefulOps {
           val st = state.getOption.getOrElse(AsofBuffer(Long.MinValue, Nil))
           val wmSec = state.getCurrentWatermarkMs() / 1000
           val all = st.pending ++ events
-          // watermark guarantees nothing older arrives: times ≤ watermark
-          // are final and safe to order
-          val (ripe, hold) = all.partition(_.t <= wmSec)
+          // Spark's late-row filter drops only rows STRICTLY below the
+          // watermark — a row with eventTime == watermark is still
+          // admitted, so only t < watermark-second is final; t == wmSec
+          // holds one extra round (the event-time timeout re-arm covers it)
+          val (ripe, hold) = all.partition(_.t < wmSec)
           var lastView = st.lastView
           val out = Vector.newBuilder[AsofMatch]
           ripe.sortBy(e => (e.t, e.side)).foreach { e =>

@@ -59,7 +59,7 @@ class TextSpec extends AnyFunSuite {
     assert(got === want)
   }
 
-  test("corpus filter: no planted copy (doc_id >= 10000) survives dedup") {
+  test("corpus filter: no planted copy (doc_id >= PlantOffset) survives dedup") {
     val out = TextOps.corpusFilter(spark, dir)
     // the output is per-source aggregates; re-run the pipeline's dedup
     // invariant at the doc level via the exact-dedup keep-first rule:
@@ -112,5 +112,46 @@ class TextSpec extends AnyFunSuite {
     val expected = ((1L to 7L).map(_ -> 1L) ++
       (10L to 12L).map(_ -> 10L) ++ Seq(20L -> 20L, 21L -> 20L)).toMap
     assert(got === expected)
+  }
+
+  test("connectedComponents converges in O(log diameter) rounds on a " +
+      "diameter-127 chain and the max-rounds guard trips when starved") {
+    import spark.implicits._
+    // chain 1-2-...-128: diameter 127. Pure hop-propagation needs 127
+    // rounds; the hop+pointer-jump loop must finish in ~log2 of that.
+    val chain = (1L to 127L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = TextOps.connectedComponentsCounted(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 128L).map(_ -> 1L).toMap)
+    assert(rounds <= 10, s"expected O(log 127) ~ <=10 rounds, took $rounds")
+    // the defensive bound: a budget below the need must throw, not spin
+    assertThrows[IllegalStateException] {
+      TextOps.connectedComponentsCounted(chain, maxRounds = 2)
+    }
+  }
+
+  test("sharded sequence packing is byte-identical to the serial window " +
+      "for any shard width") {
+    val serial = TextOps.seqPacking(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // width 1 = one shard per doc_id (extreme fan-out), width 7 = ragged
+    // shard boundaries that never align with the 2048-token budget,
+    // width Long.MaxValue = a single shard (degenerates to the serial form)
+    for (width <- Seq(1L, 7L, 512L, Long.MaxValue)) {
+      val sharded = TextOps.seqPackingSharded(spark, dir, width).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(sharded === serial, s"shard width $width diverged")
+    }
+    // the parallelism claim: at width 7 the offsets table really does
+    // split each source into many packing shards
+    import spark.implicits._
+    val nShards = Tables.documents(spark, dir)
+      .select(col("source"), expr("doc_id div 7").as("shard"))
+      .distinct().groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(nShards.values.forall(_ > 1),
+      s"expected multi-shard sources, got $nShards")
   }
 }
