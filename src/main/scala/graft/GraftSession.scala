@@ -32,6 +32,15 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB-backed streaming state, session-wide: keyed state (dedup
+      // markers, keep-latest rows, asof buffers, window panes) spills to
+      // local disk instead of living on the JVM heap, so state cardinality
+      // is bounded by executor DISK at 100 TB — the HDFSBackedStateStore
+      // default OOMs once distinct keys outgrow memory. Every streaming
+      // spec in the suite runs on this provider; RocksDbStateSpec asserts
+      // it is live (rocksdb* metrics in query progress), not just config.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   /** SQL surface for the custom Catalyst expressions: graft_dot (scalar)

@@ -68,10 +68,12 @@ object StatefulOps {
     *
     * Within a micro-batch ties break on (ts, docId) — a total order, so
     * output is replay-deterministic. State = one marker per DISTINCT
-    * fingerprint: bounded by unique content, not traffic; at 100 TB that
-    * state lives in the RocksDB state store, hash-partitioned by
-    * fingerprint across executors, and a TTL (timeout) bounds it further
-    * when the dedup horizon is a window rather than forever. */
+    * fingerprint: bounded by unique content, not traffic; that state
+    * lives in the RocksDB state store (wired session-wide in
+    * [[graft.GraftSession]], proven live by RocksDbStateSpec) — hash-
+    * partitioned by fingerprint across executors and bounded by executor
+    * disk, not heap; a TTL (timeout) bounds it further when the dedup
+    * horizon is a window rather than forever. */
   def ingestDedup(ds: Dataset[IngestDoc]): Dataset[IngestDoc] =
     ds.groupByKey(_.fp)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
