@@ -330,13 +330,48 @@ object Relational extends QueryModule {
     * DISTINCT values (vocabulary-sized, broadcast), never over rows — the
     * dim-hygiene shape (typo'd brand/category labels) where the
     * dictionary stays small as data grows. A dictionary too big to
-    * broadcast gets q-gram LSH blocking first — the same
-    * candidates-then-verify pattern as the MinHash near-dup stack. */
+    * broadcast takes the [[fuzzyBrandBlocked]] path. */
   def fuzzyBrand(s: SparkSession, d: String): DataFrame = {
     val b = Tables.part(s, d).select(col("p_brand")).distinct()
     b.as("x").join(broadcast(b.as("y")), col("x.p_brand") < col("y.p_brand"))
       .select(col("x.p_brand").as("b1"), col("y.p_brand").as("b2"),
         levenshtein(col("x.p_brand"), col("y.p_brand")).as("dist"))
+      .filter(col("dist") <= 1)
+  }
+
+  /** [[fuzzyBrand]] for dictionaries too large to broadcast — blocked
+    * candidates-then-verify instead of the O(|dict|²) nested-loop compare.
+    *
+    * Block key = the DELETION NEIGHBORHOOD (SymSpell's device): every
+    * string keys on itself plus each single-character deletion. Two
+    * strings at edit distance ≤ 1 ALWAYS share a key (substitution at i →
+    * both delete i; insertion/deletion → the shorter string IS a deletion
+    * variant of the longer), so unlike q-gram LSH this blocking is exact —
+    * recall 1.0 by construction, which is why the entry shares
+    * `q_fuzzy_brand`'s oracle verbatim: the hash gate proves
+    * blocking-invariance against the broadcast form.
+    *
+    * Scale shape: |dict|×(len+1) keys shuffle-join on the variant string —
+    * bucket size ∝ strings per neighborhood (near-dup families), never
+    * all-pairs; no broadcast anywhere, so the dictionary can be billions
+    * of entries. The HOF that builds variants is interpreted
+    * (CodegenFallback) but runs over the DISTINCT dictionary only, not the
+    * corpus — vocabulary-sized cost at any data scale. */
+  def fuzzyBrandBlocked(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.part(s, d).select(col("p_brand")).distinct()
+    val variants = expr(
+      """array_distinct(concat(
+        |  array(p_brand),
+        |  transform(sequence(1, length(p_brand)),
+        |    i -> concat(substring(p_brand, 1, i-1),
+        |                substring(p_brand, i+1, length(p_brand) - i)))))"""
+        .stripMargin)
+    val keyed = b.select(col("p_brand"), explode(variants).as("k"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.k") === col("y.k") && col("x.p_brand") < col("y.p_brand"))
+      .select(col("x.p_brand").as("b1"), col("y.p_brand").as("b2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("b1"), col("b2")))
       .filter(col("dist") <= 1)
   }
 
@@ -591,9 +626,19 @@ object Relational extends QueryModule {
     "q_dq_checks"         -> dqChecks _,
     "q_cube_geo"          -> cubeGeo _,
     "q_fuzzy_brand"       -> fuzzyBrand _,
+    "q_fuzzy_brand_blocked" -> fuzzyBrandBlocked _,
     "q_trailing_7d"       -> trailing7d _,
     "q_ntile_custbal"     -> ntileCustbal _,
   )
+
+  /** Shared by `q_fuzzy_brand` and `q_fuzzy_brand_blocked`: the blocked
+    * path must match the broadcast nested-loop exactly. */
+  private val fuzzyBrandSql: String =
+    """WITH b AS (SELECT DISTINCT p_brand FROM part)
+      |SELECT x.p_brand AS b1, y.p_brand AS b2,
+      |  levenshtein(x.p_brand, y.p_brand) AS dist
+      |FROM b x JOIN b y ON x.p_brand < y.p_brand
+      |WHERE levenshtein(x.p_brand, y.p_brand) <= 1""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -655,12 +700,11 @@ object Relational extends QueryModule {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b.buy_s >= v.view_s AND b.buy_s <= v.view_s + 3600
         |GROUP BY v.user_id""".stripMargin,
-    "q_fuzzy_brand" ->
-      """WITH b AS (SELECT DISTINCT p_brand FROM part)
-        |SELECT x.p_brand AS b1, y.p_brand AS b2,
-        |  levenshtein(x.p_brand, y.p_brand) AS dist
-        |FROM b x JOIN b y ON x.p_brand < y.p_brand
-        |WHERE levenshtein(x.p_brand, y.p_brand) <= 1""".stripMargin,
+    "q_fuzzy_brand" -> fuzzyBrandSql,
+    // deliberately the SAME oracle: deletion-neighborhood blocking is
+    // exact for distance <= 1, so the blocked path must reproduce the
+    // broadcast nested-loop's output bit-for-bit
+    "q_fuzzy_brand_blocked" -> fuzzyBrandSql,
     "q_cube_geo" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum

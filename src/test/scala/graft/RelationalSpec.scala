@@ -134,6 +134,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(total > 0 && total < uu)
   }
 
+  test("back-flow boundary: a 7-day gap is NOT a back visit, an 8-day " +
+      "gap is (DwsUserUserLoginWindow.java:114 — strict > 7)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // day0 = 2024-01-01 UTC. user 1 returns on day 7 (gap exactly 7 →
+    // below the boundary), user 2 on day 8 (gap 8 → back), user 3 never
+    // returns; user 1 has two same-day events (distinct-day rule).
+    val d0 = 1704067200L
+    val tmp = java.nio.file.Files.createTempDirectory("backflow").toString
+    Seq(
+      (1L, d0 + 3600L,              1L, "view"),
+      (2L, d0 + 7200L,              1L, "view"),
+      (3L, d0 + 7L * 86400 + 3600L, 1L, "view"),
+      (4L, d0 + 1800L,              2L, "view"),
+      (5L, d0 + 8L * 86400 + 1800L, 2L, "view"),
+      (6L, d0 + 900L,               3L, "view"))
+      .toDF("event_id", "epoch", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.ads.AdsQueries.userBack(spark, tmp)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map(
+      "2024-01-01" -> ((3L, 0L)),   // all three users, no history
+      "2024-01-08" -> ((1L, 0L)),   // user 1: gap == 7, NOT back
+      "2024-01-09" -> ((1L, 1L))))  // user 2: gap == 8, back
+  }
+
   test("pricing summary sums accumulate exactly and emit as double") {
     // money accumulates in DECIMAL internally and is emitted as DOUBLE at
     // the query boundary (driver-hasher parity — see Relational scaladoc)
