@@ -118,6 +118,50 @@ object TextOps extends QueryModule {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  /** Delta dedup — dedup an INCOMING ingest batch against the
+    * already-indexed corpus, the shape continuous ingestion actually
+    * runs (the batch dedup stack above dedups a corpus against itself;
+    * production appends to a 100 TB index daily and must not rescan-
+    * rejoin the whole thing symmetrically).
+    *
+    * Plan shape, and why it scales: the incoming BATCH's distinct
+    * fingerprints broadcast (batch-sized at any index size) into a
+    * map-stage probe over the index — the index side never shuffles and
+    * ships only its fingerprint column; the (tiny) hit set broadcasts
+    * back to flag the batch. Zero index shuffles, two broadcasts bounded
+    * by batch size. A production deployment materializes the index's
+    * fingerprint column once at ingest (the same (md5, id) discipline as
+    * [[exactDedupGroups]]) so the probe reads 32 bytes/doc, not text.
+    *
+    * Here incoming = every 5th doc; the corpus is dup-free so hits are
+    * proven live with planted re-ingests (every 7th INDEX doc re-issued
+    * in the batch under doc_id+[[PlantOffset]] — the corpus-filter
+    * honesty device; 7 is coprime to the 5-way split, so the planted set
+    * is non-empty — a multiple of 5 here would silently degenerate the
+    * metric with both engines agreeing). Streaming complement:
+    * `StatefulOps.ingestDedup` (one marker per distinct fingerprint,
+    * RocksDB-backed). */
+  def deltaDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val index = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .unionAll(index.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"),
+          col("source")))
+    val incFp = incoming.select(md5(col("text")).as("fp")).distinct()
+    val dupFp = index.select(md5(col("text")).as("fp"))
+      .join(broadcast(incFp), Seq("fp"), "left_semi").distinct()
+    incoming.select(col("source"), md5(col("text")).as("fp"))
+      .join(broadcast(dupFp.withColumn("hit", lit(1))), Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("hit").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_dup"),
+        sum(when(col("hit").isNull, 1).otherwise(0)).cast("long")
+          .as("n_new"))
+  }
+
   /** Exact n-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.6.
     * Shingle-keyed self-join — the *verifier* stage; at scale it runs on
     * MinHash-LSH candidates only (see [[minhashLshPairs]]). */
@@ -789,6 +833,7 @@ object TextOps extends QueryModule {
     "q_doc_fingerprint"    -> docFingerprint _,
     "q_exact_dedup_groups" -> exactDedupGroups _,
     "q_dedup_keep_first"   -> dedupKeepFirst _,
+    "q_delta_dedup"        -> deltaDedup _,
     "q_ngram_jaccard"      -> ngramJaccardPairs _,
     "q_minhash_sig"        -> minhashSignatures _,
     "q_minhash_lsh_pairs"  -> minhashLshPairs _,
@@ -944,6 +989,20 @@ object TextOps extends QueryModule {
       """SELECT source, COUNT(*) AS n_kept FROM (
         |  SELECT source, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_delta_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, text, source FROM documents),
+         |idx AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+         |inc AS (SELECT * FROM docs WHERE doc_id % 5 = 0
+         |        UNION ALL
+         |        SELECT doc_id + $PlantOffset, text, source FROM idx
+         |        WHERE doc_id % 7 = 0),
+         |ifp AS (SELECT DISTINCT md5(text) AS fp FROM idx)
+         |SELECT source, COUNT(*) AS n_incoming,
+         |  CAST(SUM(CASE WHEN md5(text) IN (SELECT fp FROM ifp)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(SUM(CASE WHEN md5(text) IN (SELECT fp FROM ifp)
+         |           THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+         |FROM inc GROUP BY source""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, UNNEST($dShingles3) AS sh

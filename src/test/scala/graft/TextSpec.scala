@@ -130,6 +130,23 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("delta dedup: planted re-ingests are flagged (non-degenerate) and " +
+      "the batch splits exactly into dup + new") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.deltaDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // every source has incoming docs; dup + new == incoming; and the
+    // planted re-ingests make the dup count strictly positive overall
+    // (a degenerate zero here means the plant rule collided with the
+    // batch split — the failure the 7-coprime-5 choice prevents)
+    assert(out.nonEmpty)
+    out.foreach { case (src, (inc, dup, nw)) =>
+      assert(inc === dup + nw, s"$src: $inc != $dup + $nw")
+    }
+    assert(out.values.map(_._2).sum > 0, s"no planted dup flagged: $out")
+  }
+
   test("sharded sequence packing is byte-identical to the serial window " +
       "for any shard width") {
     val serial = TextOps.seqPacking(spark, dir).collect()
