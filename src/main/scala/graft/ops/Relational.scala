@@ -357,19 +357,26 @@ object Relational extends QueryModule {
     * of entries. The HOF that builds variants is interpreted
     * (CodegenFallback) but runs over the DISTINCT dictionary only, not the
     * corpus — vocabulary-sized cost at any data scale. */
-  def fuzzyBrandBlocked(s: SparkSession, d: String): DataFrame = {
-    val b = Tables.part(s, d).select(col("p_brand")).distinct()
+  def fuzzyBrandBlocked(s: SparkSession, d: String): DataFrame =
+    blockedNearPairs(Tables.part(s, d).select(col("p_brand")).distinct(),
+      "p_brand")
+
+  /** The blocking engine behind [[fuzzyBrandBlocked]], over any distinct
+    * single-column dictionary — separated so the property spec can prove
+    * deletion-neighborhood completeness on RANDOM dictionaries, not just
+    * the brand vocabulary. */
+  private[graft] def blockedNearPairs(dict: DataFrame, c: String): DataFrame = {
     val variants = expr(
-      """array_distinct(concat(
-        |  array(p_brand),
-        |  transform(sequence(1, length(p_brand)),
-        |    i -> concat(substring(p_brand, 1, i-1),
-        |                substring(p_brand, i+1, length(p_brand) - i)))))"""
+      s"""array_distinct(concat(
+         |  array($c),
+         |  transform(sequence(1, length($c)),
+         |    i -> concat(substring($c, 1, i-1),
+         |                substring($c, i+1, length($c) - i)))))"""
         .stripMargin)
-    val keyed = b.select(col("p_brand"), explode(variants).as("k"))
+    val keyed = dict.select(col(c), explode(variants).as("k"))
     keyed.as("x").join(keyed.as("y"),
-        col("x.k") === col("y.k") && col("x.p_brand") < col("y.p_brand"))
-      .select(col("x.p_brand").as("b1"), col("y.p_brand").as("b2"))
+        col("x.k") === col("y.k") && col(s"x.$c") < col(s"y.$c"))
+      .select(col(s"x.$c").as("b1"), col(s"y.$c").as("b2"))
       .distinct()
       .withColumn("dist", levenshtein(col("b1"), col("b2")))
       .filter(col("dist") <= 1)

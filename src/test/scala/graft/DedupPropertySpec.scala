@@ -45,4 +45,35 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(got.map(e => (e.key, e.date)).toSet === expected)
     assert(got.length === expected.size, "no duplicate emissions")
   }
+
+  /** Property: deletion-neighborhood blocking finds EXACTLY the edit-
+    * distance ≤ 1 pairs of any dictionary — completeness (no pair at
+    * distance ≤ 1 lacks a shared block key) is the mathematical claim the
+    * scaladoc makes; random small-alphabet dictionaries force dense near-
+    * matches including the insertion/deletion cases, not just
+    * substitutions. */
+  test("blocked fuzzy matching equals brute-force lev<=1 on random dictionaries") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(
+        j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val dict = (1 to 60).map(_ =>
+        (1 to (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString).distinct
+      val expected = (for {
+        a <- dict; b <- dict if a < b && lev(a, b) <= 1
+      } yield (a, b, lev(a, b))).toSet
+      val got = graft.ops.Relational.blockedNearPairs(
+          dict.toDF("v"), "v")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .toSet
+      assert(got === expected, s"trial $trial over ${dict.size} strings")
+    }
+  }
 }
