@@ -242,18 +242,22 @@ object TextOps extends QueryModule {
       .toDF()
   }
 
-  /** LSH candidate pairs from banded signatures (4 bands × 2 rows): docs
-    * colliding in ≥1 band meet in a (band, key)-keyed self-join. */
-  private def lshCandidates(sig: DataFrame): DataFrame = {
-    // concat (NOT concat_ws): a shingle-less doc has NULL minhashes, and
-    // concat_ws would silently collapse them to bkey "" — pairing ALL
-    // short docs with each other. concat propagates the NULL so the
-    // equi-join skips them, exactly like the oracle's `mh0 || '_' || mh1`.
-    val bands = sig.select(col("doc_id"), explode(array(
+  /** (doc_id, band, bkey) rows from a signature frame (4 bands × 2 rows).
+    * concat (NOT concat_ws): a shingle-less doc has NULL minhashes, and
+    * concat_ws would silently collapse them to bkey "" — pairing ALL
+    * short docs with each other. concat propagates the NULL so the
+    * equi-join skips them, exactly like the oracle's `mh0 || '_' || mh1`. */
+  private def bandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         concat(col(s"mh${2 * b}"), lit("_"), col(s"mh${2 * b + 1}"))
           .as("bkey"))): _*
     )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+
+  /** LSH candidate pairs from banded signatures: docs colliding in ≥1
+    * band meet in a (band, key)-keyed self-join. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    val bands = bandKeys(sig)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -275,6 +279,64 @@ object TextOps extends QueryModule {
         (0 until 8).map(j =>
           when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _))
       .select(col("d1"), col("d2"), col("n_sig_match"))
+  }
+
+  /** Delta NEAR-dup — the [[deltaDedup]] shape for near-duplicates:
+    * LSH-probe an incoming ingest batch against the indexed corpus's
+    * MinHash signatures, then verify candidates with exact shingle
+    * Jaccard ≥ 0.6 (the same two-stage contract as
+    * [[nearDupPipeline]], asymmetric instead of self-joined).
+    *
+    * Scale shape: in production the index's signatures are a MATERIALIZED
+    * store (8 longs/doc, computed once at ingest — the signature analog of
+    * the exact-fp store); the incoming batch's band keys broadcast
+    * (batch × 4 bands rows) into a map-stage probe over that store, so the
+    * index is never self-joined and never shuffles. Verification reads
+    * shingle sets for CANDIDATE ids only (collision-sized semi-joins on
+    * both sides). Cost: O(index) probe + O(collisions) verify per batch,
+    * independent of index × batch pairing.
+    *
+    * Liveness: planted re-ingests (every 7th index doc, the
+    * [[deltaDedup]] device) are Jaccard-1.0 near-dups by construction;
+    * natural cross-split near-dup pairs flag additionally. */
+  def deltaNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val index = docs.filter(col("doc_id") % 5 =!= 0)
+    // materialized once: feeds signatures, candidate shingle sets, and
+    // the final rollup (localCheckpoint: GC-reclaimed, not cache-pinned)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .unionAll(index.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"),
+          col("source")))
+      .localCheckpoint()
+    val cand = bandKeys(minhashSignaturesOf(s, index)).as("x")
+      .join(broadcast(bandKeys(minhashSignaturesOf(s, incoming)).as("y")),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("y.doc_id").as("inc_id"), col("x.doc_id").as("idx_id"))
+      .distinct()
+      .localCheckpoint()
+    def shs(df: DataFrame, idCol: String): DataFrame = df
+      .join(cand.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("shset"))
+    val flagged = cand
+      .join(broadcast(shs(incoming, "inc_id").toDF("inc_id", "sa")), "inc_id")
+      .join(broadcast(shs(index, "idx_id").toDF("idx_id", "sb")), "idx_id")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("inc_id").as("doc_id")).distinct()
+    incoming
+      .join(broadcast(flagged.withColumn("hit", lit(1))), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("hit").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_neardup"),
+        sum(when(col("hit").isNull, 1).otherwise(0)).cast("long")
+          .as("n_clean"))
   }
 
   /** The composed production near-dup pipeline: LSH candidate generation
@@ -834,6 +896,7 @@ object TextOps extends QueryModule {
     "q_exact_dedup_groups" -> exactDedupGroups _,
     "q_dedup_keep_first"   -> dedupKeepFirst _,
     "q_delta_dedup"        -> deltaDedup _,
+    "q_delta_neardup"      -> deltaNearDup _,
     "q_ngram_jaccard"      -> ngramJaccardPairs _,
     "q_minhash_sig"        -> minhashSignatures _,
     "q_minhash_lsh_pairs"  -> minhashLshPairs _,
@@ -1002,6 +1065,49 @@ object TextOps extends QueryModule {
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
          |  CAST(SUM(CASE WHEN md5(text) IN (SELECT fp FROM ifp)
          |           THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+         |FROM inc GROUP BY source""".stripMargin,
+    "q_delta_neardup" ->
+      s"""WITH docs AS (SELECT doc_id, text, source FROM documents),
+         |idx AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+         |inc AS (SELECT * FROM docs WHERE doc_id % 5 = 0
+         |        UNION ALL
+         |        SELECT doc_id + $PlantOffset, text, source FROM idx
+         |        WHERE doc_id % 7 = 0),
+         |isig AS (SELECT doc_id, $mhExprs
+         |  FROM (SELECT doc_id, $dShingles3 AS sh
+         |        FROM (SELECT doc_id, $dToks AS t FROM idx))),
+         |nsig AS (SELECT doc_id, $mhExprs
+         |  FROM (SELECT doc_id, $dShingles3 AS sh
+         |        FROM (SELECT doc_id, $dToks AS t FROM inc))),
+         |ib AS (
+         |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS bkey FROM isig
+         |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM isig
+         |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM isig
+         |  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM isig),
+         |nb AS (
+         |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS bkey FROM nsig
+         |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM nsig
+         |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM nsig
+         |  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM nsig),
+         |cand AS (
+         |  SELECT DISTINCT y.doc_id AS inc_id, x.doc_id AS idx_id
+         |  FROM ib x JOIN nb y ON x.band = y.band AND x.bkey = y.bkey),
+         |nsets AS (SELECT doc_id, list_distinct($dShingles3) AS shset
+         |  FROM (SELECT doc_id, $dToks AS t FROM inc)),
+         |isets AS (SELECT doc_id, list_distinct($dShingles3) AS shset
+         |  FROM (SELECT doc_id, $dToks AS t FROM idx)),
+         |flagged AS (
+         |  SELECT DISTINCT inc_id FROM cand
+         |  JOIN nsets a ON inc_id = a.doc_id
+         |  JOIN isets b ON idx_id = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+         |    (len(a.shset) + len(b.shset) -
+         |     len(list_intersect(a.shset, b.shset))) >= 0.6)
+         |SELECT source, COUNT(*) AS n_incoming,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT inc_id FROM flagged)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT inc_id FROM flagged)
+         |           THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
          |FROM inc GROUP BY source""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (

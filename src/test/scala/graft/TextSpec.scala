@@ -147,6 +147,25 @@ class TextSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum > 0, s"no planted dup flagged: $out")
   }
 
+  test("delta near-dup flags a superset of delta exact-dup and stays " +
+      "non-degenerate") {
+    val nd = TextOps.deltaNearDup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val xd = TextOps.deltaDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    nd.foreach { case (src, (inc, near, clean)) =>
+      assert(inc === near + clean, s"$src: $inc != $near + $clean")
+      // an identical re-ingest is a Jaccard-1.0 near-dup, so per source
+      // the near-dup count can never fall below the exact-dup count
+      assert(near >= xd(src), s"$src: near $near < exact ${xd(src)}")
+    }
+    // and the batch split makes the near-dup stage genuinely additive:
+    // natural cross-split near-dups exist beyond the planted re-ingests
+    assert(nd.values.map(_._2).sum > xd.values.sum,
+      s"no natural near-dup found beyond exact dups: $nd vs $xd")
+  }
+
   test("sharded sequence packing is byte-identical to the serial window " +
       "for any shard width") {
     val serial = TextOps.seqPacking(spark, dir).collect()
