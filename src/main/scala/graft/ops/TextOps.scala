@@ -310,6 +310,26 @@ object TextOps extends QueryModule {
         .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"),
           col("source")))
       .localCheckpoint()
+    incoming
+      .join(broadcast(nearDupFlags(s, incoming, index)
+        .withColumn("hit", lit(1))), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("hit").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_neardup"),
+        sum(when(col("hit").isNull, 1).otherwise(0)).cast("long")
+          .as("n_clean"))
+  }
+
+  /** The [[deltaNearDup]] flag core over arbitrary (doc_id, text) frames:
+    * which incoming docs are Jaccard ≥ 0.6 near-dups of the index.
+    * Per-doc independent (a doc's flag depends only on itself and the
+    * index), so flagging is BATCHING-INVARIANT — running it per streaming
+    * micro-batch against the static index yields exactly the whole-batch
+    * answer (DeltaStreamSpec proves it). That property is what lets the
+    * same gate run at the firehose and in backfill with one code path. */
+  private[graft] def nearDupFlags(s: SparkSession, incoming: DataFrame,
+                                  index: DataFrame): DataFrame = {
     val cand = bandKeys(minhashSignaturesOf(s, index)).as("x")
       .join(broadcast(bandKeys(minhashSignaturesOf(s, incoming)).as("y")),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
@@ -321,7 +341,7 @@ object TextOps extends QueryModule {
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), 3)).as("shset"))
-    val flagged = cand
+    cand
       .join(broadcast(shs(incoming, "inc_id").toDF("inc_id", "sa")), "inc_id")
       .join(broadcast(shs(index, "idx_id").toDF("idx_id", "sb")), "idx_id")
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
@@ -329,14 +349,6 @@ object TextOps extends QueryModule {
         (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jaccard") >= 0.6)
       .select(col("inc_id").as("doc_id")).distinct()
-    incoming
-      .join(broadcast(flagged.withColumn("hit", lit(1))), Seq("doc_id"), "left")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_incoming"),
-        sum(when(col("hit").isNotNull, 1).otherwise(0)).cast("long")
-          .as("n_neardup"),
-        sum(when(col("hit").isNull, 1).otherwise(0)).cast("long")
-          .as("n_clean"))
   }
 
   /** The composed production near-dup pipeline: LSH candidate generation

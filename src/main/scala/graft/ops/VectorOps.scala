@@ -175,6 +175,22 @@ object VectorOps extends QueryModule {
       .select(col("d1"), col("d2"), col("bucket"), col("sim"))
   }
 
+  /** Near-dup CLUSTERS over the EMBEDDING modality — the same
+    * connected-components machinery (hop + pointer-jump, O(log diameter)
+    * rounds) that clusters the SimHash text graph, here run over the
+    * cosine near-dup pairs: a dedup pipeline deletes by family regardless
+    * of which modality produced the pairs, so the clustering stage must be
+    * graph-source-agnostic. The loop runs over the collision-sized pair
+    * graph only; embeddings never re-enter. Oracle: the SAME recursive-CTE
+    * reachability device as `q_neardup_components`, over the shared
+    * `q_embed_neardup` pair CTEs (one constant, two oracles — they cannot
+    * drift). */
+  def embedNearDupComponents(s: SparkSession, d: String): DataFrame =
+    TextOps.connectedComponents(
+        embedNearDup(s, d).select(col("d1"), col("d2")))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("id")).as("max_vec"))
+
   /** Sign-LSH bucket assignment (8 planes → bucket ∈ [0,256)). */
   def lshBuckets(s: SparkSession, d: String): DataFrame =
     withBucketFast(s, d).select(col("vec_id"), col("label"), col("bucket"))
@@ -337,6 +353,7 @@ object VectorOps extends QueryModule {
     "q_ann_lsh"        -> annLsh _,
     "q_ann_multiprobe" -> annMultiprobe _,
     "q_embed_neardup"  -> embedNearDup _,
+    "q_embed_neardup_components" -> embedNearDupComponents _,
     "q_ivf_topk"       -> ivfTopk _,
     "q_ivf_multiprobe" -> ivfMultiprobe _,
   )
@@ -357,6 +374,25 @@ object VectorOps extends QueryModule {
     }.mkString(" + ")
   private val dBucket: String = dBucketFor(Planes)
   private val dBucketNearDup: String = dBucketFor(PlanesNearDup)
+
+  /** Shared CTE chain ending in `pairs` (the embedding near-dup pair
+    * graph) — consumed by both `q_embed_neardup` and
+    * `q_embed_neardup_components` so the two oracles cannot drift. */
+  private lazy val embedNearDupCtes: String =
+    s"""base AS (SELECT vec_id, label, embedding FROM embeddings),
+       |copies AS (
+       |  SELECT vec_id + ${TextOps.PlantOffset} AS vec_id, label,
+       |    list_transform(range(1, len(embedding)+1),
+       |      i -> CASE WHEN i = 1 THEN CAST(0.0 AS REAL)
+       |           ELSE embedding[CAST(i AS INT)] END) AS embedding
+       |  FROM base WHERE vec_id % 25 = 0),
+       |aug AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+       |wb AS (SELECT vec_id, embedding, $dBucketNearDup AS bucket FROM aug),
+       |pairs AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2, a.bucket AS bucket,
+       |    ${dCos("a.embedding", "b.embedding")} AS sim
+       |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
+      .stripMargin
 
   override val oracles: Map[String, String] = Map(
     "q_embed_pipeline" ->
@@ -423,20 +459,19 @@ object VectorOps extends QueryModule {
          |QUALIFY rank <= 5""".stripMargin
     },
     "q_embed_neardup" ->
-      s"""WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
-         |copies AS (
-         |  SELECT vec_id + ${TextOps.PlantOffset} AS vec_id, label,
-         |    list_transform(range(1, len(embedding)+1),
-         |      i -> CASE WHEN i = 1 THEN CAST(0.0 AS REAL)
-         |           ELSE embedding[CAST(i AS INT)] END) AS embedding
-         |  FROM base WHERE vec_id % 25 = 0),
-         |aug AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
-         |wb AS (SELECT vec_id, embedding, $dBucketNearDup AS bucket FROM aug),
-         |pairs AS (
-         |  SELECT a.vec_id AS d1, b.vec_id AS d2, a.bucket AS bucket,
-         |    ${dCos("a.embedding", "b.embedding")} AS sim
-         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      s"""WITH $embedNearDupCtes
          |SELECT d1, d2, bucket, sim FROM pairs WHERE sim >= 0.9""".stripMargin,
+    "q_embed_neardup_components" ->
+      s"""WITH RECURSIVE $embedNearDupCtes,
+         |cand AS (SELECT d1, d2 FROM pairs WHERE sim >= 0.9),
+         |e AS (SELECT d1, d2 FROM cand UNION SELECT d2, d1 FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT d1, d1 FROM e
+         |  UNION
+         |  SELECT r.src, e.d2 FROM reach r JOIN e ON r.dst = e.d1),
+         |lab AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
+         |SELECT comp, COUNT(*) AS n_vecs, MAX(id) AS max_vec
+         |FROM lab GROUP BY comp""".stripMargin,
     "q_ivf_topk" ->
       s"""WITH ex AS (
          |  SELECT label, vec_id, UNNEST(embedding) AS x,
