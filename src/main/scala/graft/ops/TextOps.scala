@@ -612,13 +612,26 @@ object TextOps extends QueryModule {
                                          maxRounds: Int = 64): DataFrame =
     connectedComponentsCounted(pairs, maxRounds)._1
 
-  /** The loop body, returning (labels, rounds) so specs can assert the
-    * O(log diameter) convergence claim, not just the fixpoint.
+  /** Default driver-side edge budget for [[connectedComponentsCounted]]:
+    * 1M symmetric edges ≈ 16 MB of longs — comfortably driver-sized. */
+  private[graft] val CcDriverMaxEdges: Long = 1L << 20
+
+  /** The clustering core, returning (labels, rounds) so specs can assert
+    * convergence behavior, not just the fixpoint.
     *
-    * Each round does TWO label-shrinking steps over the collision-sized
-    * pair graph:
-    *   1. HOP — adopt the min comp among the node's direct neighbors
-    *      (classic Pregel min-label; alone this needs diameter rounds).
+    * SIZE-GATED HYBRID — the same adaptivity Spark itself applies when it
+    * broadcasts a small join side. The pair graph is collision-sized
+    * (≈ dup families), orders of magnitude smaller than the corpus, so it
+    * usually fits the driver: at ≤ `driverMaxEdges` symmetric edges
+    * (default [[CcDriverMaxEdges]], ~16 MB) a path-compressed union-find
+    * solves it in one collect + milliseconds, reported as rounds = 0.
+    * A dup-heavy 100 TB corpus whose pair graph exceeds the budget takes
+    * the distributed loop; the count() that decides is over the
+    * checkpointed edge set, so the gate costs one cheap action.
+    *
+    * The distributed loop does TWO label-shrinking steps per round:
+    *   1. HOP — adopt the min comp among direct neighbors (classic Pregel
+    *      min-label; alone this needs diameter rounds).
     *   2. JUMP — pointer-double through the label table: follow your new
     *      comp (always itself a node id in your component) to THAT node's
     *      comp. Composing the label map with itself doubles the distance
@@ -631,37 +644,71 @@ object TextOps extends QueryModule {
     * otherwise loop the driver forever; 64 rounds covers any graph a
     * 2^64-id space can express with a wide margin. Each round
     * localCheckpoints to cut lineage growth; one count() action per round
-    * is the convergence test. Deterministic: min-label is order-free. */
+    * is the convergence test. Deterministic on BOTH paths: min-label is
+    * order-free, and union-by-min keeps each union-find root the
+    * component minimum (bit-parity spec: CC drives random graphs through
+    * both paths and compares). */
   private[graft] def connectedComponentsCounted(
-      pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+      pairs: DataFrame, maxRounds: Int = 64,
+      driverMaxEdges: Long = CcDriverMaxEdges): (DataFrame, Int) = {
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
-    var labels = edges.select(col("d1").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      rounds += 1
-      if (rounds > maxRounds)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxRounds rounds — " +
-            "monotone label descent is broken")
-      val nbrMin = edges.join(labels, edges("d2") === labels("id"))
-        .groupBy(edges("d1").as("nid")).agg(min(col("comp")).as("nbr_comp"))
-      val hopped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("hop"))
-      val jump = hopped.select(col("id").as("jid"), col("hop").as("jcomp"))
-      val updated = hopped.join(jump, hopped("hop") === jump("jid"), "left")
-        .select(col("id"), col("comp"),
-          least(col("hop"), coalesce(col("jcomp"), col("hop"))).as("comp2"))
+    if (edges.count() <= driverMaxEdges) {
+      val es = edges.select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val s = pairs.sparkSession
+      import s.implicits._
+      // symmetric edges: every node appears as d1
+      val labels = es.map(_._1).distinct.map(x => (x, find(x))).toSeq
+        .toDF("id", "comp")
+      (labels, 0)
+    } else {
+      // seed labels with the FIRST hop folded into initialization: comp0 =
+      // min(id, min neighbor) comes out of the same agg that enumerates
+      // the node set — dense families converge in one fixpoint check
+      var labels = edges.groupBy(col("d1").as("id"))
+        .agg(min(col("d2")).as("nbr"))
+        .select(col("id"), least(col("id"), col("nbr")).as("comp"))
         .localCheckpoint()
-      changed = updated.filter(col("comp2") < col("comp")).count()
-      labels = updated.select(col("id"), col("comp2").as("comp"))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0) {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxRounds rounds — " +
+              "monotone label descent is broken")
+        val nbrMin = edges.join(labels, edges("d2") === labels("id"))
+          .groupBy(edges("d1").as("nid")).agg(min(col("comp")).as("nbr_comp"))
+        val hopped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(col("id"), col("comp"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+              .as("hop"))
+        val jump = hopped.select(col("id").as("jid"), col("hop").as("jcomp"))
+        val updated = hopped.join(jump, hopped("hop") === jump("jid"), "left")
+          .select(col("id"), col("comp"),
+            least(col("hop"), coalesce(col("jcomp"), col("hop"))).as("comp2"))
+          .localCheckpoint()
+        changed = updated.filter(col("comp2") < col("comp")).count()
+        labels = updated.select(col("id"), col("comp2").as("comp"))
+      }
+      (labels, rounds)
     }
-    (labels, rounds)
   }
 
   /** Intra-document repetition ratio — the Gopher/MassiveText-class

@@ -93,9 +93,16 @@ class TextSpec extends AnyFunSuite {
       }
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val expected = nodes.map(x => x -> find(x)).toMap
-      val got = TextOps.connectedComponents(edges.toDF("d1", "d2"))
+      // bit-parity across BOTH paths: the driver union-find (default
+      // gate) and the distributed loop (forced with a zero edge budget)
+      val gotDriver = TextOps.connectedComponentsCounted(
+          edges.toDF("d1", "d2"))._1
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"trial $trial, edges $edges")
+      val gotDist = TextOps.connectedComponentsCounted(
+          edges.toDF("d1", "d2"), driverMaxEdges = 0L)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDriver === expected, s"driver path: trial $trial, edges $edges")
+      assert(gotDist === expected, s"distributed path: trial $trial, edges $edges")
     }
   }
 
@@ -120,13 +127,18 @@ class TextSpec extends AnyFunSuite {
     // chain 1-2-...-128: diameter 127. Pure hop-propagation needs 127
     // rounds; the hop+pointer-jump loop must finish in ~log2 of that.
     val chain = (1L to 127L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val (labels, rounds) = TextOps.connectedComponentsCounted(chain)
+    // driverMaxEdges = 0 forces the distributed loop — the round-count
+    // claim under test is about that path (the default gate would solve
+    // this tiny graph on the driver with rounds = 0)
+    val (labels, rounds) = TextOps.connectedComponentsCounted(chain,
+      driverMaxEdges = 0L)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (1L to 128L).map(_ -> 1L).toMap)
     assert(rounds <= 10, s"expected O(log 127) ~ <=10 rounds, took $rounds")
     // the defensive bound: a budget below the need must throw, not spin
     assertThrows[IllegalStateException] {
-      TextOps.connectedComponentsCounted(chain, maxRounds = 2)
+      TextOps.connectedComponentsCounted(chain, maxRounds = 2,
+        driverMaxEdges = 0L)
     }
   }
 
