@@ -148,10 +148,12 @@ object StatefulOps {
           val st = state.getOption.getOrElse(AsofBuffer(Long.MinValue, Nil))
           val wmSec = state.getCurrentWatermarkMs() / 1000
           val all = st.pending ++ events
-          // Spark's late-row filter drops only rows STRICTLY below the
-          // watermark — a row with eventTime == watermark is still
-          // admitted, so only t < watermark-second is final; t == wmSec
-          // holds one extra round (the event-time timeout re-arm covers it)
+          // measured boundary (WatermarkBoundarySpec): with
+          // EventTimeTimeout the engine's pre-filter drops rows with
+          // eventTime <= watermark, so nothing at t == wmSec can still
+          // arrive; the strict t < wmSec partition is conservative slack
+          // (holds the boundary second one extra round via the timeout
+          // re-arm) so correctness never leans on the filter's exact edge
           val (ripe, hold) = all.partition(_.t < wmSec)
           var lastView = st.lastView
           val out = Vector.newBuilder[AsofMatch]

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the ENGINE's late-row boundary that the stateful operators'
+  * finalization logic depends on, measured rather than assumed:
+  *
+  *   - flatMapGroupsWithState with NoTimeout applies NO late filter — the
+  *     function sees every row, even below the watermark (the operator
+  *     owns its own lateness policy).
+  *   - with EventTimeTimeout the pre-filter drops rows with eventTime
+  *     <= watermark (INCLUSIVE — a row exactly AT the watermark never
+  *     reaches the function).
+  *
+  * Consequence for `StatefulOps.asofBuffered`: no event with t equal to
+  * the current watermark-second can arrive after that second is current,
+  * so finalizing state strictly below the watermark-second can never lose
+  * an attribution; the strict `<` partition is conservative slack, not a
+  * correctness requirement. If a Spark upgrade ever moves either boundary,
+  * this spec fails first and points at the dependent logic. */
+class WatermarkBoundarySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def seenWith(timeout: GroupStateTimeout, name: String): Set[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user, t)
+    val ds = in.toDS().toDF("u", "t")
+      .withColumn("eventTime", timestamp_seconds(col("t")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val echoed = ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (k: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+         st: GroupState[Long]) => it.map(e => (k, e._2)))
+    val q = echoed.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, 10L)); q.processAllAvailable() // watermark -> 10 s
+    in.addData((2L, 10L)); q.processAllAvailable() // row == watermark
+    in.addData((3L, 9L));  q.processAllAvailable() // row <  watermark
+    q.stop()
+    spark.table(name).as[(Long, Long)].collect().toSet
+  }
+
+  test("EventTimeTimeout drops rows with eventTime <= watermark (inclusive)") {
+    assert(seenWith(GroupStateTimeout.EventTimeTimeout, "wmb_ett") ===
+      Set((1L, 10L)))
+  }
+
+  test("NoTimeout applies no late filter at all") {
+    assert(seenWith(GroupStateTimeout.NoTimeout, "wmb_none") ===
+      Set((1L, 10L), (2L, 10L), (3L, 9L)))
+  }
+}
