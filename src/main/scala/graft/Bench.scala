@@ -20,8 +20,9 @@ import org.apache.spark.sql.SparkSession
   * driver's output capture. The diagnostic maps (per-query medians, the
   * isolated re-runs) go to stderr, where truncation cannot eat the record.
   * As final insurance the line ends with a duplicate `"total":<sec>` key
-  * after the queries map: even a capture that clips mid-map still shows
-  * the headline total at whichever end survived. A failed query reports
+  * after the queries map, and a SECOND, totals-only JSON line (< 200 bytes)
+  * follows it: a tail capture too small for the per-query line still ends
+  * with one complete parseable record. A failed query reports
   * -1 (and the failure goes to stderr so it is never silent).
   */
 object Bench {
@@ -90,6 +91,12 @@ object Bench {
     val totalMed = jnum(ok.map(_._3).sum)
     System.err.println(s"""[bench-diagnostics] {"value_median":$totalMed,"queries_median":$qsMed,"isolated":$iso}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${results.size - ok.size},"queries":$qs,"total":$total}""")
+    // The per-query line above is ~2.7 kB — larger than the driver's tail
+    // capture window, which clips it mid-map into unparseable text (observed
+    // five rounds running). This second line is a SELF-CONTAINED totals-only
+    // record under 200 bytes: any tail window that sees the end of stdout
+    // contains it whole, so the driver always has one complete JSON line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size}}""")
     spark.stop()
   }
 }

@@ -24,14 +24,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * date_id, with consumers pruning partitions — here it is plain parquet
   * because the sandbox has no table format on the classpath.
   */
-object DwdStore {
+/** Shared materialization-root machinery for the per-JVM stores
+  * ([[DwdStore]], [[TextIndexStore]]): a PID-scoped tmp root (two driver
+  * JVMs — e.g. Verify and Bench overlapping — must never race each other's
+  * overwrite of the same store directory), removed on JVM exit. Set
+  * SPARK_GRAFT_DWD_DIR to pin a shared, persistent location instead. */
+private[ops] object StoreDirs {
 
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Default root is PID-scoped: two driver JVMs (e.g. Verify and Bench
-    * overlapping) must never race each other's overwrite of the same store
-    * directory. The per-process store is removed on JVM exit; set
-    * SPARK_GRAFT_DWD_DIR to pin a shared, persistent location instead. */
   private lazy val root: String =
     sys.env.get("SPARK_GRAFT_DWD_DIR").getOrElse {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
@@ -46,20 +45,25 @@ object DwdStore {
     f.delete(): Unit
   }
 
-  /** One store dir per source sfDir. The readable sanitized path alone is
-    * NOT collision-free ("/x/y" and "/x_y" both sanitize to "_x_y"), so an
-    * md5 of the raw path is appended — sanitized prefix for debuggability,
-    * digest for uniqueness. */
-  private def dirFor(d: String): String = {
+  /** One store dir per (store tag, source sfDir). The readable sanitized
+    * path alone is NOT collision-free ("/x/y" and "/x_y" both sanitize to
+    * "_x_y"), so an md5 of the raw path is appended — sanitized prefix for
+    * debuggability, digest for uniqueness. */
+  def dirFor(tag: String, d: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     new java.io.File(root,
-      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest).getPath
+      tag + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest).getPath
   }
+}
+
+object DwdStore {
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensure(s: SparkSession, d: String): String =
     built.computeIfAbsent(d, _ => {
-      val base = dirFor(d)
+      val base = StoreDirs.dirFor("dwd", d)
       val wide = OrderWide.buildWide(
         OrderWide.detail(s, d), OrderWide.info(s, d),
         OrderWide.activity(s, d), OrderWide.coupon(s, d), OrderWide.dic(s, d))

@@ -364,16 +364,29 @@ object Relational extends QueryModule {
   /** The blocking engine behind [[fuzzyBrandBlocked]], over any distinct
     * single-column dictionary — separated so the property spec can prove
     * deletion-neighborhood completeness on RANDOM dictionaries, not just
-    * the brand vocabulary. */
+    * the brand vocabulary.
+    *
+    * Totality over the documented domain: the deletion transform is
+    * guarded — for an empty string `sequence(1, 0)` would yield the
+    * DESCENDING sequence [1, 0] (an accident this code must not lean on),
+    * so "" takes the empty-variant branch and keys only on itself, which
+    * still pairs it with every single-character string (their deletion
+    * variant IS "") — recall 1.0 holds at the bottom of the domain too.
+    * NULL entries are dropped explicitly (explode(NULL) would drop them
+    * anyway, but by accident): NULL cannot participate in any pair under
+    * the `b1 < b2` contract. */
   private[graft] def blockedNearPairs(dict: DataFrame, c: String): DataFrame = {
     val variants = expr(
       s"""array_distinct(concat(
          |  array($c),
-         |  transform(sequence(1, length($c)),
-         |    i -> concat(substring($c, 1, i-1),
-         |                substring($c, i+1, length($c) - i)))))"""
+         |  CASE WHEN length($c) > 0 THEN
+         |    transform(sequence(1, length($c)),
+         |      i -> concat(substring($c, 1, i-1),
+         |                  substring($c, i+1, length($c) - i)))
+         |  ELSE CAST(array() AS array<string>) END))"""
         .stripMargin)
-    val keyed = dict.select(col(c), explode(variants).as("k"))
+    val keyed = dict.filter(col(c).isNotNull)
+      .select(col(c), explode(variants).as("k"))
     keyed.as("x").join(keyed.as("y"),
         col("x.k") === col("y.k") && col(s"x.$c") < col(s"y.$c"))
       .select(col(s"x.$c").as("b1"), col(s"y.$c").as("b2"))

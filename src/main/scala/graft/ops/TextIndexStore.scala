@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized delta-gate index artifacts — the "computed once at ingest"
+  * store both delta scaladocs promise, executed rather than described.
+  *
+  * Continuous ingestion dedups every incoming batch against the indexed
+  * corpus ([[TextOps.deltaDedup]] / [[TextOps.deltaNearDup]]). At 100 TB
+  * the index side must never be re-scanned per batch for hashing: the two
+  * probe artifacts are computed ONCE when a document enters the index and
+  * stored columnar —
+  *
+  *   - `fp`  — (doc_id, source, md5 fingerprint): 32 bytes + id per doc,
+  *             the exact-dedup probe surface. A batch probe scans this
+  *             store, never the text.
+  *   - `sig` — the k=8 MinHash signature row per doc (8 longs, nullable
+  *             for sub-shingle docs): the near-dup probe surface. Band
+  *             keys derive from the stored longs; shingle re-computation
+  *             happens only for verification, on candidate ids.
+  *
+  * Here the store is plain parquet written once per (JVM, sfDir) — the
+  * [[DwdStore]] memo pattern ([[StoreDirs]] root: PID-scoped, removed on
+  * exit, always rebuilt on first access so staleness cannot leak across
+  * runs). In production it is a lakehouse table appended at ingest time;
+  * the probe-side plans are identical.
+  */
+object TextIndexStore {
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensure(s: SparkSession, d: String): String =
+    built.computeIfAbsent(d, _ => {
+      val base = StoreDirs.dirFor("textidx", d)
+      val index = TextOps.deltaIndex(s, d)
+      index.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(s"$base/fp")
+      TextOps.minhashSignaturesOf(s, index)
+        .write.mode("overwrite").parquet(s"$base/sig")
+      base
+    })
+
+  /** The materialized (doc_id, source, fp) exact-dedup index. */
+  def fp(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/fp")
+
+  /** The materialized MinHash signature store (doc_id, mh0..mh7). */
+  def sig(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/sig")
+}

@@ -118,41 +118,55 @@ object TextOps extends QueryModule {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  /** The indexed-corpus split the delta gates probe (every doc whose id is
+    * not ≡ 0 mod 5); the [[TextIndexStore]] materializes its probe
+    * artifacts once per (JVM, sfDir). */
+  private[ops] def deltaIndex(s: SparkSession, d: String): DataFrame =
+    docsParallel(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 5 =!= 0)
+
   /** Delta dedup — dedup an INCOMING ingest batch against the
     * already-indexed corpus, the shape continuous ingestion actually
     * runs (the batch dedup stack above dedups a corpus against itself;
     * production appends to a 100 TB index daily and must not rescan-
     * rejoin the whole thing symmetrically).
     *
-    * Plan shape, and why it scales: the incoming BATCH's distinct
-    * fingerprints broadcast (batch-sized at any index size) into a
-    * map-stage probe over the index — the index side never shuffles and
-    * ships only its fingerprint column; the (tiny) hit set broadcasts
-    * back to flag the batch. Zero index shuffles, two broadcasts bounded
-    * by batch size. A production deployment materializes the index's
-    * fingerprint column once at ingest (the same (md5, id) discipline as
-    * [[exactDedupGroups]]) so the probe reads 32 bytes/doc, not text.
+    * Plan shape, and why it scales: the index's fingerprint column is
+    * MATERIALIZED once at ingest ([[TextIndexStore.fp]] — 32 bytes + id
+    * per doc, the same (md5, id) discipline as [[exactDedupGroups]]); the
+    * probe scans that store, never the index text. The incoming BATCH's
+    * distinct fingerprints broadcast (batch-sized at any index size) into
+    * a map-stage semi-join probe over the store; the (tiny) hit set
+    * broadcasts back to flag the batch. No index-sized shuffle — the one
+    * `distinct` after the semi-join is over the HIT SET, bounded by batch
+    * size — and two broadcasts, both batch-bounded.
     *
     * Here incoming = every 5th doc; the corpus is dup-free so hits are
     * proven live with planted re-ingests (every 7th INDEX doc re-issued
     * in the batch under doc_id+[[PlantOffset]] — the corpus-filter
     * honesty device; 7 is coprime to the 5-way split, so the planted set
     * is non-empty — a multiple of 5 here would silently degenerate the
-    * metric with both engines agreeing). Streaming complement:
+    * metric with both engines agreeing). Planted rows take their
+    * fingerprint straight from the store — byte-identical text, so the
+    * stored md5 IS the replayed row's md5. Streaming complement:
     * `StatefulOps.ingestDedup` (one marker per distinct fingerprint,
     * RocksDB-backed). */
   def deltaDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = docsParallel(s, d)
-      .select(col("doc_id"), col("text"), col("source"))
-    val index = docs.filter(col("doc_id") % 5 =!= 0)
-    val incoming = docs.filter(col("doc_id") % 5 === 0)
-      .unionAll(index.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"),
-          col("source")))
-    val incFp = incoming.select(md5(col("text")).as("fp")).distinct()
-    val dupFp = index.select(md5(col("text")).as("fp"))
+    val idxFp = TextIndexStore.fp(s, d)
+    // incoming fingerprints: hashed once for the fresh batch, read from
+    // the store for planted re-ingests; checkpointed so the frame's two
+    // consumers (probe build, final rollup) scan it once
+    val incoming = docsParallel(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("source"), md5(col("text")).as("fp"))
+      .unionAll(idxFp.filter(col("doc_id") % 7 === 0)
+        .select(col("source"), col("fp")))
+      .localCheckpoint()
+    val incFp = incoming.select(col("fp")).distinct()
+    val dupFp = idxFp.select(col("fp"))
       .join(broadcast(incFp), Seq("fp"), "left_semi").distinct()
-    incoming.select(col("source"), md5(col("text")).as("fp"))
+    incoming
       .join(broadcast(dupFp.withColumn("hit", lit(1))), Seq("fp"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_incoming"),
@@ -166,13 +180,14 @@ object TextOps extends QueryModule {
     * Shingle-keyed self-join — the *verifier* stage; at scale it runs on
     * MinHash-LSH candidates only (see [[minhashLshPairs]]). */
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    // cached: the exploded shingle table feeds both sides of the self-join
-    // and the per-doc sizes — without it the interpreted shingle expressions
-    // are evaluated three times
+    // materialized once (localCheckpoint, not cache: GC-reclaimed, no
+    // unpersist obligation on callers): the exploded shingle table feeds
+    // both sides of the self-join and the per-doc sizes — without it the
+    // interpreted shingle expressions are evaluated three times
     val sh = docsParallel(s, d)
       .select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
-      .cache()
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -206,8 +221,9 @@ object TextOps extends QueryModule {
     minhashSignaturesOf(s, docsParallel(s, d))
 
   /** Same signature computation over any (doc_id, text) frame — the
-    * composed corpus pipeline runs it on an augmented corpus. */
-  private def minhashSignaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    * composed corpus pipeline runs it on an augmented corpus, and the
+    * [[TextIndexStore]] materializes it over the delta index at ingest. */
+  private[ops] def minhashSignaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
@@ -270,7 +286,9 @@ object TextOps extends QueryModule {
     * fraction. THE near-dup scale path: cost is O(candidates), not
     * O(docs²). */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d).cache()
+    // localCheckpoint (not cache): sig feeds candidate generation and both
+    // signature-compare sides; blocks are GC-reclaimed after the query
+    val sig = minhashSignatures(s, d).localCheckpoint()
     val cand = lshCandidates(sig)
     val a = sig.toDF("d1" +: (0 until 8).map(j => s"a$j"): _*)
     val b = sig.toDF("d2" +: (0 until 8).map(j => s"b$j"): _*)
@@ -287,14 +305,15 @@ object TextOps extends QueryModule {
     * Jaccard ≥ 0.6 (the same two-stage contract as
     * [[nearDupPipeline]], asymmetric instead of self-joined).
     *
-    * Scale shape: in production the index's signatures are a MATERIALIZED
-    * store (8 longs/doc, computed once at ingest — the signature analog of
-    * the exact-fp store); the incoming batch's band keys broadcast
-    * (batch × 4 bands rows) into a map-stage probe over that store, so the
-    * index is never self-joined and never shuffles. Verification reads
-    * shingle sets for CANDIDATE ids only (collision-sized semi-joins on
-    * both sides). Cost: O(index) probe + O(collisions) verify per batch,
-    * independent of index × batch pairing.
+    * Scale shape: the index's signatures are a MATERIALIZED store
+    * ([[TextIndexStore.sig]] — 8 longs/doc, computed once at ingest, the
+    * signature analog of the exact-fp store); the incoming batch's band
+    * keys broadcast (batch × 4 bands rows) into a map-stage probe over
+    * that store, so the index is never self-joined, never re-hashed, and
+    * never shuffles. Verification reads shingle sets for CANDIDATE ids
+    * only (collision-sized semi-joins on both sides). Cost: O(index)
+    * probe + O(collisions) verify per batch, independent of
+    * index × batch pairing.
     *
     * Liveness: planted re-ingests (every 7th index doc, the
     * [[deltaDedup]] device) are Jaccard-1.0 near-dups by construction;
@@ -311,7 +330,8 @@ object TextOps extends QueryModule {
           col("source")))
       .localCheckpoint()
     incoming
-      .join(broadcast(nearDupFlags(s, incoming, index)
+      .join(broadcast(nearDupFlags(s, incoming, index,
+          indexSig = Some(TextIndexStore.sig(s, d)))
         .withColumn("hit", lit(1))), Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_incoming"),
@@ -327,10 +347,15 @@ object TextOps extends QueryModule {
     * index), so flagging is BATCHING-INVARIANT — running it per streaming
     * micro-batch against the static index yields exactly the whole-batch
     * answer (DeltaStreamSpec proves it). That property is what lets the
-    * same gate run at the firehose and in backfill with one code path. */
+    * same gate run at the firehose and in backfill with one code path.
+    *
+    * `indexSig`: a pre-materialized signature frame for `index` (the
+    * [[TextIndexStore.sig]] store) — when absent, signatures are computed
+    * in-query (the spec/backfill path over arbitrary frames). */
   private[graft] def nearDupFlags(s: SparkSession, incoming: DataFrame,
-                                  index: DataFrame): DataFrame = {
-    val cand = bandKeys(minhashSignaturesOf(s, index)).as("x")
+                                  index: DataFrame,
+                                  indexSig: Option[DataFrame] = None): DataFrame = {
+    val cand = bandKeys(indexSig.getOrElse(minhashSignaturesOf(s, index))).as("x")
       .join(broadcast(bandKeys(minhashSignaturesOf(s, incoming)).as("y")),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("y.doc_id").as("inc_id"), col("x.doc_id").as("idx_id"))
@@ -359,20 +384,24 @@ object TextOps extends QueryModule {
   def nearDupPipeline(s: SparkSession, d: String): DataFrame =
     nearDupPairsOf(s, docsParallel(s, d))
 
-  /** The LSH→verify pipeline over any (doc_id, text) frame. */
+  /** The LSH→verify pipeline over any (doc_id, text) frame.
+    * Intermediates are localCheckpointed (never cache()d): each is read by
+    * 2+ downstream consumers, and checkpoint blocks are GC-reclaimed with
+    * the frame — no unpersist obligation leaks to callers. */
   private def nearDupPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
-    val cand = lshCandidates(minhashSignaturesOf(s, docs).cache()).cache()
+    val cand = lshCandidates(minhashSignaturesOf(s, docs).localCheckpoint())
+      .localCheckpoint()
     val shingleSets = docs.select(
       col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 3)).as("shset"))
     // Only docs that appear in ≥1 candidate pair need their shingle sets —
     // semi-join first so the broadcast below holds the survivor set (size
-    // ∝ LSH collisions), NOT the whole corpus. Cached: referenced by both
-    // sides of the pair join.
+    // ∝ LSH collisions), NOT the whole corpus. Materialized: referenced by
+    // both sides of the pair join.
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     val survivors = shingleSets
-      .join(candIds, Seq("doc_id"), "left_semi").cache()
+      .join(candIds, Seq("doc_id"), "left_semi").localCheckpoint()
     cand
       .join(broadcast(survivors.toDF("d1", "sa")), "d1")
       .join(broadcast(survivors.toDF("d2", "sb")), "d2")

@@ -150,11 +150,14 @@ object StatefulOps {
           val all = st.pending ++ events
           // measured boundary (WatermarkBoundarySpec): with
           // EventTimeTimeout the engine's pre-filter drops rows with
-          // eventTime <= watermark, so nothing at t == wmSec can still
-          // arrive; the strict t < wmSec partition is conservative slack
-          // (holds the boundary second one extra round via the timeout
-          // re-arm) so correctness never leans on the filter's exact edge
-          val (ripe, hold) = all.partition(_.t < wmSec)
+          // eventTime <= watermark INCLUSIVE, so nothing at t == wmSec can
+          // still arrive — finalizing the boundary second is provably
+          // safe. The partition must be inclusive to match: a strict
+          // t < wmSec would hold boundary-second events for a later
+          // watermark advance, and if the stream quiesces with the
+          // watermark exactly at a held event's second those attributions
+          // would never emit (a liveness hole the measured edge rules out)
+          val (ripe, hold) = all.partition(_.t <= wmSec)
           var lastView = st.lastView
           val out = Vector.newBuilder[AsofMatch]
           ripe.sortBy(e => (e.t, e.side)).foreach { e =>

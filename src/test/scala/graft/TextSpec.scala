@@ -161,6 +161,18 @@ class TextSpec extends AnyFunSuite {
 
   test("delta near-dup flags a superset of delta exact-dup and stays " +
       "non-degenerate") {
+    import org.apache.spark.sql.functions._
+    // The superset property below (near >= exact per source) holds only
+    // while every duplicate-able doc has >= 3 tokens: a shorter duplicate
+    // has an empty 3-shingle set, NULL minhash band keys, and is never an
+    // LSH candidate — it would count in n_dup but not n_neardup. Guard it
+    // explicitly so a future corpus-generator change fails HERE with a
+    // pointed message, not in the opaque superset assertion.
+    val shortDocs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) < 3).count()
+    assert(shortDocs === 0L,
+      s"$shortDocs docs have < 3 tokens (below the shingle width); the " +
+        "near>=exact superset assertion is only valid on a >=3-token corpus")
     val nd = TextOps.deltaNearDup(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
