@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata (the mandated training-data
-  * extension). No media codecs ship in this container, so the *decode* step
-  * is a clearly-marked deterministic stub ([[FakeDecoder]]); everything
-  * around it — binary columns, typed metadata structs, per-partition batch
-  * decode, frame slicing, feature vectors — is real Spark plumbing and
-  * tested.
+  * extension). No media codecs ship in this container, so payloads use the
+  * synthetic [[GrfCodec]] container — a REAL byte layout (magic +
+  * big-endian dimension header + pixel plane) that the decode stage
+  * genuinely parses, not a pass-through fake. Swapping GRF1 for
+  * PNG/JPEG means swapping [[GrfCodec.decode]]'s body for a codec call;
+  * every Spark-side shape (binary columns, typed metadata structs,
+  * per-partition batch decode, frame slicing, feature vectors) stays.
   *
   * Scale design: payload bytes never shuffle — metadata extraction and
   * decode are map-side; anything aggregated downstream ships only the
@@ -20,122 +22,175 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps extends QueryModule {
 
-  /** Synthesized media table: payload = utf8 bytes of the document text
-    * (deterministic in both engines), metadata derived from doc_id. */
-  def mediaTable(s: SparkSession, d: String): DataFrame =
+  /** The synthetic GRF1 image container:
+    * {{{
+    *   bytes 0..3   magic "GRF1"
+    *   bytes 4..7   width,  uint32 big-endian
+    *   bytes 8..11  height, uint32 big-endian
+    *   bytes 12..   grayscale pixel plane, 1 byte/px
+    * }}}
+    * Encode/decode are exact inverses (GrfCodecSpec property-tests the
+    * round-trip); decode REJECTS truncated or wrong-magic payloads rather
+    * than guessing. The correctness gate exercises the parser for real:
+    * q_mm_decode emits the PARSED width/height, and the DuckDB oracle
+    * derives them from the generation formula — a flipped endianness or
+    * off-by-one header slice hash-mismatches immediately. */
+  object GrfCodec {
+    val HeaderLen = 12
+    val Magic: Array[Byte] = "GRF1".getBytes("UTF-8")
+
+    case class GrfImage(width: Int, height: Int, pixels: Array[Byte])
+
+    def encode(img: GrfImage): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(HeaderLen + img.pixels.length)
+      bb.put(Magic).putInt(img.width).putInt(img.height).put(img.pixels)
+      bb.array()
+    }
+
+    def decode(payload: Array[Byte]): GrfImage = {
+      require(payload.length >= HeaderLen,
+        s"truncated GRF1 payload: ${payload.length} bytes")
+      require(java.util.Arrays.equals(payload, 0, 4, Magic, 0, 4),
+        "bad GRF1 magic")
+      val bb = java.nio.ByteBuffer.wrap(payload, 4, 8)
+      val w = bb.getInt()
+      val h = bb.getInt()
+      GrfImage(w, h,
+        java.util.Arrays.copyOfRange(payload, HeaderLen, payload.length))
+    }
+  }
+
+  /** Synthesized media table: each payload is a well-formed GRF1 blob —
+    * magic, big-endian dims (the metadata formula), then the utf8 text
+    * bytes as the pixel plane (deterministic in both engines). The header
+    * is built with codegen'd column ops (unhex of zero-padded hex = the
+    * big-endian byte encoding), so generation itself never leaves
+    * whole-stage codegen. */
+  def mediaTable(s: SparkSession, d: String): DataFrame = {
+    val w = (lit(64) + col("doc_id") % 128).cast("int")
+    val h = (lit(48) + col("doc_id") % 96).cast("int")
     Tables.documents(s, d).select(
       col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      (lit(64) + col("doc_id") % 128).cast("int").as("width"),
-      (lit(48) + col("doc_id") % 96).cast("int").as("height"),
+      concat(
+        encode(lit("GRF1"), "UTF-8"),
+        unhex(lpad(hex(w), 8, "0")),
+        unhex(lpad(hex(h), 8, "0")),
+        encode(col("text"), "UTF-8")).as("payload"),
+      w.as("width"), h.as("height"),
       when(col("doc_id") % 3 === 0, "png")
         .when(col("doc_id") % 3 === 1, "jpeg")
         .otherwise("webp").as("format"))
+  }
 
-  /** Metadata + header inspection — pure column ops over the binary. */
+  /** Metadata + header inspection — pure column ops over the binary; the
+    * full 12-byte GRF1 header surfaces as hex (magic + both dims). */
   def mmMetadata(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d).select(
       col("doc_id"), col("width"), col("height"), col("format"),
       length(col("payload")).as("n_bytes"),
-      hex(substring(col("payload"), 1, 4)).as("header_hex"))
+      hex(substring(col("payload"), 1, GrfCodec.HeaderLen)).as("header_hex"))
 
-  /** Frame sampling arithmetic: 256-byte "frames", count + sampled count
-    * (every 4th frame) — integer math, shuffle-free. */
+  /** Frame sampling arithmetic: 256-byte "frames" of the payload stream,
+    * count + sampled count (every 4th frame) — integer math, shuffle-free. */
   def mmFrames(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d)
       .select(col("doc_id"), length(col("payload")).as("n_bytes"))
       .withColumn("n_frames", expr("(n_bytes + 255) div 256"))
       .withColumn("n_sampled", expr("(n_frames + 3) div 4"))
 
-  /** The decode stub: a deterministic fake standing in for a codec. In
-    * production this body is the ONLY thing that changes (JNI/codec call);
-    * signature, batching shape, and the typed output stay as-is. */
+  /** Typed decode output: parsed dims + first-64-pixel mean + 256-px frame
+    * count — the (id, features) projection that is all downstream ever
+    * shuffles. */
   case class DecodedMedia(doc_id: Long, width: Int, height: Int,
                           mean_byte: Double, n_frames: Long)
 
-  object FakeDecoder {
-    /** STUB — deterministic stand-in for image decode: "pixels" are the
-      * payload bytes; the feature is the mean of the first 64. */
-    def decode(docId: Long, payload: Array[Byte], w: Int, h: Int): DecodedMedia = {
-      val head = payload.take(64)
-      val mean =
-        if (head.isEmpty) 0.0
-        else head.map(b => (b & 0xff).toDouble).sum / head.length
-      DecodedMedia(docId, w, h, mean, (payload.length + 255L) / 256L)
-    }
-  }
-
   /** Per-partition batch decode — the `mapPartitions` shape a real codec
-    * needs (amortize per-batch init: codec contexts, GPU handles). Feature
+    * needs (amortize per-batch init: codec contexts, GPU handles). The
+    * width/height emitted here are PARSED from the payload header by
+    * [[GrfCodec.decode]], never copied from the metadata columns — the
+    * oracle hash-checks the parse against the generation formula. Feature
     * rows only from here on; payloads stay behind. */
   def mmDecodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
-      .select(col("doc_id"), col("payload"), col("width"), col("height"))
-      .as[(Long, Array[Byte], Int, Int)]
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition init would go here (codec/ctx allocation)
-        rows.map { case (id, bytes, w, h) => FakeDecoder.decode(id, bytes, w, h) }
+        rows.map { case (id, bytes) =>
+          val img = GrfCodec.decode(bytes)
+          val head = img.pixels.take(64)
+          val mean =
+            if (head.isEmpty) 0.0
+            else head.map(b => (b & 0xff).toDouble).sum / head.length
+          DecodedMedia(id, img.width, img.height, mean,
+            (img.pixels.length + 255L) / 256L)
+        }
       }
       .toDF()
   }
 
-  /** Resize stub: half each spatial dim (area factor 4) and keep every
-    * 4th payload byte as the "downsampled pixel stream" — the same
-    * per-partition batch shape a real scaler (libvips/ffmpeg) slots
-    * into; arithmetic is SQL-expressible so the plumbing stays
-    * hash-checked. */
+  /** Resize: decode, halve each parsed spatial dim (area factor 4), keep
+    * every 4th DECODED pixel as the downsampled stream — the same
+    * per-partition batch shape a real scaler (libvips/ffmpeg) slots into;
+    * the arithmetic is SQL-expressible so the plumbing stays hash-checked. */
   def mmResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
-      .select(col("doc_id"), col("payload"), col("width"), col("height"))
-      .as[(Long, Array[Byte], Int, Int)]
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes, w, h) =>
-          val sampled = Array.range(0, bytes.length, 4).map(bytes(_))
+        rows.map { case (id, bytes) =>
+          val img = GrfCodec.decode(bytes)
+          val sampled = Array.range(0, img.pixels.length, 4).map(img.pixels(_))
           val mean =
             if (sampled.isEmpty) 0.0
             else sampled.map(b => (b & 0xff).toDouble).sum / sampled.length
-          (id, w / 2, h / 2, sampled.length, mean)
+          (id, img.width / 2, img.height / 2, sampled.length, mean)
         }
       }
       .toDF("doc_id", "new_w", "new_h", "resized_n_bytes", "sample_mean")
   }
 
   /** Feature-extract-then-aggregate: per-format 16-bin value histogram
-    * over each payload's first 64 "pixels" — the corpus-statistics shape
-    * (channel distributions, clipping detection) a real vision pipeline
-    * aggregates after decode. Payload bytes stay map-side; only (format,
-    * bin) pairs reach the shuffle, and the partial agg combines them to
-    * ≤ formats×16 rows per task regardless of corpus size. */
+    * over each image's first 64 DECODED pixels — the corpus-statistics
+    * shape (channel distributions, clipping detection) a real vision
+    * pipeline aggregates after decode. Payload bytes stay map-side; only
+    * (format, bin) pairs reach the shuffle, and the partial agg combines
+    * them to ≤ formats×16 rows per task regardless of corpus size. */
   def mmHistogram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
       .select(col("format"), col("payload"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (fmt, bytes) =>
-        bytes.take(64).map(b => (fmt, (b & 0xff) / 16))
+        GrfCodec.decode(bytes).pixels.take(64).map(b => (fmt, (b & 0xff) / 16))
       })
       .toDF("format", "bin")
       .groupBy(col("format"), col("bin"))
       .agg(count(lit(1)).as("n_bytes"))
   }
 
-  /** Exact payload dedup over the BINARY column — the image-dedup stage a
-    * multimodal corpus runs before training: group by md5 of the payload
-    * bytes; re-ingested copies (planted: every 25th media row re-issued
-    * under doc_id+[[TextOps.PlantOffset]] — same bytes, new id, the
-    * corpus-filter honesty device; the high-bit offset cannot collide
+  /** Exact content dedup over the BINARY column — the image-dedup stage a
+    * multimodal corpus runs before training. The fingerprint hashes the
+    * PIXEL PLANE (payload minus the 12-byte header), not the container:
+    * identical images whose headers were re-stamped at ingest must still
+    * collapse — the same reason production image dedup hashes decoded
+    * bytes, not files. Re-ingested copies (planted: every 25th media row
+    * re-issued under doc_id+[[TextOps.PlantOffset]] — same bytes, new id,
+    * the corpus-filter honesty device; the high-bit offset cannot collide
     * with a real doc_id at any scale) collapse onto the original (min
-    * doc_id). The hash-groupBy
-    * ships only (fp, doc_id) — payload bytes never shuffle, the property
-    * that matters when the column is 100 TB of images. */
+    * doc_id). The hash-groupBy ships only (fp, doc_id) — payload bytes
+    * never shuffle, the property that matters when the column is 100 TB
+    * of images. */
   def mmDedup(s: SparkSession, d: String): DataFrame = {
     val m = mediaTable(s, d).select(col("doc_id"), col("payload"))
     val aug = m.unionAll(m.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + TextOps.PlantOffset).as("doc_id"),
         col("payload")))
-    aug.groupBy(md5(col("payload")).as("fp"))
+    aug.groupBy(
+        md5(expr(s"substring(payload, ${GrfCodec.HeaderLen + 1}, " +
+          s"length(payload) - ${GrfCodec.HeaderLen})")).as("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"))
   }
 
@@ -148,6 +203,10 @@ object MultimodalOps extends QueryModule {
     "q_mm_dedup"    -> mmDedup _,
   )
 
+  // Oracle note: the pixel plane IS encode(text), and the header dims ARE
+  // the doc_id formula — so DuckDB mirrors the DECODED view directly (it
+  // never re-parses the container; Spark does, and the hash gate compares
+  // the two derivations cell-for-cell).
   override val oracles: Map[String, String] = Map(
     "q_mm_dedup" ->
       s"""WITH aug AS (
@@ -173,26 +232,23 @@ object MultimodalOps extends QueryModule {
         |  CAST(48 + doc_id % 96 AS INT) AS height,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'
         |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  hex(encode(substring(text, 1, 4))) AS header_hex
+        |  octet_length(encode(text)) + 12 AS n_bytes,
+        |  hex(encode('GRF1'))
+        |    || lpad(hex(64 + doc_id % 128), 8, '0')
+        |    || lpad(hex(48 + doc_id % 96), 8, '0') AS header_hex
         |FROM documents""".stripMargin,
     "q_mm_frames" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |  (octet_length(encode(text)) + 255) // 256 AS n_frames,
-        |  ((octet_length(encode(text)) + 255) // 256 + 3) // 4 AS n_sampled
+      """SELECT doc_id, octet_length(encode(text)) + 12 AS n_bytes,
+        |  (octet_length(encode(text)) + 12 + 255) // 256 AS n_frames,
+        |  ((octet_length(encode(text)) + 12 + 255) // 256 + 3) // 4 AS n_sampled
         |FROM documents""".stripMargin,
-    // The decode STUB's arithmetic (mean of the first 64 payload bytes)
-    // happens to be SQL-expressible via hex-string byte access, so the
-    // plumbing around a future real codec is still hash-checked; a real
-    // codec body would move this back to rows-only.
     "q_mm_decode" ->
-      """WITH m AS (SELECT doc_id,
+      """WITH s AS (SELECT doc_id,
         |  CAST(64 + doc_id % 128 AS INT) AS width,
         |  CAST(48 + doc_id % 96 AS INT) AS height,
-        |  encode(text) AS payload FROM documents),
-        |s AS (SELECT doc_id, width, height,
-        |  octet_length(payload) AS len,
-        |  LEAST(octet_length(payload), 64) AS n, hex(payload) AS hx FROM m)
+        |  octet_length(encode(text)) AS len,
+        |  LEAST(octet_length(encode(text)), 64) AS n,
+        |  hex(encode(text)) AS hx FROM documents)
         |SELECT doc_id, width, height,
         |  CASE WHEN n = 0 THEN 0.0
         |    ELSE list_sum(list_transform(range(0, n),
@@ -201,14 +257,12 @@ object MultimodalOps extends QueryModule {
         |  (len + 255) // 256 AS n_frames
         |FROM s""".stripMargin,
     "q_mm_resize" ->
-      """WITH m AS (SELECT doc_id,
+      """WITH s AS (SELECT doc_id,
         |  CAST(64 + doc_id % 128 AS INT) AS width,
         |  CAST(48 + doc_id % 96 AS INT) AS height,
-        |  encode(text) AS payload FROM documents),
-        |s AS (SELECT doc_id, width, height,
-        |  octet_length(payload) AS len,
-        |  ((octet_length(payload) + 3) // 4) AS ns, hex(payload) AS hx
-        |  FROM m)
+        |  octet_length(encode(text)) AS len,
+        |  ((octet_length(encode(text)) + 3) // 4) AS ns,
+        |  hex(encode(text)) AS hx FROM documents)
         |SELECT doc_id, width // 2 AS new_w, height // 2 AS new_h,
         |  CAST(ns AS INT) AS resized_n_bytes,
         |  CASE WHEN ns = 0 THEN 0.0

@@ -154,15 +154,18 @@ object TextOps extends QueryModule {
     * RocksDB-backed). */
   def deltaDedup(s: SparkSession, d: String): DataFrame = {
     val idxFp = TextIndexStore.fp(s, d)
-    // incoming fingerprints: hashed once for the fresh batch, read from
-    // the store for planted re-ingests; checkpointed so the frame's two
-    // consumers (probe build, final rollup) scan it once
-    val incoming = docsParallel(s, d)
+    // incoming fingerprints: hashed once per scan for the fresh batch,
+    // read from the store for planted re-ingests. The frame is consumed
+    // twice (probe build, final rollup) but NOT checkpointed: each scan
+    // is one md5 pass over the batch plus a store read — cheaper than the
+    // materialization job a checkpoint would add. No docsParallel here:
+    // one md5 per batch doc doesn't earn a full-text repartition shuffle
+    // (the shingle-hashing ops do; this one is scan-speed)
+    val incoming = Tables.documents(s, d)
         .filter(col("doc_id") % 5 === 0)
         .select(col("source"), md5(col("text")).as("fp"))
       .unionAll(idxFp.filter(col("doc_id") % 7 === 0)
         .select(col("source"), col("fp")))
-      .localCheckpoint()
     val incFp = incoming.select(col("fp")).distinct()
     val dupFp = idxFp.select(col("fp"))
       .join(broadcast(incFp), Seq("fp"), "left_semi").distinct()

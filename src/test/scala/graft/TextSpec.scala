@@ -142,6 +142,33 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("CC hybrid gate boundary: at exactly the edge budget the driver " +
+      "union-find runs (rounds==0), one past it the distributed loop runs, " +
+      "and the labels are identical") {
+    import spark.implicits._
+    // the gate constant itself is part of the contract — a silent drift
+    // (someone "tuning" it without re-sizing the driver-memory assumption
+    // documented next to it) must fail a spec, not a production driver
+    assert(TextOps.CcDriverMaxEdges === (1L << 20),
+      "CcDriverMaxEdges drifted from the documented 2^20 (~16 MB) budget")
+    // chain (multi-round diameter) + triangle + isolated edge
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L)))
+      .toDF("d1", "d2")
+    val e = pairs.count() * 2 // the gate counts SYMMETRIZED edges
+    val (atLabels, atRounds) =
+      TextOps.connectedComponentsCounted(pairs, driverMaxEdges = e)
+    assert(atRounds === 0,
+      s"edge count == budget must take the driver path (gate is <=), got $atRounds rounds")
+    val (pastLabels, pastRounds) =
+      TextOps.connectedComponentsCounted(pairs, driverMaxEdges = e - 1)
+    assert(pastRounds > 0,
+      "edge count == budget + 1 must take the distributed loop")
+    val a = atLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = pastLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "the two paths diverged at the gate boundary")
+  }
+
   test("delta dedup: planted re-ingests are flagged (non-degenerate) and " +
       "the batch splits exactly into dup + new") {
     import org.apache.spark.sql.functions._
