@@ -188,10 +188,36 @@ object OrderWide extends QueryModule {
   def skuOrderWindow(s: SparkSession, d: String): DataFrame =
     skuAgg(DwdStore.latest(s, d), Tables.part(s, d))
 
+  /** Changelog-expansion audit over the DWD store, per month: how many
+    * version rows the changelog carries (`n_versions`, with `n_updates`
+    * of them op_ts=2 update waves), how many rows the keep-latest store
+    * actually holds (`n_kept`, read from the MATERIALIZED
+    * [[DwdStore.latest]] — the store is the thing audited, not a
+    * recomputation), and `n_superseded` = versions − kept: every update
+    * that shadowed its insert plus every dirty-key collision the
+    * keep-latest total order resolved. DwdChainSpec proves the streaming
+    * chain equals the batch path; this entry gives the same semantics a
+    * DuckDB-hash-checked CORRECTNESS row. Scale: two scans of the
+    * materialized store (no join subtree re-run), partial aggs combine to
+    * ≤ months rows map-side, the join is months-sized. */
+  def changelogStats(s: SparkSession, d: String): DataFrame = {
+    val v = versions(DwdStore.wide(s, d))
+      .groupBy(substring(col("date_id"), 1, 7).as("stt"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("op_ts") === 2L, 1).otherwise(0)).cast("long")
+          .as("n_updates"))
+    val k = DwdStore.latest(s, d)
+      .groupBy(substring(col("date_id"), 1, 7).as("stt"))
+      .agg(count(lit(1)).as("n_kept"))
+    v.join(k, Seq("stt"))
+      .withColumn("n_superseded", col("n_versions") - col("n_kept"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
-      "q_dwd_order_wide" -> orderWide _,
-      "q_dws_sku_order"  -> skuOrderWindow _,
+      "q_dwd_order_wide"      -> orderWide _,
+      "q_dws_sku_order"       -> skuOrderWindow _,
+      "q_dwd_changelog_stats" -> changelogStats _,
     )
 
   /** Shared DuckDB CTE prefix for every oracle over the wide rows
@@ -289,5 +315,18 @@ object OrderWide extends QueryModule {
         |SELECT agged.*, p_brand AS trademark,
         |  string_split(p_type, ' ')[1] AS category1
         |FROM agged JOIN part ON sku_id = p_partkey""".stripMargin),
+    "q_dwd_changelog_stats" -> (wideSql + latestSql +
+      """,
+        |v AS (
+        |  SELECT substr(date_id, 1, 7) AS stt, COUNT(*) AS n_versions,
+        |    CAST(SUM(CASE WHEN op_ts = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_updates
+        |  FROM versions GROUP BY 1),
+        |k AS (
+        |  SELECT substr(date_id, 1, 7) AS stt, COUNT(*) AS n_kept
+        |  FROM latest GROUP BY 1)
+        |SELECT v.stt, n_versions, n_updates, n_kept,
+        |  n_versions - n_kept AS n_superseded
+        |FROM v JOIN k USING (stt)""".stripMargin),
   )
 }

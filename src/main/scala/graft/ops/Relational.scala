@@ -252,14 +252,35 @@ object Relational extends QueryModule {
     * path the exact Set-state aggregator (Aggregators.distinctCount scale
     * note) must NOT be used for: HLL++ sketches are O(1) state per key and
     * merge associatively, so the agg stays map-side-combining at any
-    * cardinality. Sketch estimates aren't reproducible across engines →
-    * no SQL oracle (driver records rows-only); RelationalSpec bounds the
-    * relative error against the exact count. */
-  def distinctUsersApprox(s: SparkSession, d: String): DataFrame =
+    * cardinality. Sketch estimates aren't reproducible across engines, so
+    * the raw estimates stay spec-territory (RelationalSpec bounds the
+    * relative error); the REGISTERED query is [[distinctUsersApprox]],
+    * which emits a bracket CHECK the DuckDB oracle can assert. */
+  def distinctUsersApproxRaw(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id"), 0.02).as("uv_approx"))
+
+  /** The driver-gate form of [[distinctUsersApproxRaw]] — the BRACKET
+    * ORACLE pattern for sketch aggregates: the query emits deterministic
+    * columns plus `uv_within_5pct` = whether Spark's HLL estimate landed
+    * within ±5 % of the exact count (computed in the same agg), and the
+    * DuckDB oracle asserts the bound HOLDS (`1`). The hash gate then
+    * checks the sketch's accuracy contract — the thing an estimate can
+    * promise cross-engine — instead of the estimate's bits (which it
+    * can't) or nothing (the old rows-only record). A sketch regression
+    * beyond the bound flips the flag to 0 and fails the gate. */
+  def distinctUsersApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("uv_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("uv_est"))
+      .select(col("event_type"), col("n_events"), col("uv_exact"),
+        (abs(col("uv_est") - col("uv_exact")).cast("double")
+          <= col("uv_exact").cast("double") * 0.05).cast("long")
+          .as("uv_within_5pct"))
 
   /** UNION ALL funnel of labeled aggregates — SURVEY U2
     * (ref publisher/mapper/UserStatsMapper.java:12-63). */
@@ -500,11 +521,10 @@ object Relational extends QueryModule {
     * is mergeable map-side and its memory is bounded by the accuracy
     * parameter, not by value cardinality, so it stays safe when the value
     * domain explodes (raw doubles, high-resolution timestamps). Sketch
-    * contents aren't cross-engine reproducible, so like
-    * [[distinctUsersApprox]] this is rows-only at the driver gate;
-    * RelationalSpec bounds its error against the exact histogram
-    * quantiles instead. */
-  def valueQuantilesApprox(s: SparkSession, d: String): DataFrame =
+    * contents aren't cross-engine reproducible, so the raw estimates stay
+    * spec-territory (RelationalSpec rank-checks them); the REGISTERED
+    * query is [[valueQuantilesApprox]] — the bracket-oracle form. */
+  def valueQuantilesApproxRaw(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -513,6 +533,48 @@ object Relational extends QueryModule {
         percentile_approx(col("cents"), lit(0.5), lit(10000)).as("p50_approx"),
         percentile_approx(col("cents"), lit(0.9), lit(10000)).as("p90_approx"),
         percentile_approx(col("cents"), lit(0.99), lit(10000)).as("p99_approx"))
+
+  /** The driver-gate form of [[valueQuantilesApproxRaw]] — the bracket
+    * oracle for quantile sketches (see [[distinctUsersApprox]] for the
+    * pattern): each `pXX_ok` flag is whether the sketch's pXX landed
+    * inside the EXACT [p−0.05, p+0.05] quantile bracket (upper clamped to
+    * the distribution max for p99), computed with
+    * [[valueQuantiles]]'s histogram order-statistics (map-side-combining,
+    * shuffle ∝ distinct values). percentile_approx's real guarantee is
+    * rank error ≤ n/accuracy — far tighter than the ±5-percentile-point
+    * bracket asserted here, so the flag is a stable implication of the
+    * contract (the tight rank check lives in RelationalSpec); the DuckDB
+    * oracle asserts every flag is 1. */
+  def valueQuantilesApprox(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val approx = cents.groupBy(col("event_type")).agg(
+      percentile_approx(col("cents"), lit(0.5), lit(10000)).as("a50"),
+      percentile_approx(col("cents"), lit(0.9), lit(10000)).as("a90"),
+      percentile_approx(col("cents"), lit(0.99), lit(10000)).as("a99"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    def kth(p: Double) = (floor((col("n") - 1) * lit(p)) + 1).cast("long")
+    def pick(p: Double, name: String) =
+      min(when(col("cum") >= kth(p), col("cents"))).as(name)
+    val brackets = cents
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("ct"))
+      .withColumn("cum", sum(col("ct")).over(wCum))
+      .withColumn("n", sum(col("ct")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        pick(0.45, "lo50"), pick(0.55, "hi50"),
+        pick(0.85, "lo90"), pick(0.95, "hi90"),
+        pick(0.94, "lo99"), pick(1.0, "hi99"))
+    approx.join(brackets, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        col("a50").between(col("lo50"), col("hi50")).cast("long").as("p50_ok"),
+        col("a90").between(col("lo90"), col("hi90")).cast("long").as("p90_ok"),
+        col("a99").between(col("lo99"), col("hi99")).cast("long").as("p99_ok"))
+  }
 
   /** Lag-gap sessionization — the batch/SQL complement of the native
     * `session_window` (q_session_window): a session breaks when the gap to
@@ -853,6 +915,22 @@ object Relational extends QueryModule {
     "q_distinct_users" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS uv
+        |FROM events GROUP BY event_type""".stripMargin,
+    // Bracket oracles for the two sketch queries: the deterministic
+    // columns are computed for real on both sides; the *_ok flags assert
+    // the sketch's accuracy contract (DuckDB can't reproduce the sketch
+    // bits, but it CAN demand the bound held — a 1 the Spark side only
+    // emits when the estimate landed inside the bracket).
+    "q_distinct_users_approx" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS uv_exact,
+        |  CAST(1 AS BIGINT) AS uv_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_value_quantiles_approx" ->
+      """SELECT event_type, COUNT(value) AS n,
+        |  CAST(1 AS BIGINT) AS p50_ok,
+        |  CAST(1 AS BIGINT) AS p90_ok,
+        |  CAST(1 AS BIGINT) AS p99_ok
         |FROM events GROUP BY event_type""".stripMargin,
     "q_funnel_union" ->
       """SELECT 'view_ct' AS metric, COUNT(*) AS ct FROM events WHERE event_type='view'

@@ -32,15 +32,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("every query is oracle-checked except the documented rows-only set") {
+  test("every query is oracle-checked — the rows-only opt-out set is empty") {
     // adding a query without an oracle silently weakens the driver gate to
-    // a rows-only check — this list is the explicit opt-out
-    val rowsOnlyByDesign = Set(
-      "q_distinct_users_approx",   // HLL sketch: not cross-engine
-      "q_value_quantiles_approx")  // percentile sketch: not cross-engine
+    // a rows-only check. Even the two sketch queries carry oracles now:
+    // the bracket-oracle pattern (the query emits the sketch's accuracy
+    // check as a 0/1 column, the oracle asserts it) — see
+    // Relational.distinctUsersApprox.
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unchecked === rowsOnlyByDesign,
-      s"queries missing oracles: ${unchecked -- rowsOnlyByDesign}")
+    assert(unchecked === Set.empty[String],
+      s"queries missing oracles: $unchecked")
   }
 
   test("lag-gap sessionizer agrees with native session_window") {
@@ -62,7 +62,7 @@ class RelationalSpec extends AnyFunSuite {
       .select(col("event_type"), col("uv")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val approx = graft.ops.Relational
-      .distinctUsersApprox(spark, TestSession.sf)
+      .distinctUsersApproxRaw(spark, TestSession.sf)
       .select(col("event_type"), col("uv_approx")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
@@ -85,7 +85,7 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
     val approx = graft.ops.Relational
-      .valueQuantilesApprox(spark, TestSession.sf)
+      .valueQuantilesApproxRaw(spark, TestSession.sf)
       .select(col("event_type"), col("p50_approx"), col("p90_approx"),
         col("p99_approx"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
