@@ -181,22 +181,35 @@ object TextOps extends QueryModule {
 
   /** Exact n-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.6.
     * Shingle-keyed self-join — the *verifier* stage; at scale it runs on
-    * MinHash-LSH candidates only (see [[minhashLshPairs]]). */
-  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    * MinHash-LSH candidates only (see [[minhashLshPairs]]), or use the
+    * exact prefix-filtered form [[ngramJaccardBlocked]]. */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairsOf(docsParallel(s, d))
+
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
     // materialized once (localCheckpoint, not cache: GC-reclaimed, no
     // unpersist obligation on callers): the exploded shingle table feeds
     // both sides of the self-join and the per-doc sizes — without it the
     // interpreted shingle expressions are evaluated three times
-    val sh = docsParallel(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
-      .localCheckpoint()
+    val sh = shingleTable(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
+    jaccardTail(pairs, sizes)
+  }
+
+  /** Distinct exploded (doc_id, shingle) rows, materialized once. */
+  private def shingleTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+      .localCheckpoint()
+
+  /** Shared verification tail: (d1, d2, common) + per-doc sizes →
+    * thresholded Jaccard rows in the q_ngram_jaccard output shape. */
+  private def jaccardTail(pairs: DataFrame, sizes: DataFrame): DataFrame =
     pairs
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
@@ -204,6 +217,68 @@ object TextOps extends QueryModule {
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= 0.6)
       .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"), col("jaccard"))
+
+  /** Scale-path rewrite of [[ngramJaccardPairs]]: EXACT all-pairs Jaccard
+    * with prefix filtering + size filtering (the All-Pairs/PPJoin family —
+    * Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    * WWW'07; Chaudhuri et al.'s SSJoin prefix filter). Registered under
+    * the ORIGINAL query's oracle verbatim (shared [[ngramJaccardSql]]) —
+    * the hash gate proves blocking-invariance, and
+    * DedupPropertySpec proves prefix completeness against a pure-Scala
+    * brute force on random dense corpora.
+    *
+    * Why the naive form dies at 100 TB: its self-join meets every pair
+    * sharing ANY shingle — Σ df² pair-rows over the shingle frequency
+    * distribution, quadratic in the hottest keys (a boilerplate header
+    * shared by 1M docs alone yields 10^12 join rows). Prefix filtering
+    * makes candidate generation provably complete while joining only on
+    * each doc's p = n − ceil(0.6·n) + 1 RAREST shingles (global
+    * (df, sh) canonical order, df ascending): if J(a,b) ≥ 0.6 then the
+    * globally-smallest common shingle is in both prefixes — were it not in
+    * a's prefix, all of a∩b would sit in a's suffix of ceil(0.6·n)−1 <
+    * ceil(0.6·n) ≤ |a∩b| slots. So the join keyspace is the thin rare
+    * tail (~0.4·n keys/doc), the hot-key quadratic term is gone, and the
+    * size filter 5·min(n1,n2) ≥ 3·max(n1,n2) (J ≥ 0.6 ⟹ common ≥
+    * 0.6·max, common ≤ min) prunes mismatched-length collisions before
+    * the distinct. Verification then counts true intersections for
+    * candidates only — cost ∝ candidates × doc size, not corpus². The
+    * prefix cutoff uses integer-exact ceil(3n/5) = (3n+4) div 5 — a
+    * float 0.6·n could round the prefix one short and silently break
+    * completeness. */
+  def ngramJaccardBlocked(s: SparkSession, d: String): DataFrame =
+    ngramJaccardBlockedOf(docsParallel(s, d))
+
+  private[graft] def ngramJaccardBlockedOf(docs: DataFrame): DataFrame = {
+    val sh = shingleTable(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // rank each doc's shingles in the GLOBAL canonical order (df asc,
+    // shingle asc — a total order, identical for every doc); keep the
+    // prefix of the p rarest. floor((3n+4)/5): exact for n < 2^51 (the
+    // division is by the exact constant 5 and the quotient's integer
+    // part is representable), so the cutoff is integer-ceil, not a
+    // float approximation.
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("n") - floor((col("n") * 3 + lit(4)) / lit(5)) + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+      // materialized: both sides of the candidate self-join read it, and
+      // without this the df-agg + per-doc window subtree runs twice
+      // (plan-verified)
+      .localCheckpoint()
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val common = cand
+      .join(sh.as("x"), col("d1") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("d2") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    jaccardTail(common, sizes)
   }
 
   /** One MinHash signature row per doc: mh0..mh7. */
@@ -989,6 +1064,7 @@ object TextOps extends QueryModule {
     "q_delta_dedup"        -> deltaDedup _,
     "q_delta_neardup"      -> deltaNearDup _,
     "q_ngram_jaccard"      -> ngramJaccardPairs _,
+    "q_ngram_jaccard_blocked" -> ngramJaccardBlocked _,
     "q_minhash_sig"        -> minhashSignatures _,
     "q_minhash_lsh_pairs"  -> minhashLshPairs _,
     "q_near_dup_pipeline"  -> nearDupPipeline _,
@@ -1020,6 +1096,22 @@ object TextOps extends QueryModule {
        |SELECT source, CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT) AS seq_id,
        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
        |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** Shared by `q_ngram_jaccard` and `q_ngram_jaccard_blocked`: the
+    * blocked form is an exact rewrite, so one oracle proves both. */
+  private val ngramJaccardSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, UNNEST($dShingles3) AS sh
+       |  FROM (SELECT doc_id, $dToks AS t FROM documents)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, common, sa.n AS n1, sb.n AS n2,
+       |  CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
+       |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+       |WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) >= 0.6""".stripMargin
 
   private val mhExprs: String = (0 until 8).map { j =>
     val g = j / 4
@@ -1200,19 +1292,10 @@ object TextOps extends QueryModule {
          |  CAST(SUM(CASE WHEN doc_id IN (SELECT inc_id FROM flagged)
          |           THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
          |FROM inc GROUP BY source""".stripMargin,
-    "q_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id, UNNEST($dShingles3) AS sh
-         |  FROM (SELECT doc_id, $dToks AS t FROM documents)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |pairs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, common, sa.n AS n1, sb.n AS n2,
-         |  CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
-         |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
-         |WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) >= 0.6""".stripMargin,
+    "q_ngram_jaccard"         -> ngramJaccardSql,
+    // the blocked rewrite shares the oracle VERBATIM: hash match ⟹ the
+    // prefix+size filters changed nothing but the work done
+    "q_ngram_jaccard_blocked" -> ngramJaccardSql,
     "q_minhash_sig" ->
       s"""SELECT doc_id, $mhExprs
          |FROM (SELECT doc_id, $dShingles3 AS sh

@@ -76,4 +76,46 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(got === expected, s"trial $trial over ${dict.size} strings")
     }
   }
+
+  /** Property: prefix filtering is COMPLETE — the blocked all-pairs
+    * Jaccard equals a pure-Scala brute force over every pair, on random
+    * dense corpora (4-token alphabet → heavy shingle sharing, i.e. the
+    * hot-key regime the prefix filter exists for) with planted copies
+    * (exact + one-token-perturbed) so the ≥0.6 set is provably non-empty.
+    * This is the mathematical claim behind sharing q_ngram_jaccard's
+    * oracle verbatim: any missed candidate would diverge here. */
+  test("prefix-filtered jaccard equals brute force on random dense corpora") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val base = (1 to 40).map { id =>
+        val n = 4 + rnd.nextInt(9)
+        (id.toLong,
+          (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+      }
+      // planted near-dups: every 5th doc re-issued verbatim (J = 1.0) and
+      // every 7th with its last token perturbed (J just under 1)
+      val docs = base ++
+        base.filter(_._1 % 5 == 0).map { case (id, t) => (id + 1000, t) } ++
+        base.filter(_._1 % 7 == 0).map { case (id, t) =>
+          (id + 2000, t.split(" ").init.mkString(" ") + " z") }
+      def shset(t: String): Set[String] =
+        t.split(" ", -1).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val sets = docs.map { case (id, t) => id -> shset(t) }.toMap
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        c = (sa & sb).size
+        if c.toDouble / (sa.size + sb.size - c) >= 0.6
+      } yield (a, b, c.toLong, sa.size.toLong, sb.size.toLong)).toSet
+      assert(expected.nonEmpty, s"trial $trial: degenerate corpus (no pairs)")
+      val got = graft.ops.TextOps
+        .ngramJaccardBlockedOf(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+      assert(got === expected, s"trial $trial over ${docs.size} docs")
+    }
+  }
 }
