@@ -26,4 +26,43 @@ object Aggregators {
       def bufferEncoder: Encoder[Set[String]] = Encoders.kryo[Set[String]]
       def outputEncoder: Encoder[Long] = Encoders.scalaLong
     }
+
+  /** Mergeable Misra–Gries heavy-hitters sketch with `k` counters
+    * (Misra & Gries 1982; merge rule from Agarwal et al., "Mergeable
+    * Summaries", PODS'12). State is O(k) regardless of stream length or
+    * item cardinality, partials combine map-side, and the merge is
+    * associative — the properties that let a frequency sketch run as one
+    * pass over 100 TB with a k-entry buffer per task.
+    *
+    * Guarantees (HeavyHitterSpec property-tests both across random
+    * partition splits): the finished summary has ≤ k entries; every item
+    * with true count > n/(k+1) is present (a fortiori count > n/k); each
+    * estimate lies in [true − n/(k+1), true] — MG never overcounts. */
+  def misraGries(k: Int): Aggregator[String, Map[String, Long], Map[String, Long]] =
+    new Aggregator[String, Map[String, Long], Map[String, Long]] {
+      def zero: Map[String, Long] = Map.empty
+      def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+        if (a == null) b
+        else b.get(a) match {
+          case Some(c) => b.updated(a, c + 1)
+          case None if b.size < k => b.updated(a, 1L)
+          case None => // decrement-all: removes k+1 counts incl. the arrival
+            b.collect { case (t, c) if c > 1 => t -> (c - 1) }
+        }
+      def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+        val sum = b2.foldLeft(b1) { case (m, (t, c)) =>
+          m.updated(t, m.getOrElse(t, 0L) + c)
+        }
+        if (sum.size <= k) sum
+        else { // subtract the (k+1)-th largest count, keep positives
+          val cut = sum.valuesIterator.toSeq.sorted(Ordering[Long].reverse)(k)
+          sum.collect { case (t, c) if c > cut => t -> (c - cut) }
+        }
+      }
+      def finish(r: Map[String, Long]): Map[String, Long] = r
+      def bufferEncoder: Encoder[Map[String, Long]] =
+        Encoders.kryo[Map[String, Long]]
+      def outputEncoder: Encoder[Map[String, Long]] =
+        Encoders.kryo[Map[String, Long]]
+    }
 }

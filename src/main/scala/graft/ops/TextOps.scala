@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.Aggregators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -116,6 +117,65 @@ object TextOps extends QueryModule {
       .filter(col("rn") === 1)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Frequent-token (heavy-hitter) detection — the boilerplate-shingle /
+    * hot-token profile a training-data pipeline runs before dedup and
+    * quality filtering, via the mergeable Misra–Gries sketch
+    * ([[graft.functions.Aggregators.misraGries]], k = 8).
+    *
+    * Scale story: the sketch pass is ONE scan with O(k) state per task
+    * and an associative merge — no shuffle proportional to vocabulary,
+    * so it runs over 100 TB of tokens where an exact groupBy would
+    * shuffle billions of distinct keys. The finished summary is O(k) and
+    * driver-bounded BY CONSTRUCTION (this `head()` is the gated-collect
+    * class the CC hybrid documents — here the bound is the sketch
+    * parameter itself, not a gate). The exact count side below exists
+    * for the GATE, not the algorithm: the bracket-oracle pattern
+    * (see `Relational.distinctUsersApprox`) — deterministic columns are
+    * the exact heavy hitters; `found` / `est_ok` are 0/1 flags asserting
+    * MG's theorems (no false negative above n/k; estimate in
+    * [exact − n/k, exact]), which the DuckDB oracle demands are 1.
+    *
+    * The corpus's 31-token vocabulary is near-uniform (~1/31 share each,
+    * max ≈ 1.9·ndocs ≪ the n/8 threshold), so heaviness is PLANTED per
+    * the corpus discipline: three zz_hot_* tokens emitted 80/90/25× per
+    * doc on moduli 2/5/25 — identical construction in both engines, and
+    * calibrated against the MEASURED base rate (54–56 tokens/doc at
+    * every sf; doc counts are 500/500/5000, so a back-of-envelope from
+    * assumed doc counts silently degenerates — this one did, caught by
+    * a 0-row hash match). Counts scale with doc count nd: 40·nd, 18·nd,
+    * 1·nd against a threshold of ≈14.2·nd — zz_hot_a/b heavy at
+    * 2.8×/1.27× the threshold, zz_hot_c 14× BELOW it (the sketch must
+    * not promote it), naturals 7× below — non-degenerate on both sides
+    * of the boundary at every scale factor, asserted live by the
+    * TextSpec liveness test. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val base = docsParallel(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+    def plant(m: Int, reps: Int, name: String) =
+      Tables.documents(s, d).filter(col("doc_id") % m === 0)
+        .select(explode(array_repeat(lit(name), reps)).as("tok"))
+    // consumed twice (sketch pass + exact gate pass) — materialize once
+    val items = base
+      .unionAll(plant(2, 80, "zz_hot_a"))
+      .unionAll(plant(5, 90, "zz_hot_b"))
+      .unionAll(plant(25, 25, "zz_hot_c"))
+      .localCheckpoint()
+    val sketch: Map[String, Long] =
+      items.as[String].select(Aggregators.misraGries(k).toColumn).head()
+    val est = sketch.toSeq.toDF("tok", "est")
+    val exact = items.groupBy(col("tok")).agg(count(lit(1)).as("exact_ct"))
+    val tot = exact.agg(sum(col("exact_ct")).as("n_total"))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("exact_ct") * k > col("n_total"))
+      .join(broadcast(est), Seq("tok"), "left")
+      .select(col("tok"), col("exact_ct"), col("n_total"),
+        when(col("est").isNotNull, 1L).otherwise(0L).as("found"),
+        coalesce((col("est") >= col("exact_ct") - col("n_total") / k &&
+          col("est") <= col("exact_ct")).cast("long"), lit(0L)).as("est_ok"))
   }
 
   /** The indexed-corpus split the delta gates probe (every doc whose id is
@@ -249,36 +309,83 @@ object TextOps extends QueryModule {
     ngramJaccardBlockedOf(docsParallel(s, d))
 
   private[graft] def ngramJaccardBlockedOf(docs: DataFrame): DataFrame = {
-    val sh = shingleTable(docs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val s = docs.sparkSession
+    import s.implicits._
+    // One typed pass rolls each doc to its DISTINCT 3-shingle set — the
+    // minhashSignatures precedent: the declarative
+    // explode(array_distinct(shingles(...))) chain is an interpreted
+    // lambda-HOF pipeline (CodegenFallback, the measured trap), while
+    // this loop is a tight per-partition scan. Bit-parity with the
+    // declarative form is held by the shared oracle (computes shingles
+    // declaratively in DuckDB) + DedupPropertySpec's brute force:
+    // split(" ", -1) keeps trailing empties, first-occurrence distinct,
+    // docs under 3 tokens roll to an empty set and drop at the explode.
+    val byDoc = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i + 2 < toks.length) {
+            seen += (toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1
+          }
+          (id, seen.toArray)
+        }
+      }.toDF("doc_id", "shs")
+      .withColumn("n", size(col("shs")).cast("long"))
+      // materialized: read by the df-count, the prefix build and both
+      // verification sides
+      .localCheckpoint()
+    val sh = byDoc.select(col("doc_id"), col("n"),
+      explode(col("shs")).as("sh")) // plain-array explode: codegen Generate
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // rank each doc's shingles in the GLOBAL canonical order (df asc,
-    // shingle asc — a total order, identical for every doc); keep the
-    // prefix of the p rarest. floor((3n+4)/5): exact for n < 2^51 (the
-    // division is by the exact constant 5 and the quotient's integer
-    // part is representable), so the cutoff is integer-ceil, not a
-    // float approximation.
+    // shingle asc — a total order, identical for every doc; struct
+    // ordering is field-major, so array_sort over struct(df, sh) IS that
+    // order) and keep the prefix of the p rarest; per-doc arrays are
+    // doc-sized, never corpus-sized. floor((3n+4)/5): exact
+    // integer-ceil(3n/5) for n < 2^51 (division by the exact constant 5;
+    // the quotient's integer part is representable) — a float 0.6·n
+    // could round the prefix one short and silently break completeness.
     val prefix = sh.join(dfreq, "sh")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .join(sizes, "doc_id")
-      .filter(col("rn") <= col("n") - floor((col("n") * 3 + lit(4)) / lit(5)) + 1)
-      .select(col("doc_id"), col("sh"), col("n"))
-      // materialized: both sides of the candidate self-join read it, and
-      // without this the df-agg + per-doc window subtree runs twice
-      // (plan-verified)
-      .localCheckpoint()
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("arr"),
+        max(col("n")).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("arr"), lit(1),
+          (col("n") - floor((col("n") * 3 + lit(4)) / lit(5)) + 1)
+            .cast("int"))).as("p"))
+      .select(col("doc_id"), col("p.sh").as("sh"), col("n"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val common = cand
-      .join(sh.as("x"), col("d1") === col("x.doc_id"))
-      .join(sh.as("y"),
-        col("d2") === col("y.doc_id") && col("x.sh") === col("y.sh"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-    jaccardTail(common, sizes)
+    // verification joins each candidate pair to the two doc-level shingle
+    // sets (broadcast-sized relative to candidates) and intersects them
+    // in a typed loop — interpreted array_intersect measured 5.5 s where
+    // this runs in tenths; cost is candidates × doc size exactly, no
+    // corpus-wide pair×shingle aggregate
+    cand
+      .join(byDoc.select(col("doc_id").as("d1"), col("shs").as("s1"),
+        col("n").as("n1")), "d1")
+      .join(byDoc.select(col("doc_id").as("d2"), col("shs").as("s2"),
+        col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("s1"), col("n1"), col("s2"), col("n2"))
+      .as[(Long, Long, Array[String], Long, Array[String], Long)]
+      .mapPartitions { it =>
+        it.map { case (d1, d2, s1, n1, s2, n2) =>
+          val set = s2.toSet
+          var common = 0L
+          s1.foreach(x => if (set.contains(x)) common += 1)
+          (d1, d2, common, n1, n2)
+        }
+      }.toDF("d1", "d2", "common", "n1", "n2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
+        col("jaccard"))
   }
 
   /** One MinHash signature row per doc: mh0..mh7. */
@@ -1065,6 +1172,7 @@ object TextOps extends QueryModule {
     "q_delta_neardup"      -> deltaNearDup _,
     "q_ngram_jaccard"      -> ngramJaccardPairs _,
     "q_ngram_jaccard_blocked" -> ngramJaccardBlocked _,
+    "q_heavy_hitters"      -> heavyHitters _,
     "q_minhash_sig"        -> minhashSignatures _,
     "q_minhash_lsh_pairs"  -> minhashLshPairs _,
     "q_near_dup_pipeline"  -> nearDupPipeline _,
@@ -1296,6 +1404,25 @@ object TextOps extends QueryModule {
     // the blocked rewrite shares the oracle VERBATIM: hash match ⟹ the
     // prefix+size filters changed nothing but the work done
     "q_ngram_jaccard_blocked" -> ngramJaccardSql,
+    // bracket oracle (see Relational.distinctUsersApprox): deterministic
+    // columns are the EXACT heavy hitters over the identically-planted
+    // stream; found/est_ok assert the MG theorems held on the Spark side
+    "q_heavy_hitters" ->
+      """WITH base AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |pa AS (SELECT 'zz_hot_a' AS tok
+        |       FROM documents CROSS JOIN range(80) WHERE doc_id % 2 = 0),
+        |pb AS (SELECT 'zz_hot_b' AS tok
+        |       FROM documents CROSS JOIN range(90) WHERE doc_id % 5 = 0),
+        |pc AS (SELECT 'zz_hot_c' AS tok
+        |       FROM documents CROSS JOIN range(25) WHERE doc_id % 25 = 0),
+        |items AS (SELECT tok FROM base UNION ALL SELECT tok FROM pa
+        |          UNION ALL SELECT tok FROM pb UNION ALL SELECT tok FROM pc),
+        |c AS (SELECT tok, COUNT(*) AS exact_ct FROM items GROUP BY 1),
+        |t AS (SELECT CAST(SUM(exact_ct) AS BIGINT) AS n_total FROM c)
+        |SELECT tok, exact_ct, n_total,
+        |  CAST(1 AS BIGINT) AS found, CAST(1 AS BIGINT) AS est_ok
+        |FROM c CROSS JOIN t WHERE exact_ct * 8 > n_total""".stripMargin,
     "q_minhash_sig" ->
       s"""SELECT doc_id, $mhExprs
          |FROM (SELECT doc_id, $dShingles3 AS sh

@@ -241,4 +241,24 @@ class TextSpec extends AnyFunSuite {
     assert(nShards.values.forall(_ > 1),
       s"expected multi-shard sources, got $nShards")
   }
+
+  test("heavy hitters: planted boundary is live on BOTH sides and the " +
+      "sketch found every true heavy within bound") {
+    val rows = TextOps.heavyHitters(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // exactly the two planted heavies — a 0-row result means the plant
+    // calibration degenerated against the real token base rate (both
+    // engines would agree on empty, so only this liveness spec catches
+    // it — it DID happen, at 10 reps); zz_hot_c below threshold proves
+    // the non-heavy side is populated too
+    assert(rows.keySet === Set("zz_hot_a", "zz_hot_b"),
+      s"expected exactly the planted heavies, got ${rows.keySet}")
+    rows.foreach { case (tok, (ct, n, found, estOk)) =>
+      assert(ct * 8 > n, s"$tok not actually heavy ($ct vs n=$n)")
+      assert(found === 1L, s"MG lost true heavy hitter $tok")
+      assert(estOk === 1L, s"MG estimate for $tok out of bound")
+    }
+  }
 }
