@@ -242,6 +242,17 @@ class TextSpec extends AnyFunSuite {
       s"expected multi-shard sources, got $nShards")
   }
 
+  test("bloom delta dedup is bit-identical to the exact-broadcast form") {
+    // the shared oracle proves this at the gate; this is the fast local
+    // pin, and it exercises the bloom path's false-positive removal on
+    // the same planted re-ingests
+    val exact = TextOps.deltaDedup(spark, dir)
+    val bloom = TextOps.deltaDedupBloom(spark, dir)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    assert(bloom.collect().map(_.getLong(2)).sum > 0,
+      "degenerate: no planted dup flagged through the bloom path")
+  }
+
   test("heavy hitters: planted boundary is live on BOTH sides and the " +
       "sketch found every true heavy within bound") {
     val rows = TextOps.heavyHitters(spark, dir).collect()
