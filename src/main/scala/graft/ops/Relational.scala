@@ -282,6 +282,54 @@ object Relational extends QueryModule {
           <= col("uv_exact").cast("double") * 0.05).cast("long")
           .as("uv_within_5pct"))
 
+  /** Mergeable-sketch rollup — the re-aggregation pattern that makes
+    * sketches matter at 100 TB (Agarwal et al., "Mergeable Summaries",
+    * PODS'12; DataSketches HLL via Spark's `hll_sketch_agg` family).
+    *
+    * The hourly pass is the ONLY scan of raw events: each (day, hour) cell
+    * keeps a ~KB HLL sketch of its user ids. Every coarser grain — day
+    * here, and the all-up row merging all 720 hourly sketches — is a
+    * union-merge over SKETCHES, so re-aggregation cost is proportional to
+    * the number of sketch cells, independent of raw event volume. A serving
+    * layer answers any grain without touching the fact table again, which
+    * is the difference between a 100 TB re-scan and a KB-sized merge.
+    *
+    * Gate: the BRACKET pattern ([[distinctUsersApprox]]) — the query emits
+    * `uv_within_5pct` = whether the MERGED estimate lands within ±5 % of
+    * the exact distinct computed in the same query, per day AND for the
+    * all-up merge; DuckDB asserts the flag. A merge that lost registers
+    * (the classic mergeability bug) would blow the bound and fail the
+    * hash gate. */
+  def hllRollup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
+      col("user_id"))
+    val hourly = e.groupBy(col("day"), col("hr"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    def bracket(df: DataFrame): DataFrame =
+      df.select(col("grain"), col("bucket"), col("n_sketches"),
+        col("uv_exact"),
+        (abs(col("uv_est") - col("uv_exact")).cast("double")
+          <= col("uv_exact").cast("double") * 0.05).cast("long")
+          .as("uv_within_5pct"))
+    val daily = bracket(
+      hourly.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sketches"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("uv_est"))
+        .join(e.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("uv_exact")), "day")
+        .select(lit("day").as("grain"), col("day").as("bucket"),
+          col("n_sketches"), col("uv_exact"), col("uv_est")))
+    val allUp = bracket(
+      hourly.agg(count(lit(1)).as("n_sketches"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("uv_est"))
+        .crossJoin(e.agg(countDistinct(col("user_id")).as("uv_exact")))
+        .select(lit("all").as("grain"), lit("ALL").as("bucket"),
+          col("n_sketches"), col("uv_exact"), col("uv_est")))
+    daily.unionAll(allUp)
+  }
+
   /** UNION ALL funnel of labeled aggregates — SURVEY U2
     * (ref publisher/mapper/UserStatsMapper.java:12-63). */
   def funnelUnion(s: SparkSession, d: String): DataFrame = {
@@ -692,6 +740,7 @@ object Relational extends QueryModule {
     "q_hourly_active"     -> hourlyActive _,
     "q_first_seen_daily"  -> firstSeenDaily _,
     "q_distinct_users_approx" -> distinctUsersApprox _,
+    "q_hll_rollup"        -> hllRollup _,
     "q_distinct_users"    -> distinctUsers _,
     "q_funnel_union"      -> funnelUnion _,
     "q_topk_brands"       -> topkBrands _,
@@ -926,6 +975,19 @@ object Relational extends QueryModule {
         |  COUNT(DISTINCT user_id) AS uv_exact,
         |  CAST(1 AS BIGINT) AS uv_within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_hll_rollup" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |                  strftime(ts, '%Y-%m-%d %H') AS hr, user_id
+        |           FROM events)
+        |SELECT 'day' AS grain, day AS bucket,
+        |  COUNT(DISTINCT hr) AS n_sketches,
+        |  COUNT(DISTINCT user_id) AS uv_exact,
+        |  CAST(1 AS BIGINT) AS uv_within_5pct
+        |FROM e GROUP BY 2
+        |UNION ALL
+        |SELECT 'all', 'ALL', COUNT(DISTINCT hr), COUNT(DISTINCT user_id),
+        |  CAST(1 AS BIGINT)
+        |FROM e""".stripMargin,
     "q_value_quantiles_approx" ->
       """SELECT event_type, COUNT(value) AS n,
         |  CAST(1 AS BIGINT) AS p50_ok,
