@@ -97,6 +97,16 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
+    # A query that THREW in Verify writes no output dir, only a ._FAILED
+    # marker — without this check it would silently vanish from the tally
+    # (masked a real engine-level failure once: q_session_window vs the
+    # regenerated TIMESTAMP_NTZ testdata).
+    for marker in sorted(f for f in os.listdir(out_dir)
+                         if f.endswith("._FAILED")):
+        with open(os.path.join(out_dir, marker)) as mf:
+            msg = mf.read().strip()[:200]
+        print(f"✗ {marker[:-8]}: Verify threw: {msg}")
+        n_fail += 1
     for name in names:
         got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         gcols = list(got.columns)

@@ -14,10 +14,18 @@ object Verify {
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        Files.deleteIfExists(Paths.get(s"$outDir/$name._FAILED"))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // leave a marker so check.py counts the throw as a FAIL instead of
+        // the query silently vanishing from the tally (a thrown query
+        // writes no dir; dir-based iteration masked q_session_window's
+        // break when the round-6 testdata regeneration landed)
+        Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
+          String.valueOf(e.getMessage))
       }
       // the near-dup/LSH builders cache intermediates for their own
       // multi-consumer plans; drop them between queries (as Bench does)

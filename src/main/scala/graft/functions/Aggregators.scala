@@ -65,4 +65,43 @@ object Aggregators {
       def outputEncoder: Encoder[Map[String, Long]] =
         Encoders.kryo[Map[String, Long]]
     }
+
+  /** Mergeable KMV (k-minimum-values / bottom-k) distinct-count sketch
+    * (Bar-Yossef et al., RANDOM'02; Beyer et al., SIGMOD'07 for the
+    * unbiased (k−1)·M/h₍ₖ₎ estimator). The buffer is the k smallest
+    * DISTINCT hash values seen, kept sorted ascending; merge is
+    * distinct-union-then-take-k, which is associative and idempotent —
+    * re-delivered rows cannot move the estimate, so the sketch is safe
+    * under at-least-once replay.
+    *
+    * What distinguishes KMV from HLL in this catalog: the sketch state is
+    * a pure ORDER STATISTIC of a deterministic hash, so two engines that
+    * agree on the hash agree on the estimate BIT-FOR-BIT. The registered
+    * query ([[graft.ops.Relational.kmvDistinct]]) therefore carries a
+    * full hash-exact DuckDB oracle for the estimate itself — no bracket
+    * needed, unlike the HLL entries whose register layouts are
+    * engine-private. KmvSpec proves this Aggregator ≡ the declarative
+    * window form on the same hashes, and that arbitrary partition splits
+    * merge to the identical buffer. */
+  def kmv(k: Int): Aggregator[Long, List[Long], Seq[Long]] =
+    new Aggregator[Long, List[Long], Seq[Long]] {
+      // insert into a sorted-ascending bounded list, dropping duplicates:
+      // O(k) per arrival, O(k) state — the map-side cost model that lets
+      // the sketch scan 100 TB with a constant-size buffer per task.
+      private def insert(b: List[Long], a: Long): List[Long] = {
+        if (b.contains(a)) b
+        else {
+          val (lo, hi) = b.span(_ < a)
+          val grown = lo ::: (a :: hi)
+          if (grown.size > k) grown.init else grown
+        }
+      }
+      def zero: List[Long] = Nil
+      def reduce(b: List[Long], a: Long): List[Long] = insert(b, a)
+      def merge(b1: List[Long], b2: List[Long]): List[Long] =
+        b2.foldLeft(b1)(insert)
+      def finish(r: List[Long]): Seq[Long] = r
+      def bufferEncoder: Encoder[List[Long]] = Encoders.kryo[List[Long]]
+      def outputEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+    }
 }

@@ -330,6 +330,61 @@ object Relational extends QueryModule {
     daily.unionAll(allUp)
   }
 
+  /** KMV bottom-k hashes per event_type — the window size the estimator
+    * divides by. 128 keeps ~1/√126 ≈ 9 % standard error and, at the
+    * sf0.01 gate (150 distinct users), exercises the ESTIMATE branch
+    * rather than the exact small-set branch. */
+  private val KmvK = 128
+
+  /** Distinct-count via the KMV (bottom-k) sketch — the deterministic
+    * alternative to [[distinctUsersApprox]]'s HLL, and the one sketch in
+    * the catalog whose ESTIMATE is hash-exact cross-engine: the state is
+    * the k smallest values of a shared 60-bit md5 hash (the same device
+    * as `fp60` in TextFunctions), so both engines derive the identical
+    * k-th order statistic and the identical (k−1)·2⁶⁰/h₍ₖ₎ estimate —
+    * the DuckDB oracle recomputes the estimate itself, not a bracket.
+    *
+    * Scale story: written declaratively as `dense_rank() ≤ k` over the RAW
+    * hash stream (dense_rank gives set semantics without a prior
+    * `.distinct()`), which Spark 4 executes with WindowGroupLimit — every
+    * map task pre-truncates to its LOCAL bottom-k distinct values before
+    * the ONE exchange, so the shuffle carries ≤ k values per (task, key)
+    * no matter how many billions of distinct users a key has, and the
+    * separate distinct shuffle the naive row_number form needs is gone:
+    * Catalyst compiles the declarative form into exactly the sketch's
+    * map-side-combine cost model. The typed mergeable form
+    * ([[graft.functions.Aggregators.kmv]]) is the streaming/state-store
+    * variant; KmvSpec proves the two produce the identical buffer and
+    * that merging is split-invariant.
+    *
+    * The floating-point discipline for the estimate follows the module
+    * contract: one textually-identical `floor(127.0 · 2⁶⁰ / h₍ₖ₎)` in both
+    * engines (the product is exactly representable — 7-bit mantissa — and
+    * the single division is the same IEEE op on the same operands). */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hashes = Tables.events(s, d)
+      .select(col("event_type"), h.as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = hashes.withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= KmvK)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("h")).as("n_kept"), max(col("h")).as("kth"))
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("uv_exact"))
+    sk.join(exact, "event_type")
+      .select(col("event_type"), col("uv_exact"),
+        when(col("n_kept") < KmvK, col("n_kept"))
+          .otherwise(floor(
+            lit((KmvK - 1).toDouble) * lit((1L << 60).toDouble)
+              / col("kth").cast("double")))
+          .cast("long").as("uv_kmv"))
+      .withColumn("within_15pct",
+        (abs(col("uv_kmv") - col("uv_exact")).cast("double")
+          <= col("uv_exact").cast("double") * 0.15).cast("long"))
+  }
+
   /** UNION ALL funnel of labeled aggregates — SURVEY U2
     * (ref publisher/mapper/UserStatsMapper.java:12-63). */
   def funnelUnion(s: SparkSession, d: String): DataFrame = {
@@ -671,6 +726,63 @@ object Relational extends QueryModule {
       .select(col("key"), col("n"), col("share"), col("skew_x"))
   }
 
+  /** Z-order (Morton-curve) layout audit — the data-LAYOUT optimization
+    * that decides how much of 100 TB a two-dimensional predicate has to
+    * read (the mechanism behind Delta/Iceberg `OPTIMIZE ZORDER BY`;
+    * Morton 1966). Linear (ingest-order) files are clustered on ONE key,
+    * so a selective predicate on any OTHER dimension intersects every
+    * file's [min,max] span and the scan planner can prune nothing.
+    * Interleaving the bits of both (range-bucketed) keys gives every file
+    * a narrow span in BOTH dimensions at once.
+    *
+    * The query derives each row's 6-bit z-cell (3 bits per dimension,
+    * 64 files either way) and audits BOTH layouts from one scan: per
+    * (layout, file) row counts, per-dimension [min,max] — exactly the
+    * parquet footer stats a scan planner prunes on — and `probe_hit`,
+    * whether the file survives pruning for a fixed ⅛-wide `l_partkey`
+    * band probe. At sf0.01 the z-layout answers the probe from 16/64
+    * files at ~8× narrower partkey spans, while the linear layout reads
+    * all 64 — the measured difference between a full-corpus scan and a
+    * quarter of it, from layout alone (¼ not ⅛ because each z-file also
+    * stays narrow in the OTHER dimension — the two-dimensional tradeoff
+    * a space-filling curve makes on purpose).
+    *
+    * Scale story: everything here is a per-row integer map (bucket +
+    * bit-interleave, pure codegen) and one groupBy over 64+64 cells —
+    * layout auditing costs metadata, not data. The write path at scale is
+    * `repartitionByRange(nFiles, $"zf").sortWithinPartitions($"zf")`:
+    * the exchange is the one range shuffle an OPTIMIZE pass pays, and the
+    * audit columns here are precisely the footer min/maxes that pay it
+    * back on every subsequent scan. Bucket bounds derive from the maxes
+    * broadcast in one 1-row pass (integer `div` in both engines, exact at
+    * any scale). */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val m = li.agg(max(col("l_partkey")).as("mpk"),
+      max(col("l_suppkey")).as("msk"), max(col("l_orderkey")).as("mok"))
+    val bucketed = li.crossJoin(broadcast(m))
+      .withColumn("a", expr("((l_partkey - 1) * 8) div mpk"))
+      .withColumn("b", expr("((l_suppkey - 1) * 8) div msk"))
+      .withColumn("lin", expr("((l_orderkey - 1) * 64) div mok"))
+      .withColumn("zf", (0 until 3).map(i =>
+          shiftright(col("a"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+          shiftright(col("b"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+        .reduce(_ + _))
+    def audit(fileCol: String, layout: String): DataFrame =
+      bucketed.groupBy(col(fileCol).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+          max(col("mpk")).as("mpk"))
+        .select(lit(layout).as("layout"), col("file_id"), col("n_rows"),
+          col("min_pk"), col("max_pk"), col("min_sk"), col("max_sk"),
+          (col("min_pk") <= expr("(mpk * 4) div 8") &&
+           col("max_pk") >= expr("(mpk * 3) div 8")).cast("long")
+            .as("probe_hit"))
+    audit("zf", "zorder").unionAll(audit("lin", "linear"))
+  }
+
   /** Data-quality constraint suite — the ingest-gate primitive every
     * warehouse load runs (completeness, pk uniqueness, value bounds,
     * referential integrity), batched the way a DQ analyzer batches them:
@@ -741,6 +853,8 @@ object Relational extends QueryModule {
     "q_first_seen_daily"  -> firstSeenDaily _,
     "q_distinct_users_approx" -> distinctUsersApprox _,
     "q_hll_rollup"        -> hllRollup _,
+    "q_kmv_distinct"      -> kmvDistinct _,
+    "q_zorder_layout"     -> zorderLayout _,
     "q_distinct_users"    -> distinctUsers _,
     "q_funnel_union"      -> funnelUnion _,
     "q_topk_brands"       -> topkBrands _,
@@ -988,6 +1102,52 @@ object Relational extends QueryModule {
         |SELECT 'all', 'ALL', COUNT(DISTINCT hr), COUNT(DISTINCT user_id),
         |  CAST(1 AS BIGINT)
         |FROM e""".stripMargin,
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT event_type,
+        |             ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h
+        |           FROM events),
+        |r AS (SELECT event_type, h,
+        |        dense_rank() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM h),
+        |k AS (SELECT event_type, COUNT(DISTINCT h) AS n_kept, MAX(h) AS kth
+        |      FROM r WHERE rn <= 128 GROUP BY 1),
+        |e AS (SELECT event_type, COUNT(DISTINCT user_id) AS uv_exact
+        |      FROM events GROUP BY 1),
+        |est AS (SELECT event_type, uv_exact,
+        |          CASE WHEN n_kept < 128 THEN n_kept
+        |               ELSE CAST(floor(127.0 * 1152921504606846976.0 / kth)
+        |                         AS BIGINT) END AS uv_kmv
+        |        FROM k JOIN e USING (event_type))
+        |SELECT event_type, uv_exact, uv_kmv,
+        |  CAST(ABS(uv_kmv - uv_exact) <= uv_exact * 0.15 AS BIGINT)
+        |    AS within_15pct
+        |FROM est""".stripMargin,
+    "q_zorder_layout" ->
+      """WITH m AS (SELECT MAX(l_partkey) mpk, MAX(l_suppkey) msk,
+        |                  MAX(l_orderkey) mok FROM lineitem),
+        |c AS (SELECT l_partkey, l_suppkey, mpk,
+        |        ((l_partkey - 1) * 8) // mpk AS a,
+        |        ((l_suppkey - 1) * 8) // msk AS b,
+        |        ((l_orderkey - 1) * 64) // mok AS lin
+        |      FROM lineitem, m),
+        |z AS (SELECT *,
+        |        ((a >> 0) & 1) * 2 + ((b >> 0) & 1) * 1 +
+        |        ((a >> 1) & 1) * 8 + ((b >> 1) & 1) * 4 +
+        |        ((a >> 2) & 1) * 32 + ((b >> 2) & 1) * 16 AS zf
+        |      FROM c),
+        |au AS (SELECT 'zorder' AS layout, zf AS file_id, COUNT(*) AS n_rows,
+        |         MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+        |         MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+        |         MAX(mpk) AS mpk
+        |       FROM z GROUP BY zf
+        |       UNION ALL
+        |       SELECT 'linear', lin, COUNT(*), MIN(l_partkey), MAX(l_partkey),
+        |         MIN(l_suppkey), MAX(l_suppkey), MAX(mpk)
+        |       FROM z GROUP BY lin)
+        |SELECT layout, file_id, n_rows, min_pk, max_pk, min_sk, max_sk,
+        |  CAST(min_pk <= (mpk * 4) // 8 AND max_pk >= (mpk * 3) // 8
+        |       AS BIGINT) AS probe_hit
+        |FROM au""".stripMargin,
     "q_value_quantiles_approx" ->
       """SELECT event_type, COUNT(value) AS n,
         |  CAST(1 AS BIGINT) AS p50_ok,

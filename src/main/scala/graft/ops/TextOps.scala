@@ -1101,6 +1101,50 @@ object TextOps extends QueryModule {
         sum(col("len_after")).as("chars_after"))
   }
 
+  /** Regex PII scrubbing with an audit trail — the pattern-class
+    * complement to [[docScrub]]'s fixed-term redaction: emails and phone
+    * numbers have unbounded surface forms, so the scrub must be a regex
+    * rewrite, not a dictionary lookup. Patterns stay inside the
+    * RE2 ∩ java.util.regex common subset (character classes + bounded
+    * repetition, no lookaround, `[0-9]` not `\d`) so both engines match
+    * identically — the same dialect discipline the tokenizer regex uses.
+    *
+    * The synthetic corpus carries no natural PII, so the operator proves
+    * itself live on PLANTED matches (CLAUDE.md discipline): docs with
+    * `doc_id % 23 == 0` (23 coprime to every subset-split modulus in the
+    * module) get a deterministic email + phone suffix appended IN BOTH
+    * ENGINES before scrubbing; the audit counts are then provably
+    * non-zero and hash-checked end-to-end.
+    *
+    * Scale story: plant, match, rewrite and length audit are all per-row
+    * codegen'd string ops — one scan, zero shuffles before the 20-group
+    * source rollup; the text column never moves between executors. At
+    * 100 TB the scrub is I/O-bound, exactly as it should be. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9.]+@[a-z0-9.]+"
+    val phone = "555-[0-9]{4}"
+    val planted = when(col("doc_id") % 23 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("t"), email, "<EMAIL>"), phone, "<PHONE>")
+    docsParallel(s, d)
+      .select(col("source"), planted.as("t"))
+      .select(col("source"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phone"),
+        (length(col("t")) - length(scrubbed)).as("removed"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_phone") > 0, 1).otherwise(0))
+          .as("docs_with_pii"),
+        sum(col("n_email")).cast("long").as("emails_redacted"),
+        sum(col("n_phone")).cast("long").as("phones_redacted"),
+        sum(col("removed")).cast("long").as("chars_removed"))
+  }
+
   /** Document chunking — the doc→chunk explosion every embedding / RAG
     * pipeline runs before encoding: fixed 64-token windows on a 48-token
     * stride (16-token overlap so no span is split across a boundary
@@ -1229,6 +1273,7 @@ object TextOps extends QueryModule {
     "q_tfidf_topterms"     -> tfidfTopTerms _,
     "q_corpus_mix"         -> corpusMix _,
     "q_doc_scrub"          -> docScrub _,
+    "q_pii_scrub"          -> piiScrub _,
     "q_decontaminate"      -> decontaminate _,
     "q_doc_chunks"         -> docChunks _,
   )
@@ -1590,6 +1635,30 @@ object TextOps extends QueryModule {
          |  CAST(SUM(len_before) AS BIGINT) AS chars_before,
          |  CAST(SUM(len_after) AS BIGINT) AS chars_after
          |FROM b GROUP BY source""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 23 = 0 THEN
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@mail.example call 555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS n_email,
+        |    len(regexp_extract_all(t, '555-[0-9]{4}')) AS n_phone,
+        |    length(t) - length(regexp_replace(regexp_replace(t,
+        |      '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '555-[0-9]{4}', '<PHONE>', 'g')) AS removed
+        |  FROM p)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS docs_with_pii,
+        |  CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+        |  CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+        |  CAST(SUM(removed) AS BIGINT) AS chars_removed
+        |FROM b GROUP BY source""".stripMargin,
     "q_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT source, doc_id, n_chars,

@@ -36,6 +36,31 @@ class StreamingSpec extends AnyFunSuite {
       KeyedEvent("u2", 1500, "2024-01-01")))
   }
 
+  test("ingestDedupTws (transformWithState) ≡ ingestDedup on the same stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[IngestDoc]
+    val q = ingestDedupTws(in.toDS()).writeStream
+      .format("memory").queryName("ingest_tws").outputMode(OutputMode.Append)
+      .start()
+    in.addData(
+      IngestDoc("fpA", 11L, 1000),
+      IngestDoc("fpA", 10L, 1000), // same batch, same ts: docId breaks tie
+      IngestDoc("fpB", 20L, 1500))
+    q.processAllAvailable()
+    in.addData(
+      IngestDoc("fpA", 30L, 2000), // later batch duplicate: dropped
+      IngestDoc("fpC", 40L, 2500))
+    q.processAllAvailable()
+    val rows = spark.table("ingest_tws").as[IngestDoc].collect().sortBy(_.fp)
+    q.stop()
+    // identical expectation as the flatMapGroupsWithState test below —
+    // the new-API operator must be a drop-in replacement
+    assert(rows.toSeq === Seq(
+      IngestDoc("fpA", 10L, 1000),
+      IngestDoc("fpB", 20L, 1500),
+      IngestDoc("fpC", 40L, 2500)))
+  }
+
   test("ingestDedup emits exactly the first doc per fingerprint across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[IngestDoc]
