@@ -32,6 +32,16 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the round-6 testdata regeneration rewrote events.ts as
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false); with NTZ inference on,
+      // the scan yields TIMESTAMP_NTZ and Tables.events must interpose a
+      // cast that sits between the scan and every ts predicate — blocking
+      // parquet filter pushdown on the fact table's time axis. Disabling
+      // inference makes the scan itself produce TimestampType (identical
+      // values under the pinned UTC session), so ts filters keep reaching
+      // the footer. Tables.events still normalizes the NANOS/Long shape
+      // as a fallback for older data.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // RocksDB-backed streaming state, session-wide: keyed state (dedup
       // markers, keep-latest rows, asof buffers, window panes) spills to
       // local disk instead of living on the JVM heap, so state cardinality

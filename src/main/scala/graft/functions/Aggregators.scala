@@ -102,6 +102,10 @@ object Aggregators {
         b2.foldLeft(b1)(insert)
       def finish(r: List[Long]): Seq[Long] = r
       def bufferEncoder: Encoder[List[Long]] = Encoders.kryo[List[Long]]
-      def outputEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+      // a real array<bigint> (not an opaque kryo BINARY) so the sketch
+      // column survives sinks/SQL — the streaming KmvSpec round-trips it
+      // through a memory table
+      def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     }
 }

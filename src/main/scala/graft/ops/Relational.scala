@@ -726,6 +726,44 @@ object Relational extends QueryModule {
       .select(col("key"), col("n"), col("share"), col("skew_x"))
   }
 
+  /** Ingest-drift detection over daily volumes — the DQ time-series
+    * check that pages a pipeline operator when a load doubles or a
+    * source silently halves. Statistics are ROBUST (median + MAD, not
+    * mean + stddev) so one bad day cannot inflate the threshold that is
+    * supposed to catch it — the classic failure of z-scores on ingest
+    * anomalies.
+    *
+    * Liveness is PLANTED (module discipline): every `event_id % 3 == 0`
+    * row is re-dated to a synthetic 1990-01-01 load in BOTH engines,
+    * creating a ~10× day the detector must flag; median/MAD shrug the
+    * spike off (one outlier among 31 days moves the median one rank at
+    * most), so the threshold stays honest and the flag is provably 1.
+    *
+    * Determinism: daily counts are integers; the median of integers is
+    * an integer or an exact .5 — exactly representable, identical under
+    * Spark's `percentile` and DuckDB's `quantile_cont` interpolation —
+    * and the `3·MAD` comparison is single-op IEEE on those exact values.
+    *
+    * Scale story: one map-side-combining count per (day) cell, then two
+    * aggregates over the DAY-cardinality rollup (≤ 36 500 rows for a
+    * century of data) — the robust statistics cost nothing at any fact
+    * volume; the 1-row med/MAD frames broadcast. */
+  def dqDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val days = ev
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .unionAll(ev.filter(col("event_id") % 3 === 0)
+        .select(lit("1990-01-01").as("day")))
+    val daily = days.groupBy(col("day")).agg(count(lit(1)).as("n_rows"))
+    val med = daily.agg(expr("percentile(n_rows, 0.5)").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("n_rows") - col("med")))
+    val mad = dev.agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n_rows"),
+        (col("dev") > lit(3.0) * col("mad")).cast("long").as("flagged"))
+  }
+
   /** Z-order (Morton-curve) layout audit — the data-LAYOUT optimization
     * that decides how much of 100 TB a two-dimensional predicate has to
     * read (the mechanism behind Delta/Iceberg `OPTIMIZE ZORDER BY`;
@@ -855,6 +893,7 @@ object Relational extends QueryModule {
     "q_hll_rollup"        -> hllRollup _,
     "q_kmv_distinct"      -> kmvDistinct _,
     "q_zorder_layout"     -> zorderLayout _,
+    "q_dq_drift"          -> dqDrift _,
     "q_distinct_users"    -> distinctUsers _,
     "q_funnel_union"      -> funnelUnion _,
     "q_topk_brands"       -> topkBrands _,
@@ -1122,6 +1161,18 @@ object Relational extends QueryModule {
         |  CAST(ABS(uv_kmv - uv_exact) <= uv_exact * 0.15 AS BIGINT)
         |    AS within_15pct
         |FROM est""".stripMargin,
+    "q_dq_drift" ->
+      """WITH days AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day FROM events
+        |  UNION ALL
+        |  SELECT '1990-01-01' AS day FROM events WHERE event_id % 3 = 0),
+        |daily AS (SELECT day, COUNT(*) AS n_rows FROM days GROUP BY day),
+        |m AS (SELECT quantile_cont(n_rows, 0.5) AS med FROM daily),
+        |dv AS (SELECT day, n_rows, ABS(n_rows - med) AS dev FROM daily, m),
+        |m2 AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dv)
+        |SELECT day, n_rows,
+        |  CAST(dev > 3.0 * mad AS BIGINT) AS flagged
+        |FROM dv, m2""".stripMargin,
     "q_zorder_layout" ->
       """WITH m AS (SELECT MAX(l_partkey) mpk, MAX(l_suppkey) msk,
         |                  MAX(l_orderkey) mok FROM lineitem),

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The custom stateful operators SURVEY §4 concludes Spark needs code
   * for (everything else maps to built-ins): per-day dedup counters (A5),
@@ -119,6 +119,81 @@ object StatefulOps {
     ds.groupByKey(_.fp)
       .transformWithState(new IngestDedupProcessor(ttl),
         TimeMode.None(), OutputMode.Append())
+
+  /** A closed gap-session: [startS, endS] in event-time seconds. */
+  case class SessionOut(key: String, startS: Long, endS: Long, nEvents: Long)
+
+  private implicit val sessionOutEnc: Encoder[SessionOut] =
+    Encoders.product[SessionOut]
+
+  /** Gap sessionization on `transformWithState` with EVENT-TIME TIMERS —
+    * the full new-state-API surface (named state + timers +
+    * `handleExpiredTimer`), covering what the reference's CEP/timer jobs
+    * do with Flink timers (W5/W6 family) in the API Spark is converging
+    * on. `ts` is event-time SECONDS; the caller supplies the watermark
+    * (`timestamp_seconds(ts)` + `withWatermark`, as every event-time op
+    * in this module).
+    *
+    * Mechanics: arrivals extend the open session or close it by gap
+    * (in-batch disorder handled by sorting the batch); the FINAL open
+    * session per key is closed by a timer registered at `end + gap`
+    * event-time — when the watermark passes it, `handleExpiredTimer`
+    * emits the held session and clears state. Timers are re-armed on
+    * every extension (stale ones deleted), so state per key is one
+    * (start, end, n) triple + one timer — O(1), store-resident, RocksDB
+    * at scale. Unlike the proc-time flush the reference uses, an
+    * event-time timer is replay-deterministic: re-running the stream
+    * yields byte-identical sessions.
+    *
+    * StreamingSpec pins: in-batch gap split, cross-batch extension, and
+    * timer-driven finalization exactly when the watermark passes
+    * end + gap (not before). */
+  class GapSessionProcessor(gapS: Long)
+      extends StatefulProcessor[String, KeyedEvent, SessionOut] {
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedEvent],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val out = Vector.newBuilder[SessionOut]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      rows.toSeq.sortBy(_.ts).foreach { e =>
+        cur match {
+          case Some((s0, e0, n)) if e.ts - e0 <= gapS =>
+            cur = Some((s0, math.max(e0, e.ts), n + 1))
+          case Some((s0, e0, n)) =>
+            out += SessionOut(key, s0, e0, n)
+            cur = Some((e.ts, e.ts, 1L))
+          case None =>
+            cur = Some((e.ts, e.ts, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((c._2 + gapS) * 1000)
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (sess.exists()) {
+        val (s0, e0, n) = sess.get()
+        // guard: a timer that raced an extension in the same batch must
+        // not close a session that has since grown past it
+        if (info.getExpiryTimeInMs >= (e0 + gapS) * 1000) {
+          sess.clear()
+          Iterator.single(SessionOut(key, s0, e0, n))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  def sessionizeTws(ds: Dataset[KeyedEvent], gapS: Long = 60)
+      : Dataset[SessionOut] =
+    ds.groupByKey(_.key)
+      .transformWithState(new GapSessionProcessor(gapS),
+        TimeMode.EventTime(), OutputMode.Append())
 
   /** A tagged as-of event: side 0 = reference stream (view), 1 = probe
     * stream (purchase). */

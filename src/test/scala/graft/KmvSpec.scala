@@ -82,6 +82,32 @@ class KmvSpec extends AnyFunSuite {
       assert(bk == declarative(t), s"key $t: typed $bk != window ${declarative(t)}")
   }
 
+  test("KMV runs as STREAMING state: per-batch merges equal the batch sketch") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    // Complete-mode typed agg: the Aggregator's merge is what carries the
+    // sketch across micro-batches — the state-store form of the same
+    // bottom-k the declarative window derives in batch.
+    val q = in.toDS().groupByKey(_._1).mapValues(_._2)
+      .agg(Aggregators.kmv(4).toColumn.name("bk"))
+      .toDF("key", "bk")
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .start()
+    in.addData(("a", 50L), ("a", 10L), ("b", 7L))
+    q.processAllAvailable()
+    in.addData(("a", 30L), ("a", 10L), ("a", 20L), ("a", 40L), ("b", 3L))
+    q.processAllAvailable()
+    val got = spark.table("kmv_stream").as[(String, Seq[Long])]
+      .collect().map { case (k, bk) => k -> bk.toList }.toMap
+    q.stop()
+    assert(got("a") == List(10L, 20L, 30L, 40L)) // 50 evicted, dup 10 once
+    assert(got("b") == List(3L, 7L))
+  }
+
   test("estimator error within 4/sqrt(k) on random universes") {
     val rnd = new scala.util.Random(37)
     val M = math.pow(2, 60)

@@ -36,6 +36,46 @@ class StreamingSpec extends AnyFunSuite {
       KeyedEvent("u2", 1500, "2024-01-01")))
   }
 
+  test("sessionizeTws closes by gap in-stream and by event-time timer at the end") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val withWm = in.toDS().toDF()
+      .withColumn("eventTime", timestamp_seconds(col("ts")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[KeyedEvent]
+    val q = sessionizeTws(withWm, gapS = 60).writeStream
+      .format("memory").queryName("sess_tws").outputMode(OutputMode.Append)
+      .start()
+    in.addData(
+      KeyedEvent("u1", 20, "d"), KeyedEvent("u1", 10, "d"), // one session
+      KeyedEvent("u2", 15, "d"))
+    q.processAllAvailable()
+    // 200 - 20 > gap: u1's first session closes on arrival; a second opens
+    in.addData(KeyedEvent("u1", 200, "d"))
+    q.processAllAvailable()
+    val afterArrival = spark.table("sess_tws").as[SessionOut].collect().toSet
+    // the gap-split closed (u1, 10-20) on arrival; u2's timer (expiry 75 s)
+    // may ALSO have fired already once the 200 s event advanced the
+    // watermark — both are correct. What must NOT be there yet is u1's
+    // open 200-session (its timer expires at 260 s > current watermark).
+    assert(afterArrival.contains(SessionOut("u1", 10, 20, 2)), s"$afterArrival")
+    assert(!afterArrival.contains(SessionOut("u1", 200, 200, 1)),
+      s"open session emitted before its timer: $afterArrival")
+    // drive the watermark past 200+60: the held sessions must finalize via
+    // handleExpiredTimer, NOT by more data on their own keys
+    in.addData(KeyedEvent("u3", 400, "d"))
+    q.processAllAvailable()
+    in.addData(KeyedEvent("u3", 401, "d")) // extra batch so timers fire
+    q.processAllAvailable()
+    val fin = spark.table("sess_tws").as[SessionOut].collect().toSet
+    q.stop()
+    // u3's own session stays open (timer at 461 s, watermark 401 s)
+    assert(fin == Set(
+      SessionOut("u1", 10, 20, 2),
+      SessionOut("u2", 15, 15, 1),
+      SessionOut("u1", 200, 200, 1)), s"final sessions: $fin")
+  }
+
   test("ingestDedupTws (transformWithState) ≡ ingestDedup on the same stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[IngestDoc]
