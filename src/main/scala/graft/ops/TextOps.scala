@@ -348,19 +348,21 @@ object TextOps extends QueryModule {
   def ngramJaccardBlocked(s: SparkSession, d: String): DataFrame =
     ngramJaccardBlockedOf(docsParallel(s, d))
 
-  private[graft] def ngramJaccardBlockedOf(docs: DataFrame): DataFrame = {
+  /** One typed pass rolling each doc to its DISTINCT 3-shingle set — the
+    * minhashSignatures precedent: the declarative
+    * explode(array_distinct(shingles(...))) chain is an interpreted
+    * lambda-HOF pipeline (CodegenFallback, the measured trap), while
+    * this loop is a tight per-partition scan. Bit-parity with the
+    * declarative form is held by the shared oracles (DuckDB computes
+    * shingles declaratively) + DedupPropertySpec's brute force:
+    * split(" ", -1) keeps trailing empties, first-occurrence distinct,
+    * docs under 3 tokens roll to an empty set and drop at the explode.
+    * Materialized (localCheckpoint): read by the df-count, the prefix
+    * build and both verification sides of each caller. */
+  private[graft] def shingleSetsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // One typed pass rolls each doc to its DISTINCT 3-shingle set — the
-    // minhashSignatures precedent: the declarative
-    // explode(array_distinct(shingles(...))) chain is an interpreted
-    // lambda-HOF pipeline (CodegenFallback, the measured trap), while
-    // this loop is a tight per-partition scan. Bit-parity with the
-    // declarative form is held by the shared oracle (computes shingles
-    // declaratively in DuckDB) + DedupPropertySpec's brute force:
-    // split(" ", -1) keeps trailing empties, first-occurrence distinct,
-    // docs under 3 tokens roll to an empty set and drop at the explode.
-    val byDoc = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val toks = text.split(" ", -1)
@@ -373,9 +375,13 @@ object TextOps extends QueryModule {
         }
       }.toDF("doc_id", "shs")
       .withColumn("n", size(col("shs")).cast("long"))
-      // materialized: read by the df-count, the prefix build and both
-      // verification sides
       .localCheckpoint()
+  }
+
+  private[graft] def ngramJaccardBlockedOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val byDoc = shingleSetsOf(docs)
     val sh = byDoc.select(col("doc_id"), col("n"),
       explode(col("shs")).as("sh")) // plain-array explode: codegen Generate
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -406,6 +412,20 @@ object TextOps extends QueryModule {
     // in a typed loop — interpreted array_intersect measured 5.5 s where
     // this runs in tenths; cost is candidates × doc size exactly, no
     // corpus-wide pair×shingle aggregate
+    sharedCounts(cand, byDoc)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
+        col("jaccard"))
+  }
+
+  /** Shared verification core: join candidate (d1, d2) pairs to their two
+    * shingle sets and count the true intersection in a typed partition
+    * loop. Returns (d1, d2, common, n1, n2). */
+  private def sharedCounts(cand: DataFrame, byDoc: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
     cand
       .join(byDoc.select(col("doc_id").as("d1"), col("shs").as("s1"),
         col("n").as("n1")), "d1")
@@ -421,11 +441,127 @@ object TextOps extends QueryModule {
           (d1, d2, common, n1, n2)
         }
       }.toDF("d1", "d2", "common", "n1", "n2")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
-      .filter(col("jaccard") >= 0.6)
-      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
-        col("jaccard"))
+  }
+
+  /** Containment (asymmetric-Jaccard) duplicate pairs — the doc-in-doc
+    * class symmetric near-dup machinery is BLIND to: an excerpt quoted
+    * inside a 100× larger document has containment ≈ 1 but Jaccard ≈
+    * |excerpt|/|doc| ≈ 0.01, far under every symmetric threshold, and its
+    * MinHash bands almost never collide with the host's. Training corpora
+    * care (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22 — substring duplication is the common mode): the
+    * excerpt contributes no new tokens, only a re-weighting of the host's.
+    *
+    * C(A,B) = |S(A) ∩ S(B)| / |S(A)| over distinct 4-shingle sets
+    * (4-grams, not the 3-grams the Jaccard entries use: the asymmetric
+    * join probes A's prefix against the FULL inverted index, so the
+    * filter's selectivity is everything — on this vocabulary 3-gram
+    * prefixes admit 211k candidate pairs at sf0.1, 4-gram prefixes 697;
+    * real dedup pipelines go far longer still, e.g. 50-gram substring
+    * dedup), flagged at C ≥ 0.8. EXACT via the asymmetric prefix filter
+    * (Chaudhuri et
+    * al.'s SSJoin argument, one-sided): if C(A,B) ≥ 0.8 then B misses at
+    * most floor(|A|/5) of A's shingles, so among the floor(|A|/5)+1 RAREST
+    * shingles of A (global (df, sh) canonical order) at least one is in B
+    * — joining ONLY A's prefix against the full shingle index is complete.
+    * The one-sided size filter 5·|B| ≥ 4·|A| (B must hold the overlap)
+    * prunes before the distinct. All cutoffs are integer div — the module's
+    * float-prefix trap. Verification intersects candidate pairs only
+    * (typed loop, the [[sharedCounts]] core); the threshold re-check is
+    * integer (5·common ≥ 4·n_small), the emitted ratio a single division.
+    *
+    * Liveness: the corpus is excerpt-free by construction, so docs with
+    * `doc_id % 40 == 0` are re-ingested as PLANTED 30-token prefixes under
+    * id + [[PlantOffset]] in both engines — every plant's shingle set is a
+    * subset of its source's (containment exactly 1.0), keeping the flagged
+    * set provably non-empty at every scale factor.
+    *
+    * At 100 TB: candidate generation joins ~n/5 rare-tail keys per doc
+    * against the inverted shingle index — the same complete-but-thin
+    * keyspace as [[ngramJaccardBlocked]], no hot-key quadratic term, and
+    * the asymmetric direction means ONE pass flags every excerpt
+    * regardless of host size. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val base = docsParallel(s, d).select(col("doc_id"), col("text"))
+    val excerpts = Tables.documents(s, d)
+      .filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        array_join(slice(tokens(col("text")), 1, 30), " ").as("text"))
+    containmentPairsOf(base.unionAll(excerpts))
+  }
+
+  /** The containment engine runs on HASHED shingles: each distinct
+    * 3-shingle maps to the 60-bit md5 device (`fp60`) in BOTH engines, so
+    * every join/shuffle/array in the pipeline carries 8-byte longs
+    * instead of ~25-byte strings (measured ~4× off the sf0.1 wall), and
+    * the oracle — which hashes identically in DuckDB — cannot diverge
+    * even in the astronomically-unlikely collision case: both engines
+    * operate on the same hashed universe by construction. */
+  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // typed roll: distinct 3-shingles per doc, each hashed to 60 bits
+    // (first 15 hex chars of md5, the fp60 device) — one tight pass
+    val byDoc = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var i = 0
+          while (i + 3 < toks.length) {
+            val b = md.digest(
+              (toks(i) + " " + toks(i + 1) + " " + toks(i + 2) + " " +
+                toks(i + 3)).getBytes("UTF-8"))
+            // first 15 hex chars = top 60 bits of the first 8 bytes
+            var h = 0L
+            var j = 0
+            while (j < 8) { h = (h << 8) | (b(j) & 0xffL); j += 1 }
+            seen += (h >>> 4)
+            i += 1
+          }
+          (id, seen.toArray)
+        }
+      }.toDF("doc_id", "shs")
+      .withColumn("n", size(col("shs")).cast("long"))
+      .localCheckpoint()
+    val sh = byDoc.select(col("doc_id"), col("n"),
+      explode(col("shs")).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("arr"),
+        max(col("n")).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("arr"), lit(1),
+          (expr("n div 5") + 1).cast("int"))).as("p"))
+      .select(col("doc_id"), col("p.h").as("h"), col("n"))
+    val cand = prefix.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * 5 >= col("a.n") * 4)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(byDoc.select(col("doc_id").as("d1"), col("shs").as("s1"),
+        col("n").as("n1")), "d1")
+      .join(byDoc.select(col("doc_id").as("d2"), col("shs").as("s2"),
+        col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("s1"), col("n1"), col("s2"), col("n2"))
+      .as[(Long, Long, Array[Long], Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        it.map { case (d1, d2, s1, n1, s2, n2) =>
+          val set = s2.toSet
+          var common = 0L
+          s1.foreach(x => if (set.contains(x)) common += 1)
+          (d1, d2, common, n1, n2)
+        }
+      }.toDF("d1", "d2", "common", "n1", "n2")
+      .filter(col("common") * 5 >= col("n1") * 4)
+      .select(col("d1").as("small_id"), col("d2").as("big_id"),
+        col("common").as("n_shared"), col("n1").as("n_small"),
+        col("n2").as("n_big"),
+        (col("common").cast("double") / col("n1")).as("containment"))
   }
 
   /** One MinHash signature row per doc: mh0..mh7. */
@@ -1274,6 +1410,7 @@ object TextOps extends QueryModule {
     "q_corpus_mix"         -> corpusMix _,
     "q_doc_scrub"          -> docScrub _,
     "q_pii_scrub"          -> piiScrub _,
+    "q_containment_dedup"  -> containmentPairs _,
     "q_decontaminate"      -> decontaminate _,
     "q_doc_chunks"         -> docChunks _,
   )
@@ -1323,6 +1460,44 @@ object TextOps extends QueryModule {
        |  CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
        |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
        |WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) >= 0.6""".stripMargin
+
+  private val containmentSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset,
+       |    array_to_string((string_split(text, ' '))[1:30], ' ')
+       |  FROM documents WHERE doc_id % 40 = 0),
+       |docs AS (SELECT doc_id, $dToks AS t FROM aug),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         ('0x'||substr(md5(sh0),1,15))::BIGINT AS h
+       |       FROM (SELECT doc_id, UNNEST(${dShinglesN(4)}) AS sh0 FROM docs)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |dfreq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY 1),
+       |ranked AS (
+       |  SELECT s.doc_id, s.h, z.n,
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.h)
+       |      AS rk
+       |  FROM sh s JOIN dfreq f USING (h) JOIN sizes z USING (doc_id)),
+       |prefix AS (SELECT doc_id, h, n FROM ranked WHERE rk <= n // 5 + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS small_id, b.doc_id AS big_id
+       |  FROM prefix a
+       |  JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |  JOIN sizes zb ON b.doc_id = zb.doc_id
+       |  WHERE zb.n * 5 >= a.n * 4),
+       |shared AS (
+       |  SELECT c.small_id, c.big_id, COUNT(*) AS n_shared
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.small_id
+       |  JOIN sh y ON y.doc_id = c.big_id AND y.h = x.h
+       |  GROUP BY 1, 2)
+       |SELECT small_id, big_id, n_shared, za.n AS n_small, zb.n AS n_big,
+       |  CAST(n_shared AS DOUBLE) / za.n AS containment
+       |FROM shared
+       |JOIN sizes za ON small_id = za.doc_id
+       |JOIN sizes zb ON big_id = zb.doc_id
+       |WHERE n_shared * 5 >= za.n * 4""".stripMargin
 
   private val mhExprs: String = (0 until 8).map { j =>
     val g = j / 4
@@ -1498,6 +1673,7 @@ object TextOps extends QueryModule {
     // the blocked rewrite shares the oracle VERBATIM: hash match ⟹ the
     // prefix+size filters changed nothing but the work done
     "q_ngram_jaccard_blocked" -> ngramJaccardSql,
+    "q_containment_dedup" -> containmentSql,
     // bracket oracle (see Relational.distinctUsersApprox): deterministic
     // columns are the EXACT heavy hitters over the identically-planted
     // stream; found/est_ok assert the MG theorems held on the Spark side

@@ -118,4 +118,47 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(got === expected, s"trial $trial over ${docs.size} docs")
     }
   }
+
+  /** Property: the asymmetric prefix filter of containmentPairsOf is
+    * COMPLETE — the flagged set equals a pure-Scala brute force over every
+    * ORDERED pair, on random dense corpora with planted excerpts (strict
+    * prefixes of their hosts, containment 1.0) and near-excerpts. A
+    * candidate missed by probing only A's floor(n/5)+1 rarest 4-shingles
+    * against the full index would diverge here. */
+  test("prefix-filtered containment equals brute force on random corpora") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val base = (1 to 30).map { id =>
+        val n = 8 + rnd.nextInt(12)
+        (id.toLong,
+          (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+      }
+      // planted excerpts: leading-token prefixes of every 4th doc (their
+      // 4-shingle sets are subsets of the host's → containment 1.0), and
+      // a perturbed variant whose containment is high but below 1
+      val docs = base ++
+        base.filter(_._1 % 4 == 0).map { case (id, t) =>
+          (id + 1000, t.split(" ").take(6).mkString(" ")) } ++
+        base.filter(_._1 % 6 == 0).map { case (id, t) =>
+          (id + 2000, t.split(" ").take(7).mkString(" ") + " z") }
+      def shset(t: String): Set[String] =
+        t.split(" ", -1).sliding(4).filter(_.length == 4)
+          .map(_.mkString(" ")).toSet
+      val sets = docs.map { case (id, t) => id -> shset(t) }.toMap
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty && sb.nonEmpty
+        c = (sa & sb).size
+        if c * 5 >= sa.size * 4
+      } yield (a, b, c.toLong, sa.size.toLong, sb.size.toLong)).toSet
+      assert(expected.nonEmpty, s"trial $trial: degenerate corpus (no pairs)")
+      val got = graft.ops.TextOps
+        .containmentPairsOf(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+      assert(got === expected, s"trial $trial over ${docs.size} docs")
+    }
+  }
 }
