@@ -443,6 +443,82 @@ object TextOps extends QueryModule {
       }.toDF("d1", "d2", "common", "n1", "n2")
   }
 
+  /** Intra-corpus duplicated-span profile — how much of each document is
+    * made of 8-grams that ALSO occur in some other document. This is the
+    * corpus-level audit behind exact-substring dedup (Lee et al., ACL'22:
+    * long repeated spans dominate real training corpora and measurably
+    * hurt models): before cutting spans, a pipeline measures where the
+    * duplication mass sits, per source. Distinct from
+    * [[decontaminate]] (which probes an EXTERNAL benchmark's grams) —
+    * here the reference set is the corpus itself.
+    *
+    * Mechanics: one typed pass rolls each doc to its distinct 8-gram set
+    * hashed to the 60-bit fp60 device (both engines hash identically, so
+    * the gate compares the same universe); gram doc-frequency is one
+    * count over the exploded (doc, gram) table; a gram is "duplicated"
+    * if ≥ 2 docs carry it. Per-source rollup keeps every aggregate
+    * INTEGER (gram totals, dup totals, docs-over-half via 2·dup ≥ total)
+    * and emits the ratio as one division of integer-valued operands —
+    * the module's float-determinism discipline (a sum of per-doc double
+    * ratios would be partition-order-dependent and hash-unstable).
+    *
+    * Liveness: the corpus is dup-free by construction, so docs with
+    * `doc_id % 29 == 0` (29 coprime to every subset modulus in the
+    * module) are re-ingested byte-identical under id + [[PlantOffset]]
+    * in both engines — every plant and its source profile at ratio 1.0.
+    *
+    * At 100 TB: gram hashing is an embarrassingly-parallel map; the one
+    * shuffle is the gram-df count, keyspace = distinct grams (the same
+    * inverted-index scale every dedup pass here already pays); the
+    * per-source result is 20 rows. */
+  def dupSpanProfile(s: SparkSession, d: String): DataFrame = {
+    val ss = s
+    import ss.implicits._
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      col("text"))
+    val planted = base.filter(col("doc_id") % 29 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("source"),
+        col("text"))
+    val grams = base.unionAll(planted)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, src, text) =>
+          val toks = text.split(" ", -1)
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var i = 0
+          while (i + 7 < toks.length) {
+            val sb = new StringBuilder(toks(i))
+            var k = 1
+            while (k < 8) { sb.append(' ').append(toks(i + k)); k += 1 }
+            val b = md.digest(sb.toString.getBytes("UTF-8"))
+            var h = 0L
+            var j = 0
+            while (j < 8) { h = (h << 8) | (b(j) & 0xffL); j += 1 }
+            seen += (h >>> 4)
+            i += 1
+          }
+          (id, src, seen.toArray)
+        }
+      }.toDF("doc_id", "source", "ghs")
+      .select(col("doc_id"), col("source"), explode(col("ghs")).as("h"))
+      .localCheckpoint()
+    val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("gdf"))
+    grams.join(dfreq, "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("grams_total"),
+        sum(col("n_dup")).as("grams_dup"),
+        sum(when(col("n_dup") * 2 >= col("n_grams"), 1L).otherwise(0L))
+          .as("docs_over_half"))
+      .withColumn("dup_ratio",
+        col("grams_dup").cast("double") / col("grams_total"))
+  }
+
   /** Containment (asymmetric-Jaccard) duplicate pairs — the doc-in-doc
     * class symmetric near-dup machinery is BLIND to: an excerpt quoted
     * inside a 100× larger document has containment ≈ 1 but Jaccard ≈
@@ -1411,6 +1487,7 @@ object TextOps extends QueryModule {
     "q_doc_scrub"          -> docScrub _,
     "q_pii_scrub"          -> piiScrub _,
     "q_containment_dedup"  -> containmentPairs _,
+    "q_dup_span_profile"   -> dupSpanProfile _,
     "q_decontaminate"      -> decontaminate _,
     "q_doc_chunks"         -> docChunks _,
   )
@@ -1674,6 +1751,30 @@ object TextOps extends QueryModule {
     // prefix+size filters changed nothing but the work done
     "q_ngram_jaccard_blocked" -> ngramJaccardSql,
     "q_containment_dedup" -> containmentSql,
+    "q_dup_span_profile" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $PlantOffset, source, text FROM documents
+         |  WHERE doc_id % 29 = 0),
+         |docs AS (SELECT doc_id, source, $dToks AS t FROM aug),
+         |g AS (SELECT DISTINCT doc_id, source,
+         |        ('0x'||substr(md5(g0),1,15))::BIGINT AS h
+         |      FROM (SELECT doc_id, source, UNNEST(${dShinglesN(8)}) AS g0
+         |            FROM docs)),
+         |dfq AS (SELECT h, COUNT(*) AS gdf FROM g GROUP BY 1),
+         |per AS (SELECT doc_id, source, COUNT(*) AS n_grams,
+         |          SUM(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |        FROM g JOIN dfq USING (h) GROUP BY 1, 2),
+         |roll AS (SELECT source, COUNT(*) AS n_docs,
+         |           CAST(SUM(n_grams) AS BIGINT) AS grams_total,
+         |           CAST(SUM(n_dup) AS BIGINT) AS grams_dup,
+         |           CAST(SUM(CASE WHEN n_dup * 2 >= n_grams THEN 1 ELSE 0
+         |                    END) AS BIGINT) AS docs_over_half
+         |         FROM per GROUP BY 1)
+         |SELECT source, n_docs, grams_total, grams_dup, docs_over_half,
+         |  CAST(grams_dup AS DOUBLE) / grams_total AS dup_ratio
+         |FROM roll""".stripMargin,
     // bracket oracle (see Relational.distinctUsersApprox): deterministic
     // columns are the EXACT heavy hitters over the identically-planted
     // stream; found/est_ok assert the MG theorems held on the Spark side

@@ -272,4 +272,37 @@ class TextSpec extends AnyFunSuite {
       assert(estOk === 1L, s"MG estimate for $tok out of bound")
     }
   }
+
+  test("dup-span profile: planted re-ingests keep docs_over_half provably live") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val nPlants = Tables.documents(spark, TestSession.sf)
+      .filter(col("doc_id") % 29 === 0).count()
+    assert(nPlants > 0, "degenerate: no % 29 docs — plant modulus broken")
+    val rows = graft.ops.TextOps.dupSpanProfile(spark, TestSession.sf)
+      .select(sum(col("docs_over_half")).cast("long"))
+      .as[Long].head()
+    // every plant AND its byte-identical source profile at ratio 1.0 —
+    // both engines would agree on a degenerate zero (empty plant set), so
+    // only this liveness floor catches a broken plant construction
+    assert(rows >= 2 * nPlants,
+      s"docs_over_half total $rows < ${2 * nPlants} (plants not live)")
+  }
+
+  test("containment: every planted excerpt is flagged at containment 1.0") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val nPlants = Tables.documents(spark, TestSession.sf)
+      .filter(col("doc_id") % 40 === 0).count()
+    assert(nPlants > 0, "degenerate: no % 40 docs — plant modulus broken")
+    val plantOffset = 1L << 62 // TextOps.PlantOffset (private[ops])
+    val plantRows = graft.ops.TextOps
+      .containmentPairs(spark, TestSession.sf)
+      .filter(col("small_id") >= plantOffset &&
+        col("big_id") === col("small_id") - plantOffset)
+      .select(col("containment")).as[Double].collect()
+    assert(plantRows.length == nPlants,
+      s"${plantRows.length} of $nPlants planted excerpt→host pairs flagged")
+    assert(plantRows.forall(_ == 1.0), "excerpt shingles not a host subset")
+  }
 }
