@@ -51,6 +51,11 @@ object GraftSession {
       // it is live (rocksdb* metrics in query progress), not just config.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // let bucketed scans report their sortBy order (one file per bucket,
+      // which BucketStore's repartition-before-bucketBy write guarantees) —
+      // without it the bucket-co-located SMJ keeps a redundant in-partition
+      // Sort on both sides; BucketJoinSpec pins the sort-free plan
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
 
   /** SQL surface for the custom Catalyst expressions: graft_dot (scalar)

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed fact tables — Spark's co-located-join primitive made
+  * first-class. `orders` and `lineitem` are written ONCE per (JVM, sfDir)
+  * as bucketed+sorted tables on their join key (`o_orderkey` /
+  * `l_orderkey`, same bucket count), so any orderkey equi-join between
+  * them is a SortMergeJoin with NO shuffle exchange on either side: the
+  * scan itself reports `HashPartitioning(orderkey, N)` and Catalyst's
+  * EnsureRequirements sees the children already satisfy the join's
+  * required distribution. Pre-`repartition`ing by the bucket column
+  * gives exactly one file per bucket, so the within-bucket `sortBy`
+  * order is total and the join's sort step is satisfied by the scan too.
+  *
+  * This is THE answer to "is there a shuffle here that becomes the
+  * bottleneck at scale": at 100 TB the orders⋈lineitem shuffle is the
+  * single largest exchange in the warehouse, and bucketing amortizes it
+  * into the (one-time) table write — every subsequent join, of which a
+  * warehouse runs thousands per day, is exchange-free. The reference
+  * gets the same effect operationally by keying its Kafka topics by
+  * order_id (DwdTradeOrderPreProcess reads co-partitioned topics); the
+  * lakehouse-native translation is bucketed tables.
+  *
+  * The store is registered in the session catalog as EXTERNAL tables
+  * (explicit `path` under [[StoreDirs]]) because bucketing metadata
+  * lives in the catalog, not in parquet footers. Memoized via
+  * `catalog.tableExists`, rebuilt per JVM (same freshness contract as
+  * [[DwdStore]]).
+  */
+object BucketStore {
+
+  /** 16 buckets at test scale; on a real cluster this is sized so one
+    * bucket ≈ one comfortable task (e.g. 4096 buckets for 100 TB of
+    * lineitem → ~25 GB/bucket pre-compression, split-read by range). */
+  val NBuckets = 16
+
+  private val lock = new Object
+
+  private def sanitize(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    "g_" + digest
+  }
+
+  private def ensure(s: SparkSession, d: String, table: String,
+                     src: => DataFrame, key: String): String =
+    lock.synchronized {
+      val name = s"${table}_${sanitize(d)}"
+      if (!s.catalog.tableExists(name)) {
+        src.repartition(NBuckets, col(key))
+          .write.mode("overwrite")
+          .bucketBy(NBuckets, key).sortBy(key)
+          .option("path", StoreDirs.dirFor(s"bucket_$table", d))
+          .saveAsTable(name)
+      }
+      name
+    }
+
+  /** Orders bucketed+sorted by `o_orderkey`. */
+  def orders(s: SparkSession, d: String): DataFrame =
+    s.table(ensure(s, d, "orders_bkt", Tables.orders(s, d), "o_orderkey"))
+
+  /** Lineitem bucketed+sorted by `l_orderkey`. */
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    s.table(ensure(s, d, "lineitem_bkt", Tables.lineitem(s, d), "l_orderkey"))
+}

@@ -58,6 +58,27 @@ object Relational extends QueryModule {
         sum(col("l_extendedprice").cast("decimal(18,2)"))
           .cast("double").as("revenue"))
 
+  /** [[revenueByPriority]] over the bucketed store — the co-located-join
+    * scale path. Same join, same rollup, but both sides come from
+    * [[BucketStore]] (bucketed+sorted by orderkey, equal bucket counts)
+    * and the `merge` hint pins SortMergeJoin, so the executed join has NO
+    * shuffle exchange and no explicit sort on either side — the scan's own
+    * `HashPartitioning(orderkey, 16)` + file-sorted buckets satisfy the
+    * join's requirements (BucketJoinSpec asserts the plan). Registers with
+    * the ORIGINAL query's oracle verbatim: the hash gate proves
+    * bucketing-invariance of the result. At 100 TB this turns the
+    * warehouse's largest recurring exchange into a one-time table-write
+    * cost ([[BucketStore]] scaladoc). */
+  def revenueByPriorityBucketed(s: SparkSession, d: String): DataFrame =
+    BucketStore.lineitem(s, d).hint("merge")
+      .join(BucketStore.orders(s, d).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+
   /** Left outer join keeping unmatched left rows — SURVEY J2.
     * Ref: DwdTradeOrderPreProcess.java:144-147 (null-padded optional attrs). */
   def custOrderLeft(s: SparkSession, d: String): DataFrame =
@@ -879,6 +900,7 @@ object Relational extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary"   -> pricingSummary _,
     "q_rev_by_priority"   -> revenueByPriority _,
+    "q_rev_by_priority_bucketed" -> revenueByPriorityBucketed _,
     "q_cust_order_left"   -> custOrderLeft _,
     "q_commodity_full_outer" -> commodityFullOuter _,
     "q_star_dim_chain"    -> starDimChain _,
@@ -917,6 +939,14 @@ object Relational extends QueryModule {
 
   /** Shared by `q_fuzzy_brand` and `q_fuzzy_brand_blocked`: the blocked
     * path must match the broadcast nested-loop exactly. */
+  /** Shared by `q_rev_by_priority` and its bucketed rewrite — both must
+    * produce the identical rollup (bucketing-invariance via hash gate). */
+  private val revByPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   private val fuzzyBrandSql: String =
     """WITH b AS (SELECT DISTINCT p_brand FROM part)
       |SELECT x.p_brand AS b1, y.p_brand AS b2,
@@ -932,11 +962,10 @@ object Relational extends QueryModule {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "q_rev_by_priority" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin,
+    "q_rev_by_priority" -> revByPrioritySql,
+    // the bucketed rewrite shares the oracle VERBATIM: hash gate =
+    // bucketing-invariance proof (CLAUDE.md scale-path discipline)
+    "q_rev_by_priority_bucketed" -> revByPrioritySql,
     "q_cust_order_left" ->
       """SELECT c_mktsegment,
         |  COUNT(DISTINCT c_custkey) AS n_customers,

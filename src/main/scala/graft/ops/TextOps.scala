@@ -1457,6 +1457,83 @@ object TextOps extends QueryModule {
         min(col("hkey")).as("first_hkey"))
   }
 
+  /** Temperature-weighted corpus mixing (α = 0.5) — the multinomial
+    * source-reweighting step of large-LM data pipelines (GPT-3 / PaLM
+    * style): sampling mass per source ∝ c_s^α flattens the natural source
+    * distribution so small high-quality sources are not drowned by the
+    * web crawl. Normalized so the SMALLEST source is kept whole, the
+    * per-doc keep rate is r_s = sqrt(c_min / c_s) ⇒ expected kept counts
+    * ∝ sqrt(c_s) = c_s^α. Deterministic: the keep decision is a 32-bit
+    * md5 of the doc id against r_s · 2^32 — RNG-free, engine- and
+    * cluster-size-independent, and stable under corpus growth (a doc
+    * flips only when its source's rate moves past its hash).
+    *
+    * Cross-engine determinism of the double math: c_min/c_s is ONE
+    * division (BIGINT→DOUBLE then IEEE divide), sqrt is IEEE-exact, and
+    * the threshold multiply is a single textually-identical operation in
+    * both engines — no reordering surface (BASELINE.md caveat).
+    *
+    * 100 TB: pass 1 scans only the `source` column (histogram, 4 rows);
+    * the 4-row rate table broadcasts; pass 2 is a per-row hash filter
+    * feeding a partial-agg rollup — no doc-keyed shuffle anywhere. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("c_docs"))
+    val cMin = counts.agg(min(col("c_docs")).as("c_min"))
+    val rates = counts.crossJoin(broadcast(cMin))
+      .withColumn("keep_rate",
+        sqrt(col("c_min").cast("double") / col("c_docs")))
+      .select(col("source"), col("c_docs"), col("keep_rate"))
+    docsParallel(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(hash32(col("doc_id").cast("string"), 7) <
+        col("keep_rate") * lit(4294967296.0))
+      .groupBy(col("source"), col("c_docs"), col("keep_rate"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+  }
+
+  /** Cross-source overlap matrix — which corpus sources share content
+    * (the inter-source leg of the duplication audit; [[dupSpanProfile]]
+    * is the intra-source leg). For every source pair: distinct shared
+    * 8-gram count and the gram-set Jaccard. Grams map to the 60-bit md5
+    * device (`fp60`) in BOTH engines before the join, so only 8-byte
+    * keys shuffle (never gram text) and the hashed universe is shared —
+    * a collision merges the same pair of grams on both sides, keeping
+    * the gate collision-proof (same discipline as [[containmentPairs]]).
+    *
+    * 100 TB: the (gram, source) set is distinct-reduced map-side before
+    * one shuffle keyed by gram hash (keyspace = distinct grams, scales
+    * with data); the self-join fan-out is bounded by sources-per-gram
+    * (≤ #sources, a constant), and the rollup output is #source-pairs
+    * rows. The per-source gram totals reuse the same distinct set. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val gs = docsParallel(s, d)
+      .select(col("source"),
+        explode(array_distinct(shingles(tokens(col("text")), 8))).as("g"))
+      .select(col("source"), fingerprint60(col("g")).as("gh"))
+      .distinct()
+      .localCheckpoint()
+    val tot = gs.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val pairs = gs.as("a")
+      .join(gs.as("b"),
+        col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(tot).withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_grams", "grams_a"), Seq("source_a"))
+      .join(broadcast(tot).withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_grams", "grams_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("grams_a"), col("grams_b"),
+        (col("shared_grams").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared_grams")))
+          .as("jaccard"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_stats"          -> docStats _,
     "q_doc_quality"        -> docQuality _,
@@ -1484,6 +1561,8 @@ object TextOps extends QueryModule {
     "q_seq_packing_sharded" -> ((s: SparkSession, d: String) => seqPackingSharded(s, d)),
     "q_tfidf_topterms"     -> tfidfTopTerms _,
     "q_corpus_mix"         -> corpusMix _,
+    "q_temperature_mix"    -> temperatureMix _,
+    "q_source_overlap"     -> sourceOverlap _,
     "q_doc_scrub"          -> docScrub _,
     "q_pii_scrub"          -> piiScrub _,
     "q_containment_dedup"  -> containmentPairs _,
@@ -1951,6 +2030,36 @@ object TextOps extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
         |  MIN(hkey) AS first_hkey
         |FROM kept GROUP BY source""".stripMargin,
+    "q_temperature_mix" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS c_docs
+         |           FROM documents GROUP BY source),
+         |m AS (SELECT MIN(c_docs) AS c_min FROM c),
+         |r AS (SELECT source, c_docs,
+         |        sqrt(CAST(c_min AS DOUBLE) / c_docs) AS keep_rate
+         |      FROM c, m),
+         |k AS (SELECT d.source, d.n_chars, r.c_docs, r.keep_rate
+         |      FROM documents d JOIN r ON d.source = r.source
+         |      WHERE ${dHash32(7, "CAST(d.doc_id AS VARCHAR)")}
+         |            < keep_rate * 4294967296.0)
+         |SELECT source, c_docs, keep_rate, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+         |FROM k GROUP BY source, c_docs, keep_rate""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH gs AS (
+         |  SELECT DISTINCT source, ('0x'||substr(md5(g),1,15))::BIGINT AS gh
+         |  FROM (SELECT source, UNNEST(list_distinct(${dShinglesN(8)})) AS g
+         |        FROM (SELECT source, $dToks AS t FROM documents))),
+         |tot AS (SELECT source, COUNT(*) AS n_grams FROM gs GROUP BY source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        COUNT(*) AS shared_grams
+         |      FROM gs a JOIN gs b ON a.gh = b.gh AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT source_a, source_b, shared_grams,
+         |  ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+         |  CAST(shared_grams AS DOUBLE)
+         |    / (ta.n_grams + tb.n_grams - shared_grams) AS jaccard
+         |FROM p JOIN tot ta ON ta.source = p.source_a
+         |       JOIN tot tb ON tb.source = p.source_b""".stripMargin,
     "q_repetition_ratio" ->
       s"""SELECT doc_id, len(sh) AS n_sh, len(list_distinct(sh)) AS n_uniq,
          |  CASE WHEN len(sh) > 0

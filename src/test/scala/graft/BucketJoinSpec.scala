@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.{BucketStore, Relational}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The whole point of [[BucketStore]] is the PLAN, not just the numbers:
+  * an orderkey equi-join of the two bucketed tables must execute as a
+  * SortMergeJoin with NO shuffle exchange and NO explicit sort on either
+  * side — the bucketed scan's HashPartitioning + one-sorted-file-per-
+  * bucket layout satisfies the join's required distribution and ordering.
+  * This spec pins that, plus result-equality against the plain-parquet
+  * join (the oracle-level proof is the shared DuckDB SQL; this is the
+  * faster in-JVM version of the same claim). */
+class BucketJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE's FINAL plan is what we read
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed orderkey join runs with zero shuffle and zero sort") {
+    val joined = BucketStore.lineitem(spark, sf).hint("merge")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(BucketStore.orders(spark, sf).hint("merge")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = executedPlan(joined)
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("ShuffleExchange"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not re-exchange:\n$plan")
+    // one sorted file per bucket (pre-repartitioned write) ⇒ the scan
+    // satisfies the SMJ's ordering requirement; no Sort node
+    assert(!plan.contains("Sort "),
+      s"bucketed+sorted scan should satisfy SMJ ordering:\n$plan")
+  }
+
+  test("bucketed rewrite equals the plain-parquet join result") {
+    val a = Relational.revenueByPriority(spark, sf)
+      .orderBy("o_orderpriority").collect().toSeq
+    val b = Relational.revenueByPriorityBucketed(spark, sf)
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(a == b)
+  }
+
+  test("bucketed tables hold one file per bucket") {
+    // the sort-elimination above is only sound when each bucket is a
+    // single file; pin the writer's repartition-before-bucketBy contract
+    BucketStore.lineitem(spark, sf) // ensure built
+    val tbl = spark.catalog.listTables()
+      .filter(col("name").startsWith("lineitem_bkt")).collect().head.name
+    val loc = spark.sql(s"DESCRIBE FORMATTED $tbl")
+      .filter(col("col_name") === "Location")
+      .collect().head.getString(1)
+    val dir = new java.io.File(new java.net.URI(loc))
+    val parts = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts == BucketStore.NBuckets,
+      s"expected ${BucketStore.NBuckets} bucket files, found $parts in $dir")
+  }
+}
