@@ -406,6 +406,67 @@ object Relational extends QueryModule {
           <= col("uv_exact").cast("double") * 0.15).cast("long"))
   }
 
+  /** KMV set-operation estimates — audience overlap between event types
+    * from bottom-k sketches alone (Beyer et al., SIGMOD'07): for every
+    * type pair, the union's bottom-k gives |A∪B|, and the fraction ρ of
+    * that bottom-k present in BOTH sets estimates Jaccard, so
+    * |A∩B| ≈ ρ·|A∪B| — the audience-overlap question answered without
+    * ever materializing the intersection. Like [[kmvDistinct]] (and
+    * unlike HLL) every output is a deterministic function of order
+    * statistics of the shared 60-bit md5 device, so the ESTIMATES
+    * themselves are hash-exact cross-engine — the oracle recomputes
+    * them, no bracket needed; exact counts ride along for the error
+    * audit.
+    *
+    * Scale story: the per-(pair, hash) membership rollup and the
+    * dense_rank ≤ k window are both keyed by pair — WindowGroupLimit
+    * truncates each map task to its local bottom-k before the one
+    * exchange, so shuffle ∝ pairs × k regardless of user cardinality;
+    * in production the per-type sketches are tiny mergeable state
+    * (the typed [[graft.functions.Aggregators.kmv]]) and this query is
+    * the read side over stored sketches. */
+  def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val et = Tables.events(s, d)
+      .select(col("event_type"), h.as("h")).distinct()
+    val types = et.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("et_a"))
+      .crossJoin(types.select(col("event_type").as("et_b")))
+      .filter(col("et_a") < col("et_b"))
+    val members = broadcast(pairs)
+      .join(et, col("event_type") === col("et_a") ||
+        col("event_type") === col("et_b"))
+      .groupBy(col("et_a"), col("et_b"), col("h"))
+      .agg(max((col("event_type") === col("et_a")).cast("int")).as("in_a"),
+        max((col("event_type") === col("et_b")).cast("int")).as("in_b"))
+    val w = Window.partitionBy(col("et_a"), col("et_b")).orderBy(col("h"))
+    val sk = members.withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= KmvK)
+      .groupBy(col("et_a"), col("et_b"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"),
+        sum((col("in_a") === 1 && col("in_b") === 1).cast("long"))
+          .as("n_both_kept"))
+    val exact = members.groupBy(col("et_a"), col("et_b"))
+      .agg(count(lit(1)).as("union_exact"),
+        sum((col("in_a") === 1 && col("in_b") === 1).cast("long"))
+          .as("inter_exact"))
+    sk.join(exact, Seq("et_a", "et_b"))
+      .select(col("et_a"), col("et_b"), col("union_exact"),
+        col("inter_exact"),
+        when(col("n_kept") < KmvK, col("n_kept"))
+          .otherwise(floor(
+            lit((KmvK - 1).toDouble) * lit((1L << 60).toDouble)
+              / col("kth").cast("double")))
+          .cast("long").as("union_kmv"),
+        when(col("n_kept") < KmvK, col("n_both_kept"))
+          .otherwise(floor(
+            col("n_both_kept").cast("double") / col("n_kept") *
+              (lit((KmvK - 1).toDouble) * lit((1L << 60).toDouble)
+                / col("kth").cast("double"))))
+          .cast("long").as("inter_kmv"))
+  }
+
   /** UNION ALL funnel of labeled aggregates — SURVEY U2
     * (ref publisher/mapper/UserStatsMapper.java:12-63). */
   def funnelUnion(s: SparkSession, d: String): DataFrame = {
@@ -604,6 +665,71 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("double").as("month_total"))
+
+  /** Per-customer lifetime order rollup — the FULL recompute that
+    * [[custTotalsIncremental]] maintains incrementally. */
+  def custTotals(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_spend"),
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .as("last_order_day"))
+
+  /** Incremental aggregate maintenance — the lakehouse pattern for a
+    * 100 TB fact table: the rollup is NOT recomputed over all history on
+    * each refresh; the materialized base partials (everything before the
+    * fresh partition) are merged with the delta partition's partials.
+    * Works because every aggregate here is algebraic: counts add, decimal
+    * sums add exactly (no float-order hazard), MAX merges — the same
+    * property Spark's own partial aggregation exploits within one query,
+    * lifted across refresh runs. Merge cost ∝ distinct keys touched, not
+    * fact rows; the delta scan reads ONE partition (at scale the
+    * o_orderdate partition-pruned slice — the filter reaches the scan).
+    *
+    * Base partials are materialized (`localCheckpoint`) before the merge,
+    * so the executed plan genuinely merges stored state with fresh rows
+    * rather than fusing into one recompute; in production the base lives
+    * as the aggregate table itself (Delta/Iceberg MERGE on o_custkey).
+    * Registers with [[custTotals]]' oracle VERBATIM — the hash gate
+    * proves merge-invariance of the refresh. */
+  def custTotalsIncremental(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2001-01-01").cast("timestamp")
+    val base = orderPartials(
+      Tables.orders(s, d).filter(col("o_orderdate") < cutoff))
+      .localCheckpoint()
+    val delta = orderPartials(
+      Tables.orders(s, d).filter(col("o_orderdate") >= cutoff))
+    finalizeOrderPartials(mergeOrderPartials(base, delta))
+  }
+
+  /** Partial-aggregate state for the per-customer rollup: count, exact
+    * decimal spend (pinned to DECIMAL(30,2) so the stored schema is
+    * stable across arbitrarily many merges), max day. Shared by the
+    * batch refresh above and the streaming foreachBatch refresh
+    * (IncrAggSpec) — one merge algebra, two drivers. */
+  private[graft] def orderPartials(df: DataFrame): DataFrame =
+    df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(30,2)").as("spend"),
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_day"))
+
+  /** Algebraic merge of two partials stores — counts add, decimal sums
+    * add exactly, MAX merges; re-cast keeps the schema fixed. */
+  private[graft] def mergeOrderPartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("spend")).cast("decimal(30,2)").as("spend"),
+        max(col("last_day")).as("last_day"))
+
+  /** Partials → the user-facing rollup columns. */
+  private[graft] def finalizeOrderPartials(p: DataFrame): DataFrame =
+    p.select(col("o_custkey"), col("cnt").as("n_orders"),
+      col("spend").cast("double").as("total_spend"),
+      col("last_day").as("last_order_day"))
 
   /** Exact distributed quantiles (p50/p90/p99 of value-cents per event
     * type) WITHOUT a per-key row sort: aggregate to a (key, value) →count
@@ -914,6 +1040,7 @@ object Relational extends QueryModule {
     "q_distinct_users_approx" -> distinctUsersApprox _,
     "q_hll_rollup"        -> hllRollup _,
     "q_kmv_distinct"      -> kmvDistinct _,
+    "q_kmv_overlap"       -> kmvOverlap _,
     "q_zorder_layout"     -> zorderLayout _,
     "q_dq_drift"          -> dqDrift _,
     "q_distinct_users"    -> distinctUsers _,
@@ -924,6 +1051,8 @@ object Relational extends QueryModule {
     "q_rollup_geo"        -> rollupGeo _,
     "q_filter_project"    -> filterProject _,
     "q_orders_per_month"  -> ordersPerMonth _,
+    "q_cust_totals"       -> custTotals _,
+    "q_cust_totals_incr"  -> custTotalsIncremental _,
     "q_value_quantiles"   -> valueQuantiles _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
@@ -939,6 +1068,15 @@ object Relational extends QueryModule {
 
   /** Shared by `q_fuzzy_brand` and `q_fuzzy_brand_blocked`: the blocked
     * path must match the broadcast nested-loop exactly. */
+  /** Shared by `q_cust_totals` and its incremental-maintenance rewrite —
+    * the hash gate proves the merge-refresh reproduces the full
+    * recompute exactly. */
+  private val custTotalsSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+      |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_order_day
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   /** Shared by `q_rev_by_priority` and its bucketed rewrite — both must
     * produce the identical rollup (bucketing-invariance via hash gate). */
   private val revByPrioritySql: String =
@@ -1190,6 +1328,38 @@ object Relational extends QueryModule {
         |  CAST(ABS(uv_kmv - uv_exact) <= uv_exact * 0.15 AS BIGINT)
         |    AS within_15pct
         |FROM est""".stripMargin,
+    "q_kmv_overlap" ->
+      """WITH et AS (SELECT DISTINCT event_type,
+        |              ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h
+        |            FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |pr AS (SELECT a.event_type AS et_a, b.event_type AS et_b
+        |       FROM ty a, ty b WHERE a.event_type < b.event_type),
+        |mem AS (SELECT et_a, et_b, h,
+        |          MAX(CASE WHEN event_type = et_a THEN 1 ELSE 0 END) AS in_a,
+        |          MAX(CASE WHEN event_type = et_b THEN 1 ELSE 0 END) AS in_b
+        |        FROM pr JOIN et
+        |          ON et.event_type = pr.et_a OR et.event_type = pr.et_b
+        |        GROUP BY 1, 2, 3),
+        |sk AS (SELECT et_a, et_b, COUNT(*) AS n_kept, MAX(h) AS kth,
+        |         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_both_kept
+        |       FROM (SELECT *, dense_rank() OVER (PARTITION BY et_a, et_b
+        |               ORDER BY h) AS dr FROM mem)
+        |       WHERE dr <= 128 GROUP BY 1, 2),
+        |ex AS (SELECT et_a, et_b, COUNT(*) AS union_exact,
+        |         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS inter_exact
+        |       FROM mem GROUP BY 1, 2)
+        |SELECT sk.et_a AS et_a, sk.et_b AS et_b, union_exact, inter_exact,
+        |  CASE WHEN n_kept < 128 THEN n_kept
+        |       ELSE CAST(floor(127.0 * 1152921504606846976.0 / kth)
+        |                 AS BIGINT) END AS union_kmv,
+        |  CASE WHEN n_kept < 128 THEN n_both_kept
+        |       ELSE CAST(floor(CAST(n_both_kept AS DOUBLE) / n_kept *
+        |                 (127.0 * 1152921504606846976.0 / kth))
+        |                 AS BIGINT) END AS inter_kmv
+        |FROM sk JOIN ex ON sk.et_a = ex.et_a AND sk.et_b = ex.et_b""".stripMargin,
     "q_dq_drift" ->
       """WITH days AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day FROM events
@@ -1273,5 +1443,9 @@ object Relational extends QueryModule {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_cust_totals"      -> custTotalsSql,
+    // the incremental-merge rewrite shares the oracle VERBATIM: hash gate
+    // = merge-invariance proof (CLAUDE.md scale-path discipline)
+    "q_cust_totals_incr" -> custTotalsSql,
   )
 }

@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.Aggregators
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1384,6 +1384,53 @@ object TextOps extends QueryModule {
         element_at(col("toks"), col("start") + 1).as("first_tok"))
   }
 
+  /** Distinct (doc_id, gram) rows via a tight typed loop — the
+    * CodegenFallback-free form of
+    * `explode(array_distinct(shingles(tokens(text), n)))`. The Catalyst
+    * HOF chain interprets one lambda call per shingle position (the
+    * measured 100×-class bottleneck; the round-6 corpus regeneration grew
+    * sf0.1 docs 10× and pushed decontaminate to 10 s on it); this loop
+    * produces byte-identical gram strings (split keeps trailing empties
+    * like Spark's `split`, `mkString(" ")` ≡ `concat_ws` over non-null
+    * tokens, LinkedHashSet ≡ array_distinct's first-occurrence order) —
+    * TextSpec pins the parity. */
+  private[graft] def gramRows(s: SparkSession, docs: DataFrame,
+      n: Int): DataFrame =
+    gramRowsBy(s, docs, col("doc_id").cast("string"), n)
+      .select(col("k").cast("long").as("doc_id"), col("g"))
+
+  /** Same loop keyed by an arbitrary string expression (e.g. `source`
+    * for the cross-source overlap audit). Per-DOC distinct (one flatMap
+    * row per input doc), like `array_distinct` — cross-doc dedup stays
+    * with the caller. */
+  private[graft] def gramRowsBy(s: SparkSession, docs: DataFrame,
+      key: Column, n: Int): DataFrame = {
+    import s.implicits._
+    docs.select(key.as("k"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.LinkedHashSet[String]()
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i + n <= toks.length) {
+              sb.setLength(0)
+              var k = 0
+              while (k < n) {
+                if (k > 0) sb.append(' ')
+                sb.append(toks(i + k)); k += 1
+              }
+              seen.add(sb.toString); i += 1
+            }
+            import scala.jdk.CollectionConverters._
+            seen.iterator().asScala.toVector.map(g => (id, g)).iterator
+          }
+        }
+      }.toDF("k", "g")
+  }
+
   /** Eval-set decontamination — the pretraining hygiene step none of the
     * self-dedup stack covers: flag training docs sharing any long n-gram
     * span (8 tokens here) with a held-out BENCHMARK set, so eval answers
@@ -1415,12 +1462,10 @@ object TextOps extends QueryModule {
         .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"),
           col("source")))
       .localCheckpoint()
-    val evalGrams = evalSet
-      .select(explode(array_distinct(shingles(tokens(col("text")), 8)))
-        .as("g")).distinct()
-    val hits = corpus
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), 8))).as("g"))
+    // gram explode via the typed loop ([[gramRows]]) — same gram strings,
+    // none of the HOF interpreter cost on the corpus-sized side
+    val evalGrams = gramRows(s, evalSet, 8).select(col("g")).distinct()
+    val hits = gramRows(s, corpus, 8)
       .join(broadcast(evalGrams), Seq("g"))
       .select(col("doc_id")).distinct()
     corpus
@@ -1509,10 +1554,8 @@ object TextOps extends QueryModule {
     * (≤ #sources, a constant), and the rollup output is #source-pairs
     * rows. The per-source gram totals reuse the same distinct set. */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val gs = docsParallel(s, d)
-      .select(col("source"),
-        explode(array_distinct(shingles(tokens(col("text")), 8))).as("g"))
-      .select(col("source"), fingerprint60(col("g")).as("gh"))
+    val gs = gramRowsBy(s, docsParallel(s, d), col("source"), 8)
+      .select(col("k").as("source"), fingerprint60(col("g")).as("gh"))
       .distinct()
       .localCheckpoint()
     val tot = gs.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
@@ -1534,8 +1577,36 @@ object TextOps extends QueryModule {
           .as("jaccard"))
   }
 
+  /** Length-bucketed batching audit — the padding-efficiency ledger of a
+    * training pipeline that batches by length instead of packing: docs
+    * group into a power-ladder of max-length buckets (16/24/32/48/64/96/
+    * 128 tokens) and each bucket reports its real token mass vs the
+    * padded slot mass (n_docs × bucket width) and the waste ratio. The
+    * complement of [[seqPacking]]: packing eliminates padding entirely;
+    * length bucketing is what pipelines that can't concat documents
+    * (e.g. contrastive pairs) use, and this audit is how the ladder is
+    * tuned. Boundaries are literal integers in a CASE chain (no log2 —
+    * float logs at exact powers are an engine-divergence hazard), all
+    * aggregates integral, one final division. Shuffle-free map stage +
+    * 7-row rollup at any corpus size. */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val bucket = when(nTok <= 16, 16).when(nTok <= 24, 24)
+      .when(nTok <= 32, 32).when(nTok <= 48, 48).when(nTok <= 64, 64)
+      .when(nTok <= 96, 96).otherwise(128)
+    docsParallel(s, d)
+      .select(bucket.as("bucket"), nTok.as("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("real_tokens"))
+      .select(col("bucket"), col("n_docs"), col("real_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        (lit(1.0) - col("real_tokens").cast("double") /
+          (col("bucket") * col("n_docs"))).as("waste_ratio"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_stats"          -> docStats _,
+    "q_length_buckets"     -> lengthBuckets _,
     "q_doc_quality"        -> docQuality _,
     "q_lang_id_confusion"  -> langIdConfusion _,
     "q_doc_fingerprint"    -> docFingerprint _,
@@ -2030,6 +2101,19 @@ object TextOps extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
         |  MIN(hkey) AS first_hkey
         |FROM kept GROUP BY source""".stripMargin,
+    "q_length_buckets" ->
+      s"""WITH b AS (
+         |  SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 24 THEN 24
+         |              WHEN n <= 32 THEN 32 WHEN n <= 48 THEN 48
+         |              WHEN n <= 64 THEN 64 WHEN n <= 96 THEN 96
+         |              ELSE 128 END AS bucket, n
+         |  FROM (SELECT len($dToks) AS n FROM documents))
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS real_tokens,
+         |  bucket * COUNT(*) AS padded_tokens,
+         |  1.0 - CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
+         |    / (bucket * COUNT(*)) AS waste_ratio
+         |FROM b GROUP BY bucket""".stripMargin,
     "q_temperature_mix" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS c_docs
          |           FROM documents GROUP BY source),

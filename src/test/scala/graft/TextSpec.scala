@@ -242,6 +242,22 @@ class TextSpec extends AnyFunSuite {
       s"expected multi-shard sources, got $nShards")
   }
 
+  test("typed gramRows is bit-identical to the declarative shingle explode") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val typed = TextOps.gramRows(spark, docs, 8)
+    val declarative = docs.select(col("doc_id"),
+      explode(array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 8)))
+        .as("g"))
+    assert(typed.exceptAll(declarative).count() === 0)
+    assert(declarative.exceptAll(typed).count() === 0)
+    // keyed variant: same grams grouped by source
+    val bySource = TextOps.gramRowsBy(spark,
+      graft.Tables.documents(spark, dir), col("source"), 8)
+    assert(bySource.count() === typed.count())
+  }
+
   test("bloom delta dedup is bit-identical to the exact-broadcast form") {
     // the shared oracle proves this at the gate; this is the fast local
     // pin, and it exercises the bloom path's false-positive removal on
