@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -404,6 +404,60 @@ object Relational extends QueryModule {
       .withColumn("within_15pct",
         (abs(col("uv_kmv") - col("uv_exact")).cast("double")
           <= col("uv_exact").cast("double") * 0.15).cast("long"))
+  }
+
+  /** KMV rollup — [[hllRollup]]'s re-aggregation pattern with the
+    * DETERMINISTIC sketch: hour-grain bottom-k sketches merge to day and
+    * all-up grains, and because bottomk(A ∪ B) = bottomk(bottomk(A) ∪
+    * bottomk(B)) the merged sketch is IDENTICAL to the sketch computed
+    * directly from raw events. The oracle exploits exactly that: DuckDB
+    * computes each grain's sketch DIRECTLY while Spark computes it by
+    * merging the stored finer sketches — a hash match IS a cross-engine
+    * proof of the merge identity (no bracket needed, unlike HLL whose
+    * register-union only bounds error).
+    *
+    * Scale: the raw scan happens once (hour grain); every coarser grain
+    * re-aggregates sketch rows (≤ cells × k). The all-up window is global
+    * but its input is the day-sketch rows (≤ days × k), never raw events
+    * — same accounting as the hourly pass's per-cell WindowGroupLimit. */
+  def kmvRollup(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val e = Tables.events(s, d).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
+      col("user_id"), h.as("h"))
+    def est: Column =
+      when(col("n_kept") < KmvK, col("n_kept"))
+        .otherwise(floor(
+          lit((KmvK - 1).toDouble) * lit((1L << 60).toDouble)
+            / col("kth").cast("double")))
+        .cast("long").as("uv_kmv")
+    val wHr = Window.partitionBy(col("day"), col("hr")).orderBy(col("h"))
+    val hourRows = e.select(col("day"), col("hr"), col("h")).distinct()
+      .withColumn("dr", dense_rank().over(wHr)).filter(col("dr") <= KmvK)
+      .select(col("day"), col("hr"), col("h"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("h"))
+    val dayRows = hourRows.select(col("day"), col("h")).distinct()
+      .withColumn("dr", dense_rank().over(wDay)).filter(col("dr") <= KmvK)
+      .select(col("day"), col("h"))
+    val dayOut = dayRows
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .join(e.groupBy(col("day"))
+        .agg(countDistinct(col("hr")).as("n_merged"),
+          countDistinct(col("user_id")).as("uv_exact")), "day")
+      .select(lit("day").as("grain"), col("day").as("bucket"),
+        col("n_merged"), col("uv_exact"), est)
+    val wAll = Window.orderBy(col("h"))
+    val allOut = dayRows.select(col("h")).distinct()
+      .withColumn("dr", dense_rank().over(wAll)).filter(col("dr") <= KmvK)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .crossJoin(e.agg(countDistinct(col("day")).as("n_merged"),
+        countDistinct(col("user_id")).as("uv_exact")))
+      .select(lit("all").as("grain"), lit("ALL").as("bucket"),
+        col("n_merged"), col("uv_exact"), est)
+    dayOut.unionAll(allOut)
   }
 
   /** KMV set-operation estimates — audience overlap between event types
@@ -1041,6 +1095,7 @@ object Relational extends QueryModule {
     "q_hll_rollup"        -> hllRollup _,
     "q_kmv_distinct"      -> kmvDistinct _,
     "q_kmv_overlap"       -> kmvOverlap _,
+    "q_kmv_rollup"        -> kmvRollup _,
     "q_zorder_layout"     -> zorderLayout _,
     "q_dq_drift"          -> dqDrift _,
     "q_distinct_users"    -> distinctUsers _,
@@ -1328,6 +1383,41 @@ object Relational extends QueryModule {
         |  CAST(ABS(uv_kmv - uv_exact) <= uv_exact * 0.15 AS BIGINT)
         |    AS within_15pct
         |FROM est""".stripMargin,
+    "q_kmv_rollup" ->
+      """WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |             strftime(ts, '%Y-%m-%d %H') AS hr, user_id,
+        |             ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h
+        |           FROM events),
+        |dayr AS (SELECT day, h FROM (
+        |           SELECT day, h,
+        |             dense_rank() OVER (PARTITION BY day ORDER BY h) AS dr
+        |           FROM (SELECT DISTINCT day, h FROM h))
+        |         WHERE dr <= 128),
+        |daysk AS (SELECT day, COUNT(*) AS n_kept, MAX(h) AS kth
+        |          FROM dayr GROUP BY 1),
+        |dayex AS (SELECT day, COUNT(DISTINCT hr) AS n_merged,
+        |            COUNT(DISTINCT user_id) AS uv_exact
+        |          FROM h GROUP BY 1),
+        |day_out AS (
+        |  SELECT 'day' AS grain, day AS bucket, n_merged, uv_exact,
+        |    CASE WHEN n_kept < 128 THEN n_kept
+        |         ELSE CAST(floor(127.0 * 1152921504606846976.0 / kth)
+        |                   AS BIGINT) END AS uv_kmv
+        |  FROM daysk JOIN dayex USING (day)),
+        |allr AS (SELECT h FROM (
+        |           SELECT h, dense_rank() OVER (ORDER BY h) AS dr
+        |           FROM (SELECT DISTINCT h FROM h))
+        |         WHERE dr <= 128),
+        |allsk AS (SELECT COUNT(*) AS n_kept, MAX(h) AS kth FROM allr),
+        |allex AS (SELECT COUNT(DISTINCT day) AS n_merged,
+        |            COUNT(DISTINCT user_id) AS uv_exact FROM h),
+        |all_out AS (
+        |  SELECT 'all' AS grain, 'ALL' AS bucket, n_merged, uv_exact,
+        |    CASE WHEN n_kept < 128 THEN n_kept
+        |         ELSE CAST(floor(127.0 * 1152921504606846976.0 / kth)
+        |                   AS BIGINT) END AS uv_kmv
+        |  FROM allsk, allex)
+        |SELECT * FROM day_out UNION ALL SELECT * FROM all_out""".stripMargin,
     "q_kmv_overlap" ->
       """WITH et AS (SELECT DISTINCT event_type,
         |              ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h
