@@ -58,6 +58,14 @@ object TextOps extends QueryModule {
     * catch. Still BIGINT-safe: 2^62 + doc_id < 2^63 for any id < 2^62. */
   private[ops] val PlantOffset: Long = 1L << 62
 
+  /** Second plant-id region (2^62 + 2^61) for operators that plant TWO
+    * independent copy families: by CRT one doc can satisfy both plant
+    * moduli, and a single shared offset would then mint two plants with
+    * the SAME id — an id collision both engines would agree on, so the
+    * hash gate could never see it. Disjoint high regions keep every plant
+    * id unique at any scale factor. */
+  private[ops] val PlantOffset2: Long = (1L << 62) + (1L << 61)
+
   /** Token statistics — whitespace + regex "BPE-ish" counts.
     * char_sum uses the codegen-friendly identity
     * `Σ len(tok) = len(text) - (n_tok - 1)` (single-space corpus, verified)
@@ -117,6 +125,98 @@ object TextOps extends QueryModule {
       .filter(col("rn") === 1)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Segment width of [[segmentDedup]] — the "line" analog for this
+    * newline-free corpus (fixed 16-token passages). */
+  private final val SegW = 16
+
+  /** Passage-level exact dedup with byte-exact document REASSEMBLY — the
+    * C4 / RefinedWeb line-dedup class, where the unit of deduplication is
+    * a passage inside a document, the first global occurrence survives,
+    * and every document is rebuilt from its surviving passages. This
+    * corpus has no newlines, so "lines" are fixed [[SegW]]-token windows;
+    * the keep-first rule is the global lexicographic minimum (doc_id,
+    * seg_id) per segment md5 (128-bit: a collision cannot occur, unlike
+    * fp60 where both engines would agree on a silently-corrupting merge).
+    *
+    * Plant discipline (the corpus is dup-free): family 1 (`doc_id % 41 =
+    * 3`, id + [[PlantOffset]], docs with ≥ SegW tokens) re-ingests the
+    * host's first 16 tokens followed by 16 doc-unique `zz_uni_*` tokens —
+    * PARTIAL removal, so reassembly must stitch a strict subset. Family 2
+    * (`doc_id % 43 = 7`, id + [[PlantOffset2]] — disjoint id region, see
+    * that constant's CRT note) re-ingests full byte-identical copies —
+    * TOTAL removal, the empty-reassembly edge (out_fp = md5('')). Short
+    * final segments (n_tok % 16 small) also collide naturally across base
+    * docs — a live base-side dedup leg the gate checks too (31 base docs
+    * at sf0.001), exactly the short-boilerplate-tail behavior line-dedup
+    * shows on real corpora.
+    *
+    * 100 TB plan: document TEXT NEVER SHUFFLES BY CONTENT. The
+    * content-keyed exchange carries only (md5, doc_id, seg_id) triples;
+    * the keep-first winner per fingerprint is a map-side-combinable
+    * `min(struct(doc_id, seg_id))` partial aggregate (not a window over
+    * text rows — no corpus-sized sort); the verdict flows BACK doc-keyed
+    * as per-doc drop-lists over only the docs that lost a segment
+    * (hit-set-sized, broadcast here; beyond broadcast it degrades to one
+    * doc_id-keyed shuffle — the key reassembly needs anyway). Reassembly
+    * itself is a per-row filter of the doc's own segment array: zero
+    * extra exchanges. Compare [[dedupKeepFirst]] (whole-doc granularity,
+    * window device) and [[dupSpanProfile]] (span *profiling* without
+    * removal) — this operator is the removal+rebuild member of that
+    * family. */
+  def segmentDedup(s: SparkSession, d: String): DataFrame = {
+    val src = docsParallel(s, d).select(col("doc_id"), col("source"), col("text"))
+    // The zz tail is computed in its OWN projection, before the id is
+    // re-aliased: inside one select Spark resolved the lambda's
+    // col("doc_id") against the post-offset alias (observed: 28-char
+    // zz_uni_<2^62+id>_k tokens), silently diverging from the SQL-scoped
+    // oracle. Two-step projection pins the original id.
+    val partial = src
+      .filter(col("doc_id") % 41 === 3 && size(tokens(col("text"))) >= SegW)
+      .withColumn("ztail", concat_ws(" ", transform(sequence(lit(1), lit(SegW)),
+        k => concat(lit("zz_uni_"), col("doc_id").cast("string"),
+          lit("_"), k.cast("string")))))
+      .select(
+        (col("doc_id") + PlantOffset).as("doc_id"),
+        col("source"),
+        concat_ws(" ",
+          concat_ws(" ", slice(tokens(col("text")), 1, SegW)),
+          col("ztail")).as("text"))
+    val fullCopy = src
+      .filter(col("doc_id") % 43 === 7)
+      .select((col("doc_id") + PlantOffset2).as("doc_id"), col("source"),
+        col("text"))
+    val aug = src.unionByName(partial).unionByName(fullCopy)
+
+    val withSegs = aug
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("nseg", expr(s"(size(toks) + ${SegW - 1}) div $SegW").cast("int"))
+      .withColumn("sarr", expr(
+        s"transform(sequence(0, nseg - 1), g -> concat_ws(' ', slice(toks, g * $SegW + 1, $SegW)))"))
+
+    val light = withSegs
+      .select(col("doc_id"), posexplode(col("sarr")))
+      .select(md5(col("col")).as("fp"), col("doc_id"), col("pos").as("seg_id"))
+    val winners = light.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("seg_id"))).as("w"))
+    val drops = light.join(winners, Seq("fp"))
+      .filter(col("doc_id") =!= col("w.doc_id") || col("seg_id") =!= col("w.seg_id"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("seg_id")).as("dropped"))
+
+    withSegs.join(broadcast(drops), Seq("doc_id"), "left")
+      .withColumn("text_out", expr(
+        """concat_ws(' ', transform(
+          |  filter(transform(sarr, (x, g) -> named_struct('g', g, 'x', x)),
+          |         p -> dropped IS NULL OR NOT array_contains(dropped, p.g)),
+          |  p -> p.x))""".stripMargin))
+      .select(col("doc_id"), col("source"),
+        col("nseg").cast("long").as("n_seg"),
+        (col("nseg") - coalesce(size(col("dropped")), lit(0))).cast("long").as("n_kept"),
+        coalesce(size(col("dropped")), lit(0)).cast("long").as("n_dropped"),
+        md5(col("text_out")).as("out_fp"),
+        length(col("text_out")).cast("long").as("chars_out"))
   }
 
   /** Frequent-token (heavy-hitter) detection — the boilerplate-shingle /
@@ -1612,6 +1712,7 @@ object TextOps extends QueryModule {
     "q_doc_fingerprint"    -> docFingerprint _,
     "q_exact_dedup_groups" -> exactDedupGroups _,
     "q_dedup_keep_first"   -> dedupKeepFirst _,
+    "q_segment_dedup"      -> segmentDedup _,
     "q_delta_dedup"        -> deltaDedup _,
     "q_delta_dedup_bloom"  -> deltaDedupBloom _,
     "q_delta_neardup"      -> deltaNearDup _,
@@ -1848,6 +1949,49 @@ object TextOps extends QueryModule {
       """SELECT source, COUNT(*) AS n_kept FROM (
         |  SELECT source, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_segment_dedup" ->
+      s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+         |tk AS (SELECT doc_id, source, text, $dToks AS toks FROM base),
+         |partial AS (
+         |  SELECT doc_id + $PlantOffset AS doc_id, source,
+         |    array_to_string(toks[1:$SegW], ' ') || ' ' ||
+         |    array_to_string(list_transform(range(1, ${SegW + 1}),
+         |      k -> 'zz_uni_' || CAST(doc_id AS VARCHAR) || '_' ||
+         |           CAST(k AS VARCHAR)), ' ') AS text
+         |  FROM tk WHERE doc_id % 41 = 3 AND len(toks) >= $SegW),
+         |fullc AS (SELECT doc_id + $PlantOffset2 AS doc_id, source, text
+         |  FROM base WHERE doc_id % 43 = 7),
+         |aug AS (SELECT * FROM base UNION ALL SELECT * FROM partial
+         |        UNION ALL SELECT * FROM fullc),
+         |seg AS (SELECT doc_id, source, $dToks AS toks,
+         |        (len($dToks) + ${SegW - 1}) // $SegW AS nseg FROM aug),
+         |sarr AS (SELECT doc_id, source, nseg,
+         |  list_transform(range(0, nseg),
+         |    g -> array_to_string(
+         |      toks[CAST(g*$SegW+1 AS INT):CAST(g*$SegW+$SegW AS INT)],
+         |      ' ')) AS sarr
+         |  FROM seg),
+         |light AS (SELECT doc_id, generate_subscripts(sarr, 1) - 1 AS seg_id,
+         |          UNNEST(sarr) AS seg_text FROM sarr),
+         |lfp AS (SELECT md5(seg_text) AS fp, doc_id, seg_id FROM light),
+         |w1 AS (SELECT fp, MIN(doc_id) AS wdoc FROM lfp GROUP BY fp),
+         |w AS (SELECT l.fp, w1.wdoc, MIN(l.seg_id) AS wseg
+         |      FROM lfp l JOIN w1 ON l.fp = w1.fp AND l.doc_id = w1.wdoc
+         |      GROUP BY 1, 2),
+         |drops AS (SELECT l.doc_id, l.seg_id FROM lfp l JOIN w ON l.fp = w.fp
+         |          WHERE NOT (l.doc_id = w.wdoc AND l.seg_id = w.wseg)),
+         |kept AS (SELECT s.doc_id, s.seg_id, s.seg_text FROM light s
+         |         WHERE NOT EXISTS (SELECT 1 FROM drops d
+         |           WHERE d.doc_id = s.doc_id AND d.seg_id = s.seg_id)),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |       string_agg(seg_text, ' ' ORDER BY seg_id) AS t
+         |       FROM kept GROUP BY doc_id)
+         |SELECT a.doc_id, a.source, CAST(a.nseg AS BIGINT) AS n_seg,
+         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(a.nseg - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+         |  md5(COALESCE(k.t, '')) AS out_fp,
+         |  CAST(length(COALESCE(k.t, '')) AS BIGINT) AS chars_out
+         |FROM sarr a LEFT JOIN ka k USING (doc_id)""".stripMargin,
     "q_delta_dedup"       -> deltaDedupSql,
     // the bloom pre-filter is exactness-preserving by construction (the
     // exact semi-join removes every false positive) — shared oracle

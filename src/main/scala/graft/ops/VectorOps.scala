@@ -597,17 +597,34 @@ object VectorOps extends QueryModule {
       .select(col("probe_id"), col("m"), col("j"),
         l2sq(col("sv"), col("cw")).as("pdist"))
 
-  /** ADC sum over the 8 subspaces, folded in m-order (collect → sort →
-    * sequential add) so the double sum is partition-order-independent and
-    * bit-identical to DuckDB's sorted `list_sum`. Input: (probe_id,
-    * vec_id, m, pdist) rows from the codes⋈dist-table join. */
-  private def adcSum(joined: DataFrame): DataFrame =
+  /** ADC sum over the 8 subspaces, folded in m-order so the double sum is
+    * partition-order-independent and bit-identical to DuckDB's sorted
+    * `list_sum`. Each (probe, vec) group holds EXACTLY one row per m
+    * (a code matches exactly one codeword j), so `sum(when(m = i, ...))`
+    * extracts that single value with no FP reassociation, and the final
+    * projection adds the 8 slots left-to-right in fixed m-order — the
+    * same sequence of additions as a sorted fold. This replaces the
+    * previous `array_sort(collect_list) → aggregate` HOF fold: the pivot
+    * stays inside whole-stage codegen with plain sum buffers instead of
+    * materializing an 8-element struct array per group and evaluating a
+    * CodegenFallback lambda over it. Measured at sf0.001 the two are
+    * within noise (the fold arrays are only 8 long — the HOF trap bites
+    * on corpus-length loops, not here); the pivot is kept for the scale
+    * path, where group cardinality is probes × N and per-group object
+    * allocation is pure GC pressure. The queries keep their oracles
+    * verbatim, so the hash gate proves the rewrite is value-identical
+    * cross-engine. Input: (probe_id, vec_id, m, pdist) rows from the
+    * codes⋈dist-table join. */
+  private def adcSum(joined: DataFrame): DataFrame = {
+    val slots = (0 until 8).map(i =>
+      sum(when(col("m") === i, col("pdist"))).as(s"d$i"))
     joined
       .groupBy(col("probe_id"), col("vec_id"))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("m"), col("pdist")))),
-        lit(0.0),
-        (acc, p) => acc + p.getField("pdist")).as("adist"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("probe_id"), col("vec_id"),
+        (0 until 8).map(i => col(s"d$i"))
+          .reduceLeft[Column](_ + _).as("adist"))
+  }
 
   /** ADC shortlist size — the recall dial of the PQ queries. 100 candidate
     * codes per probe survive to exact re-rank; measured on this corpus the

@@ -321,4 +321,46 @@ class TextSpec extends AnyFunSuite {
       s"${plantRows.length} of $nPlants planted excerpt→host pairs flagged")
     assert(plantRows.forall(_ == 1.0), "excerpt shingles not a host subset")
   }
+
+  test("segment dedup: both plant families live (partial keeps its unique " +
+      "tail, full copies empty out) and reassembly is byte-exact") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val out = TextOps.segmentDedup(spark, TestSession.sf).localCheckpoint()
+    val po1 = 1L << 62          // TextOps.PlantOffset (private[ops])
+    val po2 = (1L << 62) + (1L << 61) // TextOps.PlantOffset2
+
+    // family 1: host-prefix + unique tail → EXACTLY one kept segment of two
+    val partial = out.filter(col("doc_id") >= po1 && col("doc_id") < po2)
+    val nPartialHosts = Tables.documents(spark, TestSession.sf)
+      .filter(col("doc_id") % 41 === 3 &&
+        size(split(col("text"), " ")) >= 16).count()
+    assert(nPartialHosts > 0, "degenerate: no % 41 hosts with >= 16 tokens")
+    assert(partial.count() == nPartialHosts)
+    assert(partial.filter(col("n_seg") === 2 && col("n_kept") === 1 &&
+      col("n_dropped") === 1).count() == nPartialHosts,
+      "partial plants must lose the copied prefix and keep the zz tail")
+
+    // family 2: byte-identical re-ingest → everything dropped, md5('') out
+    val full = out.filter(col("doc_id") >= po2)
+    val nFull = Tables.documents(spark, TestSession.sf)
+      .filter(col("doc_id") % 43 === 7).count()
+    assert(nFull > 0, "degenerate: no % 43 docs — plant modulus broken")
+    assert(full.count() == nFull)
+    assert(full.filter(col("n_kept") === 0 && col("chars_out") === 0 &&
+      col("out_fp") === "d41d8cd98f00b204e9800998ecf8427e").count() == nFull,
+      "full copies must reassemble to the empty document")
+
+    // untouched docs reassemble to their EXACT original bytes
+    val untouched = out.filter(col("doc_id") < po1 && col("n_dropped") === 0)
+      .join(Tables.documents(spark, TestSession.sf), Seq("doc_id"))
+    assert(untouched.count() > 0, "degenerate: every base doc lost a segment")
+    assert(untouched.filter(col("out_fp") =!= md5(col("text"))).count() == 0,
+      "reassembly of an untouched doc must be byte-identical")
+
+    // the base-side natural-collision leg is live too (short final
+    // segments collide across docs at every measured sf)
+    assert(out.filter(col("doc_id") < po1 && col("n_dropped") > 0).count() > 0,
+      "degenerate: no base-side segment collisions — base leg untested")
+  }
 }
