@@ -213,11 +213,63 @@ object OrderWide extends QueryModule {
       .withColumn("n_superseded", col("n_versions") - col("n_kept"))
   }
 
+  /** SCD Type-2 history over the changelog: every version of every
+    * detail_id becomes one history row with a validity interval —
+    * `effective_from` = its own op_ts, `effective_to` = the NEXT
+    * version's op_ts (NULL ⇒ `is_current`), `version_seq` = position in
+    * the chain. This is the dimension-history member of the changelog
+    * family: [[keepLatestBatch]] keeps only the head of each chain (the
+    * serving view), [[changelogStats]] counts what collapsed; SCD2 keeps
+    * the WHOLE chain queryable by interval — the standard warehouse
+    * answer to "what did this row say at time T" (an as-of probe is then
+    * a range predicate, no window re-run).
+    *
+    * Chain order is the EXACT REVERSE of keep-latest's total order
+    * (op_ts DESC, payload ASC NULLS FIRST ⇒ here op_ts ASC, payload DESC
+    * NULLS LAST, pinned identically in DuckDB): the testdata's
+    * deliberately dirty detail_ids make op_ts alone ambiguous, and only
+    * the full reversal makes the chain HEAD coincide with the keep-latest
+    * winner (payload ASC here would end chains on the LARGEST payload
+    * while keep-latest serves the smallest — caught by the spec's
+    * heads ≡ latest assertion). Rows that tie on the full ordering are
+    * byte-identical in every emitted column (detail_id → order is
+    * functional), so any tie assignment yields the same output multiset.
+    *
+    * Scale: ONE hash exchange on detail_id — the changelog key, the same
+    * partitioning the streaming state store and keep-latest already use
+    * (a production chain reuses that exchange across all three) — then a
+    * per-key sort of chains whose length is the update rate (2 here),
+    * never corpus-length. No join, no second shuffle; lead() is computed
+    * inside the window pass. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("detail_id")).orderBy(
+      col("op_ts").asc,
+      col("sku_id").desc_nulls_last,
+      col("source_id").desc_nulls_last,
+      col("sku_num").desc_nulls_last,
+      col("split_original_amount").desc_nulls_last,
+      col("split_total_amount").desc_nulls_last,
+      col("activity_id").desc_nulls_last,
+      col("split_activity_amount").desc_nulls_last,
+      col("coupon_id").desc_nulls_last,
+      col("split_coupon_amount").desc_nulls_last)
+    versions(DwdStore.wide(s, d))
+      .withColumn("version_seq", row_number().over(w).cast("long"))
+      .withColumn("effective_to", lead(col("op_ts"), 1).over(w))
+      .select(col("detail_id"), col("version_seq"),
+        col("op_ts").as("effective_from"),
+        col("effective_to"),
+        when(col("effective_to").isNull, 1L).otherwise(0L).as("is_current"),
+        col("order_status"),
+        col("split_total_amount").cast("double").as("split_total_amount"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_dwd_order_wide"      -> orderWide _,
       "q_dws_sku_order"       -> skuOrderWindow _,
       "q_dwd_changelog_stats" -> changelogStats _,
+      "q_scd2_history"        -> scd2History _,
     )
 
   /** Shared DuckDB CTE prefix for every oracle over the wide rows
@@ -328,5 +380,29 @@ object OrderWide extends QueryModule {
         |SELECT v.stt, n_versions, n_updates, n_kept,
         |  n_versions - n_kept AS n_superseded
         |FROM v JOIN k USING (stt)""".stripMargin),
+    "q_scd2_history" -> (wideSql + latestSql +
+      """,
+        |h AS (
+        |  SELECT detail_id, op_ts, order_status, split_total_amount,
+        |    ROW_NUMBER() OVER w AS version_seq,
+        |    LEAD(op_ts, 1) OVER w AS effective_to
+        |  FROM versions
+        |  WINDOW w AS (PARTITION BY detail_id ORDER BY op_ts,
+        |    sku_id DESC NULLS LAST, source_id DESC NULLS LAST,
+        |    sku_num DESC NULLS LAST,
+        |    split_original_amount DESC NULLS LAST,
+        |    split_total_amount DESC NULLS LAST,
+        |    activity_id DESC NULLS LAST,
+        |    split_activity_amount DESC NULLS LAST,
+        |    coupon_id DESC NULLS LAST,
+        |    split_coupon_amount DESC NULLS LAST))
+        |SELECT detail_id, CAST(version_seq AS BIGINT) AS version_seq,
+        |  CAST(op_ts AS BIGINT) AS effective_from,
+        |  CAST(effective_to AS BIGINT) AS effective_to,
+        |  CAST(CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current,
+        |  order_status,
+        |  CAST(split_total_amount AS DOUBLE) AS split_total_amount
+        |FROM h""".stripMargin),
   )
 }

@@ -90,4 +90,39 @@ class OrderWideSpec extends AnyFunSuite {
     assert(sortedStrings(gotDf.collect().toSeq) ===
       sortedStrings(wantDf.collect().toSeq))
   }
+
+  test("SCD2 history: chains are contiguous, exactly one current version " +
+      "per key, and the chain heads equal the keep-latest store") {
+    val hist = OrderWide.scd2History(spark, dir).localCheckpoint()
+
+    // exactly one open-ended (current) version per detail_id
+    val multiCurrent = hist.filter(col("is_current") === 1)
+      .groupBy("detail_id").count().filter(col("count") =!= 1)
+    assert(multiCurrent.isEmpty, "a key with != 1 current version")
+    assert(hist.filter(col("is_current") === 1).count() ===
+      hist.select("detail_id").distinct().count())
+
+    // interval contiguity: seq k's effective_to = seq k+1's effective_from
+    val a = hist.select(col("detail_id"), col("version_seq"),
+      col("effective_to"))
+    val b = hist.select(col("detail_id"),
+      (col("version_seq") - 1).as("version_seq"),
+      col("effective_from").as("next_from"))
+    val broken = a.join(b, Seq("detail_id", "version_seq"))
+      .filter(col("effective_to") =!= col("next_from") ||
+        col("effective_to").isNull)
+    assert(broken.isEmpty, "a non-contiguous validity chain")
+
+    // the current version of every chain is exactly what keep-latest keeps
+    val heads = hist.filter(col("is_current") === 1)
+      .select(col("detail_id"), col("order_status"),
+        col("split_total_amount"))
+    val latest = OrderWide.keepLatestBatch(
+        OrderWide.versions(graft.ops.DwdStore.wide(spark, dir)))
+      .select(col("detail_id"), col("order_status"),
+        col("split_total_amount").cast("double").as("split_total_amount"))
+    assert(heads.exceptAll(latest).isEmpty &&
+      latest.exceptAll(heads).isEmpty,
+      "SCD2 chain heads diverge from the keep-latest serving view")
+  }
 }
