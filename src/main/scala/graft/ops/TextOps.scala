@@ -1704,6 +1704,117 @@ object TextOps extends QueryModule {
           (col("bucket") * col("n_docs"))).as("waste_ratio"))
   }
 
+  /** Trained-subword-vocabulary size (character 2–4-grams kept, by corpus
+    * occurrence weight) — the merge-table dial of [[subwordTokenize]]. */
+  private final val SubwordVocabSize = 12
+
+  /** Subword vocabulary training — the BPE-class merge table, trained
+    * from corpus statistics: character 2–4-grams of every dictionary
+    * word, weighted by the word's TOTAL corpus occurrence count, top
+    * [[SubwordVocabSize]] by (weight DESC, gram ASC — a total order, so
+    * training is hash-exact cross-engine). Emitted as its own gate-checked
+    * query (`q_subword_vocab`): the trained artifact is part of the
+    * contract, exactly like the PQ codebooks.
+    *
+    * Scale: gram explosion runs over the DICTIONARY (distinct words),
+    * not the corpus — weights arrive pre-aggregated from the one
+    * corpus-sized word count in [[wordCounts]]. At web scale the
+    * dictionary is ~10^5× smaller than the corpus; the training stage's
+    * cost is independent of corpus size given that count. */
+  private def subwordVocab(s: SparkSession, wdict: DataFrame): DataFrame = {
+    import s.implicits._
+    val grams = wdict.as[(String, Long)]
+      .flatMap { case (word, w) =>
+        for {
+          n <- 2 to 4
+          i <- 0 to word.length - n
+        } yield (word.substring(i, i + n), w)
+      }
+      .toDF("g", "w")
+      .groupBy(col("g")).agg(sum(col("w")).as("wt"))
+    grams.orderBy(col("wt").desc, col("g").asc)
+      .limit(SubwordVocabSize)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("wt").desc, col("g").asc)).cast("long"))
+      .select(col("rank"), col("g"), col("wt"))
+  }
+
+  /** The one corpus-sized aggregation of the tokenizer family: per
+    * (source, word) occurrence counts. Map-side combinable; the result
+    * is dictionary-sized. */
+  private def wordCounts(s: SparkSession, d: String): DataFrame =
+    docsParallel(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def subwordVocabQuery(s: SparkSession, d: String): DataFrame = {
+    val wc = wordCounts(s, d)
+    subwordVocab(s, wc.groupBy(col("word")).agg(sum(col("cnt")).as("w")))
+  }
+
+  /** Greedy longest-match subword tokenization (the WordPiece inference
+    * rule) with a TRAINED vocabulary — token accounting as a training
+    * pipeline runs it, not whitespace counting. Vocabulary = the top
+    * [[SubwordVocabSize]] trained grams ([[subwordVocab]]) plus every
+    * single character of the dictionary (coverage: a match always exists,
+    * OOV is structurally impossible). Per word, repeatedly take the
+    * LONGEST vocab entry prefixing the remainder (ties impossible: equal
+    * length + same position ⇒ same string); fertility = subtokens/word.
+    *
+    * THE SCALE DEVICE: tokenization is a pure function of the word, so
+    * the corpus is never tokenized — the distinct-word DICTIONARY is.
+    * One corpus-sized (source, word) count ([[wordCounts]], map-side
+    * combinable), then every later stage (gram training, the greedy loop,
+    * the count⋈fertility join) is dictionary-sized; per-source subtoken
+    * totals are Σ cnt·n_sub over a broadcast word→n_sub map. At 100 TB
+    * the greedy loop — the only non-declarative stage — touches ~10^-5
+    * of the data volume. The loop itself is a typed mapPartitions with
+    * the vocab broadcast (the repo's HOF-trap discipline); the DuckDB
+    * oracle re-derives the identical tokenization via a recursive CTE
+    * with a correlated longest-prefix probe, so the gate proves training
+    * AND inference end-to-end cross-engine. Vocab collect is bounded by
+    * construction (SubwordVocabSize + alphabet — the gated-collect class
+    * the CC hybrid documents). */
+  def subwordTokenize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wc = wordCounts(s, d).localCheckpoint()
+    val wdict = wc.groupBy(col("word")).agg(sum(col("cnt")).as("w"))
+    val trained = subwordVocab(s, wdict).select(col("g")).as[String].collect()
+    val alphabet = wdict.select(col("word")).as[String].collect()
+      .flatMap(_.toCharArray.map(_.toString)).distinct
+    val vocab = s.sparkContext.broadcast((trained ++ alphabet).toSet)
+
+    val fert = wdict.select(col("word")).as[String]
+      .mapPartitions { it =>
+        val v = vocab.value
+        it.map { word =>
+          var pos = 0
+          var nSub = 0L
+          val sb = new java.lang.StringBuilder
+          while (pos < word.length) {
+            var len = math.min(4, word.length - pos)
+            while (len > 1 && !v.contains(word.substring(pos, pos + len)))
+              len -= 1
+            if (sb.length > 0) sb.append('+')
+            sb.append(word, pos, pos + len)
+            pos += len
+            nSub += 1
+          }
+          (word, nSub, sb.toString)
+        }
+      }.toDF("word", "n_sub", "toks")
+
+    wc.join(broadcast(fert), Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sub")).as("n_subtokens"),
+        (sum(col("cnt") * col("n_sub")).cast("double") /
+          sum(col("cnt")).cast("double")).as("fertility"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_stats"          -> docStats _,
     "q_length_buckets"     -> lengthBuckets _,
@@ -1732,6 +1843,8 @@ object TextOps extends QueryModule {
     "q_seq_packing"        -> seqPacking _,
     "q_seq_packing_sharded" -> ((s: SparkSession, d: String) => seqPackingSharded(s, d)),
     "q_tfidf_topterms"     -> tfidfTopTerms _,
+    "q_subword_vocab"      -> subwordVocabQuery _,
+    "q_subword_tokenize"   -> subwordTokenize _,
     "q_corpus_mix"         -> corpusMix _,
     "q_temperature_mix"    -> temperatureMix _,
     "q_source_overlap"     -> sourceOverlap _,
@@ -1742,6 +1855,23 @@ object TextOps extends QueryModule {
     "q_decontaminate"      -> decontaminate _,
     "q_doc_chunks"         -> docChunks _,
   )
+
+  /** Shared training prefix of the subword pair: the corpus word count,
+    * the dictionary, and the weighted 2–4-gram table. RECURSIVE is on the
+    * WITH because `q_subword_tokenize` extends the chain with the greedy
+    * CTE. */
+  private val subwordTrainSql: String =
+    s"""WITH RECURSIVE
+       |wc AS (SELECT source, UNNEST($dToks) AS word FROM documents),
+       |wcnt AS (SELECT source, word, COUNT(*) AS cnt FROM wc GROUP BY 1, 2),
+       |dict AS (SELECT word, SUM(cnt) AS w FROM wcnt GROUP BY 1),
+       |grams AS (
+       |  SELECT g, SUM(w) AS wt FROM (
+       |    SELECT substr(d.word, CAST(i AS INT), CAST(t.n AS INT)) AS g, d.w
+       |    FROM dict d, UNNEST([2, 3, 4]) AS t(n),
+       |         LATERAL (SELECT UNNEST(range(1,
+       |           length(d.word) - CAST(t.n AS INT) + 2)) AS i) s
+       |  ) GROUP BY 1)""".stripMargin
 
   /** Shared by `q_seq_packing` and `q_seq_packing_sharded`: both must
     * produce the global-cumulative-sum packing exactly. */
@@ -1992,6 +2122,33 @@ object TextOps extends QueryModule {
          |  md5(COALESCE(k.t, '')) AS out_fp,
          |  CAST(length(COALESCE(k.t, '')) AS BIGINT) AS chars_out
          |FROM sarr a LEFT JOIN ka k USING (doc_id)""".stripMargin,
+    "q_subword_vocab" ->
+      s"""$subwordTrainSql
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY wt DESC, g) AS BIGINT)
+         |    AS rank,
+         |  g, CAST(wt AS BIGINT) AS wt
+         |FROM grams ORDER BY wt DESC, g LIMIT $SubwordVocabSize""".stripMargin,
+    "q_subword_tokenize" ->
+      s"""$subwordTrainSql,
+         |chars AS (SELECT DISTINCT UNNEST(string_split_regex(word, ''))
+         |          AS g FROM dict),
+         |topg AS (SELECT g FROM grams
+         |         ORDER BY wt DESC, g LIMIT $SubwordVocabSize),
+         |vocab AS (SELECT g FROM topg UNION SELECT g FROM chars),
+         |tok AS (
+         |  SELECT word, word AS rem, 0 AS n_sub FROM dict
+         |  UNION ALL
+         |  SELECT word, substr(rem, length(pick) + 1), n_sub + 1
+         |  FROM (SELECT word, rem, n_sub,
+         |          (SELECT g FROM vocab WHERE starts_with(rem, g)
+         |           ORDER BY length(g) DESC, g LIMIT 1) AS pick
+         |        FROM tok WHERE rem <> '') q),
+         |done AS (SELECT word, n_sub FROM tok WHERE rem = '')
+         |SELECT w.source, COUNT(*) AS n_distinct_words,
+         |  CAST(SUM(w.cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(w.cnt * d.n_sub) AS BIGINT) AS n_subtokens,
+         |  CAST(SUM(w.cnt * d.n_sub) AS DOUBLE) / SUM(w.cnt) AS fertility
+         |FROM wcnt w JOIN done d USING (word) GROUP BY 1""".stripMargin,
     "q_delta_dedup"       -> deltaDedupSql,
     // the bloom pre-filter is exactness-preserving by construction (the
     // exact semi-join removes every false positive) — shared oracle

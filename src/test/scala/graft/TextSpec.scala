@@ -322,6 +322,50 @@ class TextSpec extends AnyFunSuite {
     assert(plantRows.forall(_ == 1.0), "excerpt shingles not a host subset")
   }
 
+  test("subword tokenizer: greedy segmentation round-trips every " +
+      "dictionary word and the trained merges are actually used") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val dir = TestSession.sf
+    val dict = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .distinct().as[String].collect().toSet
+    val vocab = TextOps.subwordVocabQuery(spark, dir)
+      .select(col("g")).as[String].collect().toSet
+    assert(vocab.size > 0 && vocab.forall(g => g.length >= 2 && g.length <= 4))
+
+    // re-run the greedy rule here (chars ∪ trained) and check round-trip
+    val chars = dict.flatMap(_.toCharArray.map(_.toString))
+    val v = vocab ++ chars
+    var multiUsed = false
+    dict.foreach { word =>
+      var pos = 0
+      val sb = new StringBuilder
+      while (pos < word.length) {
+        var len = math.min(4, word.length - pos)
+        while (len > 1 && !v.contains(word.substring(pos, pos + len)))
+          len -= 1
+        if (len > 1) multiUsed = true
+        sb.append(word.substring(pos, pos + len))
+        pos += len
+      }
+      assert(sb.toString == word, s"greedy segmentation broke '$word'")
+    }
+    assert(multiUsed, "degenerate: no trained gram ever matched — " +
+      "the tokenizer collapsed to character splitting")
+
+    // and the query's accounting is consistent: subtokens >= words,
+    // fertility strictly between 1 and the char-split upper bound
+    val rows = TextOps.subwordTokenize(spark, dir)
+      .select(col("n_words"), col("n_subtokens"), col("fertility"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ns, f) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(ns >= nw && f >= 1.0 && f < 8.0)
+    }
+  }
+
   test("segment dedup: both plant families live (partial keeps its unique " +
       "tail, full copies empty out) and reassembly is byte-exact") {
     val spark = TestSession.spark
