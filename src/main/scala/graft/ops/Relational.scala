@@ -79,6 +79,38 @@ object Relational extends QueryModule {
         sum(col("l_extendedprice").cast("decimal(18,2)"))
           .cast("double").as("revenue"))
 
+  /** Per-order line aggregation, parameterized over the lineitem source
+    * so the SAME plan runs over plain parquet and the bucketed store. */
+  private def orderLineStatsOf(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("qty_sum"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+
+  /** Per-order aggregation over plain parquet: the groupBy key is the
+    * natural changelog key, so this costs one full hash exchange of
+    * lineitem — the baseline the bucketed variant removes. */
+  def orderLineStats(s: SparkSession, d: String): DataFrame =
+    orderLineStatsOf(Tables.lineitem(s, d))
+
+  /** The EXCHANGE-FREE aggregation: same rollup over
+    * [[BucketStore.lineitem]]. The scan reports
+    * HashPartitioning(l_orderkey, 16), which already satisfies the
+    * aggregation's required distribution, so EnsureRequirements inserts
+    * NO Exchange anywhere in the plan — partial and final aggregate fuse
+    * over the bucketed scan (BucketJoinSpec asserts the plan shape).
+    * This is the aggregation face of the bucketing story: the warehouse's
+    * recurring per-key rollups (order totals, per-entity state rebuilds)
+    * ride the same one-time table layout the co-located join amortizes —
+    * at 100 TB, zero shuffle per run instead of the single largest
+    * exchange in the query. Shares `q_order_line_stats`'s oracle
+    * VERBATIM: the hash gate proves layout-invariance of the result. */
+  def orderLineStatsBucketed(s: SparkSession, d: String): DataFrame =
+    orderLineStatsOf(BucketStore.lineitem(s, d))
+
   /** Left outer join keeping unmatched left rows — SURVEY J2.
     * Ref: DwdTradeOrderPreProcess.java:144-147 (null-padded optional attrs). */
   def custOrderLeft(s: SparkSession, d: String): DataFrame =
@@ -1081,6 +1113,8 @@ object Relational extends QueryModule {
     "q_pricing_summary"   -> pricingSummary _,
     "q_rev_by_priority"   -> revenueByPriority _,
     "q_rev_by_priority_bucketed" -> revenueByPriorityBucketed _,
+    "q_order_line_stats"  -> orderLineStats _,
+    "q_order_line_stats_bucketed" -> orderLineStatsBucketed _,
     "q_cust_order_left"   -> custOrderLeft _,
     "q_commodity_full_outer" -> commodityFullOuter _,
     "q_star_dim_chain"    -> starDimChain _,
@@ -1140,6 +1174,15 @@ object Relational extends QueryModule {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Shared by `q_order_line_stats` and its exchange-free bucketed
+    * rewrite — identical rollup, layout-invariance via hash gate. */
+  private val orderLineStatsSql: String =
+    """SELECT l_orderkey, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   private val fuzzyBrandSql: String =
     """WITH b AS (SELECT DISTINCT p_brand FROM part)
       |SELECT x.p_brand AS b1, y.p_brand AS b2,
@@ -1159,6 +1202,9 @@ object Relational extends QueryModule {
     // the bucketed rewrite shares the oracle VERBATIM: hash gate =
     // bucketing-invariance proof (CLAUDE.md scale-path discipline)
     "q_rev_by_priority_bucketed" -> revByPrioritySql,
+    "q_order_line_stats" -> orderLineStatsSql,
+    // exchange-free bucketed aggregation, same oracle VERBATIM
+    "q_order_line_stats_bucketed" -> orderLineStatsSql,
     "q_cust_order_left" ->
       """SELECT c_mktsegment,
         |  COUNT(DISTINCT c_custkey) AS n_customers,

@@ -61,4 +61,21 @@ class BucketJoinSpec extends AnyFunSuite {
     assert(parts == BucketStore.NBuckets,
       s"expected ${BucketStore.NBuckets} bucket files, found $parts in $dir")
   }
+
+  test("bucketed per-key aggregation runs with ZERO exchanges; the plain " +
+      "variant pays one") {
+    val bucketed = Relational.orderLineStatsBucketed(spark, sf)
+    val planB = executedPlan(bucketed)
+    assert(!planB.contains("Exchange"),
+      s"bucket-key groupBy must be exchange-free:\n$planB")
+
+    val plain = Relational.orderLineStats(spark, sf)
+    val planP = executedPlan(plain)
+    assert(planP.contains("Exchange"),
+      "baseline lost its exchange — the comparison is vacuous")
+
+    val a = bucketed.orderBy("l_orderkey").collect().toSeq
+    val b = plain.orderBy("l_orderkey").collect().toSeq
+    assert(a == b)
+  }
 }

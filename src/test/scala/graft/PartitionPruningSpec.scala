@@ -51,4 +51,49 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(pruned.count() ===
       bucketed.filter(col("bucket") === probeBucket).count())
   }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact " +
+      "partitions at RUNTIME through the join") {
+    val dir = java.nio.file.Files.createTempDirectory("pp_dpp").toString
+    val orders = Tables.orders(spark, TestSession.sf)
+    orders.write.mode("overwrite").partitionBy("o_orderpriority")
+      .parquet(dir)
+    val nParts = orders.select("o_orderpriority").distinct().count()
+    assert(nParts > 1, "degenerate: single-priority orders table")
+
+    // dim carries the filter; the fact side has NO static predicate on
+    // its partition column — only DPP can prune it
+    import spark.implicits._
+    val dim = orders.select(col("o_orderpriority").as("prio"))
+      .distinct().withColumn("keep", col("prio").startsWith("1"))
+    val fact = spark.read.parquet(dir)
+    val joined = fact.join(broadcast(dim.filter(col("keep"))),
+      fact("o_orderpriority") === dim("prio"))
+    val expected = orders
+      .filter(col("o_orderpriority").startsWith("1")).count()
+    assert(joined.collect().length === expected)
+
+    // the executed scan must carry a DynamicPruning partition filter and
+    // have touched only the surviving partition (descend through the
+    // AQE wrappers — the final plan lives inside them, not in children)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val scans = allScans(joined.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("pp_dpp")))
+    assert(scans.nonEmpty, "no fact scan in plan")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.find(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+        ]).isDefined)),
+      "fact scan has no DynamicPruning partition filter — DPP not applied")
+    val partsRead = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(partsRead === 1,
+      s"DPP should read 1 of $nParts partitions, read $partsRead")
+  }
 }
