@@ -264,12 +264,33 @@ object OrderWide extends QueryModule {
         col("split_total_amount").cast("double").as("split_total_amount"))
   }
 
+  /** Point-in-time (as-of) snapshot probe over the SCD2 history — the
+    * payoff [[scd2History]] promises: "what did the table say at time T"
+    * is a RANGE PREDICATE over the validity intervals, not a window
+    * re-run. Probes broadcast (a snapshot request list is always tiny);
+    * the history side streams through the interval filter with no
+    * shuffle before the final probe-sized rollup. At ts=1 the snapshot is
+    * every chain's first version, at ts=2 the current view — the oracle
+    * shares the FULL history CTE chain, so the snapshot semantics cannot
+    * drift from the history the gate already proves. */
+  def scd2Asof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq(1L, 2L).toDF("ts")
+    scd2History(s, d)
+      .join(broadcast(probes),
+        col("ts") >= col("effective_from") &&
+          (col("effective_to").isNull || col("ts") < col("effective_to")))
+      .groupBy(col("ts"), col("order_status"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_dwd_order_wide"      -> orderWide _,
       "q_dws_sku_order"       -> skuOrderWindow _,
       "q_dwd_changelog_stats" -> changelogStats _,
       "q_scd2_history"        -> scd2History _,
+      "q_scd2_asof"           -> scd2Asof _,
     )
 
   /** Shared DuckDB CTE prefix for every oracle over the wide rows
@@ -380,7 +401,30 @@ object OrderWide extends QueryModule {
         |SELECT v.stt, n_versions, n_updates, n_kept,
         |  n_versions - n_kept AS n_superseded
         |FROM v JOIN k USING (stt)""".stripMargin),
-    "q_scd2_history" -> (wideSql + latestSql +
+    "q_scd2_history" -> (scd2Sql +
+      """
+        |SELECT detail_id, CAST(version_seq AS BIGINT) AS version_seq,
+        |  CAST(op_ts AS BIGINT) AS effective_from,
+        |  CAST(effective_to AS BIGINT) AS effective_to,
+        |  CAST(CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current,
+        |  order_status,
+        |  CAST(split_total_amount AS DOUBLE) AS split_total_amount
+        |FROM h""".stripMargin),
+    "q_scd2_asof" -> (scd2Sql +
+      """,
+        |probe AS (SELECT UNNEST([1, 2]) AS ts)
+        |SELECT CAST(ts AS BIGINT) AS ts, order_status,
+        |  COUNT(*) AS n_rows
+        |FROM h JOIN probe ON ts >= op_ts
+        |  AND (effective_to IS NULL OR ts < effective_to)
+        |GROUP BY 1, 2""".stripMargin),
+  )
+
+  /** Shared CTE chain of the SCD2 pair — history derivation up to `h`,
+    * so the as-of probe cannot drift from the history it claims to
+    * snapshot. */
+  private lazy val scd2Sql: String = wideSql + latestSql +
       """,
         |h AS (
         |  SELECT detail_id, op_ts, order_status, split_total_amount,
@@ -395,14 +439,5 @@ object OrderWide extends QueryModule {
         |    activity_id DESC NULLS LAST,
         |    split_activity_amount DESC NULLS LAST,
         |    coupon_id DESC NULLS LAST,
-        |    split_coupon_amount DESC NULLS LAST))
-        |SELECT detail_id, CAST(version_seq AS BIGINT) AS version_seq,
-        |  CAST(op_ts AS BIGINT) AS effective_from,
-        |  CAST(effective_to AS BIGINT) AS effective_to,
-        |  CAST(CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
-        |    AS is_current,
-        |  order_status,
-        |  CAST(split_total_amount AS DOUBLE) AS split_total_amount
-        |FROM h""".stripMargin),
-  )
+        |    split_coupon_amount DESC NULLS LAST))""".stripMargin
 }

@@ -42,4 +42,44 @@ class SaltingSpec extends AnyFunSuite {
       assert(e.getMessage.contains("per shard"))
     }
   }
+
+  test("AQE skew join: the engine-native alternative to salting splits " +
+      "the hot partition at runtime (skew=true in the executed SMJ)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // shrink the skew thresholds to test-data scale; disable broadcast
+      // so the join is a shuffle join AQE can re-plan
+      conf.set(keys(0), "-1")
+      conf.set(keys(1), "2")
+      conf.set(keys(2), "64KB")
+      conf.set(keys(3), "32KB")
+      val n = 60000L
+      val pad = "x" * 64
+      // 90% of rows share key 7 — one shuffle partition dwarfs the rest
+      val fact = spark.range(n).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        concat(lit(pad), col("id")).as("v"))
+      val dim = spark.range(n / 10).select(col("id").as("k"),
+        concat(lit(pad), col("id")).as("w"))
+      val joined = fact.join(dim, Seq("k"))
+      // collect() THIS DataFrame (count() would execute a different
+      // query plan and leave joined's adaptive plan unfinalized)
+      val got = joined.collect().length
+      // hot rows (k=7) all match; a cold row k=10m matches iff 10m < n/10
+      val expected = (n - n / 10) + n / 100
+      assert(got === expected, s"join row count $got != $expected")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
