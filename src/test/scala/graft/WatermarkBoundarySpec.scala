@@ -54,4 +54,32 @@ class WatermarkBoundarySpec extends AnyFunSuite {
     assert(seenWith(GroupStateTimeout.NoTimeout, "wmb_none") ===
       Set((1L, 10L), (2L, 10L), (3L, 9L)))
   }
+
+  test("dropDuplicatesWithinWatermark: same-batch and in-window " +
+      "re-delivery suppressed; a key RESURFACES once its state is " +
+      "evicted past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (id, t seconds)
+    val ds = in.toDS().toDF("id", "t")
+      .withColumn("eventTime", timestamp_seconds(col("t")))
+      .withWatermark("eventTime", "5 seconds")
+      .dropDuplicatesWithinWatermark("id")
+    val q = ds.writeStream.format("memory").queryName("wmb_ddww")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, 10L), (1L, 10L)); q.processAllAvailable() // batch dup
+    in.addData((1L, 12L)); q.processAllAvailable() // within 5 s window
+    in.addData((2L, 30L)); q.processAllAvailable() // watermark → 25 s
+    in.addData((1L, 31L)); q.processAllAvailable() // state long evicted
+    q.stop()
+    val got = spark.table("wmb_ddww").select(col("id"), col("t"))
+      .as[(Long, Long)].collect().toSet
+    // first occurrence emitted; both re-deliveries inside the window
+    // suppressed; the post-eviction redelivery is a NEW row — the
+    // documented contract: dedup is exact only WITHIN the watermark
+    // window, so upstream must bound duplicate lag by the delay (the
+    // repo's content-keyed StatefulOps.ingestDedup holds state forever
+    // on RocksDB instead — that is the cross-window-exact tool)
+    assert(got === Set((1L, 10L), (2L, 30L), (1L, 31L)))
+  }
 }
