@@ -492,6 +492,87 @@ object Relational extends QueryModule {
     dayOut.unionAll(allOut)
   }
 
+  /** Mergeable QUANTILE rollup — the fourth member of the mergeable-
+    * summary family (HLL ✓ distinct, KMV ✓ distinct+set-ops, Misra–Gries
+    * ✓ heavy hitters, quantiles here): a deterministic bottom-k-by-
+    * row-hash SAMPLE per hour cell (h = 60-bit md5 of the unique
+    * event_id — a uniform row sample, where KMV's hash-of-VALUE samples
+    * distinct values) merges hour → day → all-up by re-taking bottom-k
+    * of the union, the same order-statistic identity the KMV rollup
+    * proves: bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)). Spark
+    * computes day and all-up grains by MERGING the stored finer samples;
+    * the DuckDB oracle computes each grain's sample DIRECTLY from raw
+    * rows — the hash match is a cross-engine proof of the merge
+    * identity. Quantile estimates are order statistics of the sample
+    * (the [[valueQuantiles]] rank device at floor((n−1)p)+1 over cents),
+    * so the ESTIMATES are deterministic and hash-exact — no bracket
+    * needed; exact quantiles ride along as the error audit
+    * (RelationalSpec pins the sample estimates inside the exact
+    * p25–p75 band).
+    *
+    * Scale: raw rows are scanned once (hour grain + the exact audit);
+    * every coarser grain re-aggregates ≤ cells × k sample rows. This is
+    * the streaming/ambient form of quantile monitoring at 100 TB: each
+    * ingest hour keeps a k-row sample, and any ad-hoc grain (day, week,
+    * source, all-up) is answered from stored samples without re-reading
+    * events — the exact audit columns exist only because the gate wants
+    * them provable. */
+  def quantileRollup(s: SparkSession, d: String): DataFrame = {
+    val hh = conv(substring(md5(col("event_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val e = Tables.events(s, d).filter(col("value").isNotNull).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
+      round(col("value") * 100).cast("long").as("cents"),
+      hh.as("h"))
+
+    def bottomK(df: DataFrame, parts: Seq[String]): DataFrame = {
+      val w = (if (parts.isEmpty) Window.partitionBy()
+        else Window.partitionBy(parts.map(col): _*))
+        .orderBy(col("h"), col("cents"))
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KmvK).drop("rn")
+    }
+    // per-sample / per-population quantile picks at rank floor((n−1)p)+1
+    def picks(df: DataFrame, parts: Seq[String], nName: String,
+        p50Name: String, p90Name: String): DataFrame = {
+      val wp = if (parts.isEmpty) Window.partitionBy()
+        else Window.partitionBy(parts.map(col): _*)
+      val ranked = df
+        .withColumn("vrn", row_number().over(wp.orderBy(col("cents"), col("h"))))
+        .withColumn("ns", count(lit(1)).over(wp))
+      def pick(p: Double, name: String) =
+        min(when(col("vrn") >=
+          (floor((col("ns") - 1) * lit(p)) + 1).cast("long"),
+          col("cents"))).as(name)
+      val agged = if (parts.isEmpty) ranked.groupBy()
+        else ranked.groupBy(parts.map(col): _*)
+      agged.agg(max(col("ns")).as(nName),
+        pick(0.5, p50Name), pick(0.9, p90Name))
+    }
+
+    val hourS = bottomK(e.select(col("day"), col("hr"), col("h"),
+      col("cents")), Seq("day", "hr")).localCheckpoint()
+    val dayS = bottomK(hourS.select(col("day"), col("h"), col("cents")),
+      Seq("day"))
+    val allS = bottomK(dayS.select(col("h"), col("cents")), Nil)
+
+    val dayOut = picks(dayS, Seq("day"), "n_sample", "est_p50", "est_p90")
+      .join(picks(e, Seq("day"), "n_rows", "exact_p50", "exact_p90"), "day")
+      .join(e.groupBy(col("day"))
+        .agg(countDistinct(col("hr")).as("n_merged")), "day")
+      .select(lit("day").as("grain"), col("day").as("bucket"),
+        col("n_merged"), col("n_rows"), col("n_sample"),
+        col("est_p50"), col("est_p90"), col("exact_p50"), col("exact_p90"))
+    val allOut = picks(allS, Nil, "n_sample", "est_p50", "est_p90")
+      .crossJoin(picks(e, Nil, "n_rows", "exact_p50", "exact_p90"))
+      .crossJoin(e.agg(countDistinct(col("day")).as("n_merged")))
+      .select(lit("all").as("grain"), lit("ALL").as("bucket"),
+        col("n_merged"), col("n_rows"), col("n_sample"),
+        col("est_p50"), col("est_p90"), col("exact_p50"), col("exact_p90"))
+    dayOut.unionAll(allOut)
+  }
+
   /** KMV set-operation estimates — audience overlap between event types
     * from bottom-k sketches alone (Beyer et al., SIGMOD'07): for every
     * type pair, the union's bottom-k gives |A∪B|, and the fraction ρ of
@@ -1130,6 +1211,7 @@ object Relational extends QueryModule {
     "q_kmv_distinct"      -> kmvDistinct _,
     "q_kmv_overlap"       -> kmvOverlap _,
     "q_kmv_rollup"        -> kmvRollup _,
+    "q_quantile_rollup"   -> quantileRollup _,
     "q_zorder_layout"     -> zorderLayout _,
     "q_dq_drift"          -> dqDrift _,
     "q_distinct_users"    -> distinctUsers _,
@@ -1463,6 +1545,72 @@ object Relational extends QueryModule {
         |         ELSE CAST(floor(127.0 * 1152921504606846976.0 / kth)
         |                   AS BIGINT) END AS uv_kmv
         |  FROM allsk, allex)
+        |SELECT * FROM day_out UNION ALL SELECT * FROM all_out""".stripMargin,
+    // the oracle computes every grain's sample DIRECTLY from raw rows;
+    // Spark merges stored finer samples — hash match = merge-identity
+    // proof (the kmv_rollup pattern, on row samples)
+    "q_quantile_rollup" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |             strftime(ts, '%Y-%m-%d %H') AS hr,
+        |             CAST(round(value * 100) AS BIGINT) AS cents,
+        |             ('0x'||substr(md5(event_id::VARCHAR),1,15))::BIGINT AS h
+        |           FROM events WHERE value IS NOT NULL),
+        |dayr AS (SELECT day, h, cents FROM (
+        |           SELECT day, h, cents, row_number() OVER
+        |             (PARTITION BY day ORDER BY h, cents) AS rn FROM e)
+        |         WHERE rn <= 128),
+        |dayv AS (SELECT day, cents,
+        |           row_number() OVER (PARTITION BY day
+        |             ORDER BY cents, h) AS vrn,
+        |           COUNT(*) OVER (PARTITION BY day) AS ns FROM dayr),
+        |dayest AS (SELECT day, MAX(ns) AS n_sample,
+        |    MIN(CASE WHEN vrn >= floor((ns-1)*0.5)+1 THEN cents END)
+        |      AS est_p50,
+        |    MIN(CASE WHEN vrn >= floor((ns-1)*0.9)+1 THEN cents END)
+        |      AS est_p90
+        |  FROM dayv GROUP BY 1),
+        |dayx AS (SELECT day, cents,
+        |           row_number() OVER (PARTITION BY day
+        |             ORDER BY cents, h) AS vrn,
+        |           COUNT(*) OVER (PARTITION BY day) AS n FROM e),
+        |dayexact AS (SELECT day, MAX(n) AS n_rows,
+        |    MIN(CASE WHEN vrn >= floor((n-1)*0.5)+1 THEN cents END)
+        |      AS exact_p50,
+        |    MIN(CASE WHEN vrn >= floor((n-1)*0.9)+1 THEN cents END)
+        |      AS exact_p90
+        |  FROM dayx GROUP BY 1),
+        |daymeta AS (SELECT day, COUNT(DISTINCT hr) AS n_merged
+        |            FROM e GROUP BY 1),
+        |day_out AS (
+        |  SELECT 'day' AS grain, day AS bucket, n_merged, n_rows,
+        |    n_sample, est_p50, est_p90, exact_p50, exact_p90
+        |  FROM dayest JOIN dayexact USING (day) JOIN daymeta USING (day)),
+        |allr AS (SELECT h, cents FROM (
+        |           SELECT h, cents, row_number() OVER
+        |             (ORDER BY h, cents) AS rn FROM e) WHERE rn <= 128),
+        |allv AS (SELECT cents,
+        |           row_number() OVER (ORDER BY cents, h) AS vrn,
+        |           COUNT(*) OVER () AS ns FROM allr),
+        |allest AS (SELECT MAX(ns) AS n_sample,
+        |    MIN(CASE WHEN vrn >= floor((ns-1)*0.5)+1 THEN cents END)
+        |      AS est_p50,
+        |    MIN(CASE WHEN vrn >= floor((ns-1)*0.9)+1 THEN cents END)
+        |      AS est_p90
+        |  FROM allv),
+        |allx AS (SELECT cents,
+        |           row_number() OVER (ORDER BY cents, h) AS vrn,
+        |           COUNT(*) OVER () AS n FROM e),
+        |allexact AS (SELECT MAX(n) AS n_rows,
+        |    MIN(CASE WHEN vrn >= floor((n-1)*0.5)+1 THEN cents END)
+        |      AS exact_p50,
+        |    MIN(CASE WHEN vrn >= floor((n-1)*0.9)+1 THEN cents END)
+        |      AS exact_p90
+        |  FROM allx),
+        |allmeta AS (SELECT COUNT(DISTINCT day) AS n_merged FROM e),
+        |all_out AS (
+        |  SELECT 'all' AS grain, 'ALL' AS bucket, n_merged, n_rows,
+        |    n_sample, est_p50, est_p90, exact_p50, exact_p90
+        |  FROM allest, allexact, allmeta)
         |SELECT * FROM day_out UNION ALL SELECT * FROM all_out""".stripMargin,
     "q_kmv_overlap" ->
       """WITH et AS (SELECT DISTINCT event_type,

@@ -59,4 +59,42 @@ class FileStreamSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byMid === Map("m1" -> 2, "m2" -> 1, "m3" -> 1))
   }
+
+  test("stateful restart: the dedup seen-set SURVIVES a stop/restart — " +
+      "a duplicate arriving after recovery is still suppressed") {
+    import graft.streaming.StatefulOps
+    import spark.implicits._
+    val src = Files.createTempDirectory("dedupsrc").toString
+    val out = Files.createTempDirectory("dedupout").toString
+    val ckpt = Files.createTempDirectory("dedupckpt").toString
+
+    def doc(fp: String, id: Long, ts: Long): String =
+      s"""{"fp":"$fp","docId":$id,"ts":$ts}"""
+    def start() = {
+      val in = spark.readStream
+        .schema("fp STRING, docId LONG, ts LONG").json(src)
+        .as[StatefulOps.IngestDoc]
+      StatefulOps.ingestDedup(in).toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").json(out)
+        }
+        .start()
+    }
+
+    writeLines(src, "b1.json",
+      Seq(doc("A", 1, 10), doc("A", 2, 11), doc("B", 3, 12)))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // fp A re-arrives only AFTER the restart: suppressing it requires the
+    // state-store checkpoint (offset replay alone cannot know A was seen)
+    writeLines(src, "b2.json", Seq(doc("A", 4, 20), doc("C", 5, 21)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.schema("fp STRING, docId LONG, ts LONG").json(out)
+      .as[StatefulOps.IngestDoc].collect().map(d => d.fp -> d.docId).toMap
+    assert(got === Map("A" -> 1, "B" -> 3, "C" -> 5),
+      s"recovered state failed to suppress the cross-restart duplicate: $got")
+  }
 }

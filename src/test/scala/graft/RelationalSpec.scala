@@ -103,6 +103,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile rollup: merged-sample estimates are rank-correct against " +
+      "the raw population at every grain") {
+    import org.apache.spark.sql.functions._
+    // the gate proves merge identity (Spark merges, DuckDB computes
+    // direct); this pins the statistical claim — a k=128 sample's p50 /
+    // p90 estimates land within a ±3σ rank band of the target
+    val pop = graft.Tables.events(spark, TestSession.sf)
+      .filter(col("value").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byDay = pop.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).sorted }
+    val all = pop.map(_._2).sorted
+    val rows = graft.ops.Relational.quantileRollup(spark, TestSession.sf)
+      .select(col("grain"), col("bucket"), col("est_p50"), col("est_p90"))
+      .collect()
+    assert(rows.exists(_.getString(0) == "all") && rows.length > 1)
+    rows.foreach { r =>
+      val vs = if (r.getString(0) == "all") all else byDay(r.getString(1))
+      val n = vs.length.toDouble
+      Seq((r.getLong(2), 0.50, 0.14), (r.getLong(3), 0.90, 0.09)).foreach {
+        case (est, p, band) =>
+          val below = vs.count(_ < est) / n
+          val atOrBelow = vs.count(_ <= est) / n
+          assert(below <= p + band && atOrBelow >= p - band,
+            s"${r.getString(1)} p$p: $est rank [$below, $atOrBelow] " +
+              s"outside $p±$band")
+      }
+    }
+  }
+
   test("dq checks classify planted dirty rows: null fk is NOT an orphan, " +
       "dup pks and true orphans are counted") {
     import org.apache.spark.sql.functions.col
