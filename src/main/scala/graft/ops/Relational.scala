@@ -634,6 +634,47 @@ object Relational extends QueryModule {
           .cast("long").as("inter_kmv"))
   }
 
+  /** ORDERED funnel completion — the sequenced-pattern (CEP / MATCH_
+    * RECOGNIZE) question "how many users did view, THEN click, THEN
+    * purchase, in that order" answered as conditional aggregation: one
+    * per-user pivot of first-occurrence epochs (min-when per stage), then
+    * strict `<` chains over the pivoted columns. NULL propagation does
+    * the stage gating for free — a missing stage makes its comparison
+    * NULL → the completion flag 0 in both engines. Complements
+    * [[funnelUnion]] (stage totals, unordered) and the streaming
+    * bounce CEP (StatefulOps.bounceDetector): this is the batch
+    * sequence-pattern form.
+    *
+    * Scale: ONE scan, one user-keyed partial-aggregable pivot (the only
+    * exchange), then a scalar rollup — sequence detection with no self-
+    * join, no window sort, no per-event state; at 100 TB the alternative
+    * event-order window over the raw stream would sort every user's
+    * history. Second-granularity epochs per the QueryModule determinism
+    * rule. */
+  def funnelOrder(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("tsec"))).as("t_view"),
+        min(when(col("event_type") === "click", col("tsec"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("tsec"))).as("t_buy"))
+    val complete = col("t_view") < col("t_click") &&
+      col("t_click") < col("t_buy")
+    per.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_view").isNotNull, 1).otherwise(0)).cast("long")
+        .as("n_view"),
+      sum(when(col("t_view") < col("t_click"), 1).otherwise(0)).cast("long")
+        .as("n_view_then_click"),
+      sum(when(complete, 1).otherwise(0)).cast("long")
+        .as("n_funnel_complete"),
+      (sum(when(complete, col("t_buy") - col("t_view"))).cast("double") /
+        nullif(sum(when(complete, 1).otherwise(0)), lit(0)) / 3600.0)
+        .as("avg_hours_to_convert"))
+  }
+
   /** UNION ALL funnel of labeled aggregates — SURVEY U2
     * (ref publisher/mapper/UserStatsMapper.java:12-63). */
   def funnelUnion(s: SparkSession, d: String): DataFrame = {
@@ -1201,6 +1242,7 @@ object Relational extends QueryModule {
     "q_star_dim_chain"    -> starDimChain _,
     "q_composite_key_join" -> compositeKeyJoin _,
     "q_interval_join"     -> intervalJoin _,
+    "q_funnel_order"      -> funnelOrder _,
     "q_asof_join"         -> asofJoin _,
     "q_salted_join"       -> saltedJoin _,
     "q_tumbling_window"   -> tumblingWindow _,
@@ -1334,6 +1376,27 @@ object Relational extends QueryModule {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b.buy_s >= v.view_s AND b.buy_s <= v.view_s + 3600
         |GROUP BY v.user_id""".stripMargin,
+    "q_funnel_order" ->
+      """WITH per AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'view'
+        |      THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_view,
+        |  MIN(CASE WHEN event_type = 'click'
+        |      THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_click,
+        |  MIN(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_buy
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view_then_click,
+        |  CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_buy
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_complete,
+        |  CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_buy
+        |    THEN t_buy - t_view END) AS DOUBLE) /
+        |    NULLIF(SUM(CASE WHEN t_view < t_click AND t_click < t_buy
+        |      THEN 1 ELSE 0 END), 0) / 3600.0 AS avg_hours_to_convert
+        |FROM per""".stripMargin,
     "q_fuzzy_brand" -> fuzzyBrandSql,
     // deliberately the SAME oracle: deletion-neighborhood blocking is
     // exact for distance <= 1, so the blocked path must reproduce the

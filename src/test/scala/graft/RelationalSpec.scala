@@ -135,6 +135,19 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("ordered funnel: stages monotonically narrow and completion is " +
+      "live on both sides (some users complete, some don't)") {
+    val r = graft.ops.Relational.funnelOrder(spark, TestSession.sf)
+      .collect().head
+    val (users, view, vc, full) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= view && view >= vc && vc >= full,
+      s"funnel not monotone: $users/$view/$vc/$full")
+    assert(full > 0, "degenerate: nobody completes the ordered funnel")
+    assert(full < vc, "degenerate: ordering adds no constraint")
+    assert(!r.isNullAt(4) && r.getDouble(4) > 0.0)
+  }
+
   test("dq checks classify planted dirty rows: null fk is NOT an orphan, " +
       "dup pks and true orphans are counted") {
     import org.apache.spark.sql.functions.col
