@@ -241,27 +241,47 @@ object OrderWide extends QueryModule {
     * per-key sort of chains whose length is the update rate (2 here),
     * never corpus-length. No join, no second shuffle; lead() is computed
     * inside the window pass. */
-  def scd2History(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("detail_id")).orderBy(
-      col("op_ts").asc,
-      col("sku_id").desc_nulls_last,
-      col("source_id").desc_nulls_last,
-      col("sku_num").desc_nulls_last,
-      col("split_original_amount").desc_nulls_last,
-      col("split_total_amount").desc_nulls_last,
-      col("activity_id").desc_nulls_last,
-      col("split_activity_amount").desc_nulls_last,
-      col("coupon_id").desc_nulls_last,
-      col("split_coupon_amount").desc_nulls_last)
-    versions(DwdStore.wide(s, d))
-      .withColumn("version_seq", row_number().over(w).cast("long"))
-      .withColumn("effective_to", lead(col("op_ts"), 1).over(w))
-      .select(col("detail_id"), col("version_seq"),
-        col("op_ts").as("effective_from"),
-        col("effective_to"),
-        when(col("effective_to").isNull, 1L).otherwise(0L).as("is_current"),
-        col("order_status"),
-        col("split_total_amount").cast("double").as("split_total_amount"))
+  /** The chain's payload tie-order (the exact reverse of keep-latest's,
+    * see the scaladoc above) — shared by the window rebuild and the
+    * incremental fold so the two cannot drift. */
+  private val chainOrder: Seq[Column] = Seq(
+    col("sku_id").desc_nulls_last,
+    col("source_id").desc_nulls_last,
+    col("sku_num").desc_nulls_last,
+    col("split_original_amount").desc_nulls_last,
+    col("split_total_amount").desc_nulls_last,
+    col("activity_id").desc_nulls_last,
+    col("split_activity_amount").desc_nulls_last,
+    col("coupon_id").desc_nulls_last,
+    col("split_coupon_amount").desc_nulls_last)
+
+  private def scd2Project(h: DataFrame): DataFrame =
+    h.select(col("detail_id"), col("version_seq"),
+      col("effective_from"),
+      col("effective_to"),
+      when(col("effective_to").isNull, 1L).otherwise(0L).as("is_current"),
+      col("order_status"),
+      col("split_total_amount").cast("double").as("split_total_amount"))
+
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    scd2Project(Scd2.fromLog(versions(DwdStore.wide(s, d)),
+      "detail_id", "op_ts", chainOrder))
+
+  /** SCD2 maintained INCREMENTALLY — the MERGE-class fold: the op_ts=1
+    * wave bootstraps the history, the op_ts=2 wave closes the touched
+    * open intervals and appends its chains ([[Scd2.applyBatch]]).
+    * Registered under `q_scd2_history`'s oracle VERBATIM: the hash gate
+    * proves fold ≡ window-rebuild cross-engine — the invariance that
+    * makes a 100 TB history maintainable at batch cost instead of
+    * rebuild cost (Scd2Spec proves the same for arbitrary random logs
+    * and split points). */
+  def scd2Incremental(s: SparkSession, d: String): DataFrame = {
+    val v = versions(DwdStore.wide(s, d))
+    val h1 = Scd2.fromLog(v.filter(col("op_ts") === 1L),
+      "detail_id", "op_ts", chainOrder)
+    val h2 = Scd2.applyBatch(h1, v.filter(col("op_ts") === 2L),
+      "detail_id", "op_ts", chainOrder)
+    scd2Project(h2)
   }
 
   /** Point-in-time (as-of) snapshot probe over the SCD2 history — the
@@ -290,6 +310,7 @@ object OrderWide extends QueryModule {
       "q_dws_sku_order"       -> skuOrderWindow _,
       "q_dwd_changelog_stats" -> changelogStats _,
       "q_scd2_history"        -> scd2History _,
+      "q_scd2_incremental"    -> scd2Incremental _,
       "q_scd2_asof"           -> scd2Asof _,
     )
 
@@ -401,16 +422,10 @@ object OrderWide extends QueryModule {
         |SELECT v.stt, n_versions, n_updates, n_kept,
         |  n_versions - n_kept AS n_superseded
         |FROM v JOIN k USING (stt)""".stripMargin),
-    "q_scd2_history" -> (scd2Sql +
-      """
-        |SELECT detail_id, CAST(version_seq AS BIGINT) AS version_seq,
-        |  CAST(op_ts AS BIGINT) AS effective_from,
-        |  CAST(effective_to AS BIGINT) AS effective_to,
-        |  CAST(CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
-        |    AS is_current,
-        |  order_status,
-        |  CAST(split_total_amount AS DOUBLE) AS split_total_amount
-        |FROM h""".stripMargin),
+    "q_scd2_history" -> scd2HistorySql,
+    // the incremental fold shares the rebuild's oracle VERBATIM: hash
+    // match = fold ≡ rebuild (the scale-path shared-oracle discipline)
+    "q_scd2_incremental" -> scd2HistorySql,
     "q_scd2_asof" -> (scd2Sql +
       """,
         |probe AS (SELECT UNNEST([1, 2]) AS ts)
@@ -420,6 +435,19 @@ object OrderWide extends QueryModule {
         |  AND (effective_to IS NULL OR ts < effective_to)
         |GROUP BY 1, 2""".stripMargin),
   )
+
+  /** Shared by `q_scd2_history` and `q_scd2_incremental` — the fold must
+    * reproduce the window rebuild bit-for-bit. */
+  private lazy val scd2HistorySql: String = scd2Sql +
+    """
+      |SELECT detail_id, CAST(version_seq AS BIGINT) AS version_seq,
+      |  CAST(op_ts AS BIGINT) AS effective_from,
+      |  CAST(effective_to AS BIGINT) AS effective_to,
+      |  CAST(CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current,
+      |  order_status,
+      |  CAST(split_total_amount AS DOUBLE) AS split_total_amount
+      |FROM h""".stripMargin
 
   /** Shared CTE chain of the SCD2 pair — history derivation up to `h`,
     * so the as-of probe cannot drift from the history it claims to

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Scd2
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Scd2.applyBatch]]'s contract is fold ≡ rebuild:
+  * `applyBatch(fromLog(b1), b2) == fromLog(b1 ∪ b2)` for ANY split of a
+  * changelog into seq-monotone batches. The hash gate proves it for the
+  * concrete order changelog (`q_scd2_incremental` shares
+  * `q_scd2_history`'s oracle); this spec proves it for random logs,
+  * random chain lengths, random split points, and multi-way folds. */
+class Scd2Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def randomLog(seed: Long) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val rows = for {
+      k <- 1 to 25
+      nv = 1 + rnd.nextInt(6)
+      v <- 1 to nv
+    } yield (k.toLong, v.toLong * 10, s"payload_${k}_${v}_${rnd.nextInt(100)}")
+    rows.toDF("k", "seq", "payload")
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("k"), col("seq"), col("payload"), col("version_seq"),
+        col("effective_from"), col("effective_to"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("two-way fold equals the one-shot rebuild at every split point") {
+    val log = randomLog(7L).localCheckpoint()
+    val want = sortedRows(Scd2.fromLog(log, "k", "seq"))
+    Seq(10L, 30L, 50L).foreach { cut =>
+      val h1 = Scd2.fromLog(log.filter(col("seq") <= cut), "k", "seq")
+      val got = sortedRows(
+        Scd2.applyBatch(h1, log.filter(col("seq") > cut), "k", "seq"))
+      assert(got === want, s"fold at cut=$cut diverged from rebuild")
+    }
+  }
+
+  test("multi-way fold (one batch per seq wave) equals the rebuild, and " +
+      "every key ends with exactly one open interval") {
+    val log = randomLog(11L).localCheckpoint()
+    val waves = log.select(col("seq")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(waves.length >= 4, "degenerate: too few waves to fold")
+    val folded = waves.drop(1).foldLeft(
+        Scd2.fromLog(log.filter(col("seq") === waves.head), "k", "seq")) {
+      case (h, w) =>
+        Scd2.applyBatch(h, log.filter(col("seq") === w), "k", "seq")
+          .localCheckpoint()
+    }
+    assert(sortedRows(folded) === sortedRows(Scd2.fromLog(log, "k", "seq")))
+    val open = folded.filter(col("effective_to").isNull)
+      .groupBy(col("k")).count().filter(col("count") =!= 1)
+    assert(open.isEmpty, "a key without exactly one current version")
+  }
+}
