@@ -675,6 +675,37 @@ object Relational extends QueryModule {
         .as("avg_hours_to_convert"))
   }
 
+  /** Event-type TRANSITION matrix (first-order Markov counts): for every
+    * user's event stream ordered by (epoch second, event_id — the total
+    * order both engines pin), count adjacent (prev → next) type pairs
+    * and row-normalize to transition probabilities. The
+    * sequence-analytics complement of [[funnelOrder]]: the funnel asks
+    * about one fixed pattern, the matrix summarizes ALL observed
+    * adjacencies (drop-off analysis, anomaly detection on shifted
+    * matrices — the DQ-drift idea applied to behavior).
+    *
+    * Scale: one user-keyed exchange, per-user sort of that user's own
+    * history (lag inside the window pass), then a types²-sized rollup —
+    * no self-join; the matrix is vocabulary-sized output from one scan.
+    * The probability is a double ratio of exact longs (gate compares at
+    * 1e-9 — deterministic division of deterministic counts). */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec").asc, col("event_id").asc)
+    val adj = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = adj.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_n"))
+    adj.join(tot, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("row_n").cast("double")).as("p"))
+  }
+
   /** UNION ALL funnel of labeled aggregates — SURVEY U2
     * (ref publisher/mapper/UserStatsMapper.java:12-63). */
   def funnelUnion(s: SparkSession, d: String): DataFrame = {
@@ -1243,6 +1274,7 @@ object Relational extends QueryModule {
     "q_composite_key_join" -> compositeKeyJoin _,
     "q_interval_join"     -> intervalJoin _,
     "q_funnel_order"      -> funnelOrder _,
+    "q_event_transitions" -> eventTransitions _,
     "q_asof_join"         -> asofJoin _,
     "q_salted_join"       -> saltedJoin _,
     "q_tumbling_window"   -> tumblingWindow _,
@@ -1397,6 +1429,19 @@ object Relational extends QueryModule {
         |    NULLIF(SUM(CASE WHEN t_view < t_click AND t_click < t_buy
         |      THEN 1 ELSE 0 END), 0) / 3600.0 AS avg_hours_to_convert
         |FROM per""".stripMargin,
+    "q_event_transitions" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |adj AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |        FROM (SELECT event_type,
+        |                LAG(event_type, 1) OVER (PARTITION BY user_id
+        |                  ORDER BY tsec, event_id) AS prev_type
+        |              FROM o)
+        |        WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, SUM(n) AS row_n FROM adj GROUP BY 1)
+        |SELECT adj.prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE) AS p
+        |FROM adj JOIN tot USING (prev_type)""".stripMargin,
     "q_fuzzy_brand" -> fuzzyBrandSql,
     // deliberately the SAME oracle: deletion-neighborhood blocking is
     // exact for distance <= 1, so the blocked path must reproduce the

@@ -102,6 +102,40 @@ object TextOps extends QueryModule {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Lexical DIVERSITY per document — the distributional quality signal
+    * the ratio heuristics ([[docQuality]]) and the repetition ratio
+    * miss: a doc that loops one phrase scores low diversity even when
+    * its length and stopword ratios look healthy (boilerplate/spam
+    * detection, Gopher-class filtering). Two measures over the token
+    * histogram: type-token ratio, and the Simpson index Σ c(c−1)/(n(n−1))
+    * — the probability two random tokens coincide (its inverse is the
+    * "effective vocabulary size").
+    *
+    * Determinism stance — why Simpson and NOT Shannon entropy: the gate
+    * serializes doubles bit-exactly, and ln() differs between engines at
+    * the ulp level (measured: 3.1389342457020373 vs …64), so any
+    * transcendental-bearing column can never be hash-stable. Simpson and
+    * TTR are single IEEE divisions of exact integer aggregates — the
+    * same mathematical family of concentration signals, bit-deterministic
+    * in both engines. Scale: explode → two partial-aggregable groupBys
+    * keyed by doc; the shuffle carries (doc, token, count) rows, never
+    * text. */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame =
+    docsParallel(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        (count(lit(1)).cast("double") / sum(col("c")).cast("double"))
+          .as("ttr"),
+        (sum(col("c") * (col("c") - 1)).cast("double") /
+          (sum(col("c")) * (sum(col("c")) - 1)).cast("double"))
+          .as("simpson"))
+
   /** Content fingerprints: 128-bit hex + 60-bit numeric. */
   def docFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -1820,6 +1854,7 @@ object TextOps extends QueryModule {
     "q_length_buckets"     -> lengthBuckets _,
     "q_doc_quality"        -> docQuality _,
     "q_lang_id_confusion"  -> langIdConfusion _,
+    "q_lexical_diversity"  -> lexicalDiversity _,
     "q_doc_fingerprint"    -> docFingerprint _,
     "q_exact_dedup_groups" -> exactDedupGroups _,
     "q_dedup_keep_first"   -> dedupKeepFirst _,
@@ -2122,6 +2157,18 @@ object TextOps extends QueryModule {
          |  md5(COALESCE(k.t, '')) AS out_fp,
          |  CAST(length(COALESCE(k.t, '')) AS BIGINT) AS chars_out
          |FROM sarr a LEFT JOIN ka k USING (doc_id)""".stripMargin,
+    "q_lexical_diversity" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, source, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, source, UNNEST($dToks) AS tok
+         |        FROM documents)
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |  COUNT(*) AS n_types,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+         |  CAST(SUM(c * (c - 1)) AS DOUBLE) /
+         |    CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE) AS simpson
+         |FROM c GROUP BY 1, 2""".stripMargin,
     "q_subword_vocab" ->
       s"""$subwordTrainSql
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY wt DESC, g) AS BIGINT)
