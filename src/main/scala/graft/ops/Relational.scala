@@ -806,6 +806,46 @@ object Relational extends QueryModule {
     blockedNearPairs(Tables.part(s, d).select(col("p_brand")).distinct(),
       "p_brand")
 
+  /** TRIANGLE census + global clustering coefficient over the fuzzy-
+    * match similarity graph — the graph-shape audit that tells a dedup
+    * pipeline whether its near-match families are cliquish (true
+    * variant clusters: safe to canonicalize to one representative) or
+    * chainy (transitive drift: A≈B≈C with A̸≈C, where canonicalizing
+    * would over-merge). Connected components answer "what merges";
+    * the clustering coefficient answers "is merging SOUND".
+    *
+    * Edges come from the BLOCKED pair engine ([[blockedNearPairs]] — the
+    * scale path, no broadcast), so the census composes with the
+    * billion-entry dictionary story. Triangle join is the ordered-
+    * adjacency device: edges kept as (lo < hi) once, wedges joined
+    * lo-to-lo so each triangle a<b<c is found exactly once as
+    * (a,b)+(a,c) closed by (b,c) — degree-bounded fan-out, no all-pairs.
+    * Output is one row of exact longs plus cc = 3·T/wedges (single IEEE
+    * division of exact ints — bit-stable under the strict gate; the
+    * brand graph's digit-neighbor cliques make every field live). */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val e = blockedNearPairs(
+        Tables.part(s, d).select(col("p_brand")).distinct(), "p_brand")
+      .select(col("b1"), col("b2")).localCheckpoint()
+    val deg = e.select(col("b1").as("v")).unionAll(e.select(col("b2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+    val tri = e.as("ab")
+      .join(e.as("ac"), col("ab.b1") === col("ac.b1") &&
+        col("ab.b2") < col("ac.b2"))
+      .join(e.as("bc"), col("bc.b1") === col("ab.b2") &&
+        col("bc.b2") === col("ac.b2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles").cast("double") /
+          col("n_wedges").cast("double")).as("clustering_coeff"))
+  }
+
   /** The blocking engine behind [[fuzzyBrandBlocked]], over any distinct
     * single-column dictionary — separated so the property spec can prove
     * deletion-neighborhood completeness on RANDOM dictionaries, not just
@@ -1275,6 +1315,7 @@ object Relational extends QueryModule {
     "q_interval_join"     -> intervalJoin _,
     "q_funnel_order"      -> funnelOrder _,
     "q_event_transitions" -> eventTransitions _,
+    "q_graph_triangles"   -> graphTriangles _,
     "q_asof_join"         -> asofJoin _,
     "q_salted_join"       -> saltedJoin _,
     "q_tumbling_window"   -> tumblingWindow _,
@@ -1442,6 +1483,25 @@ object Relational extends QueryModule {
         |SELECT adj.prev_type, next_type, n,
         |  CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE) AS p
         |FROM adj JOIN tot USING (prev_type)""".stripMargin,
+    "q_graph_triangles" ->
+      """WITH b AS (SELECT DISTINCT p_brand FROM part),
+        |e AS (SELECT x.p_brand AS b1, y.p_brand AS b2
+        |      FROM b x JOIN b y ON x.p_brand < y.p_brand
+        |      WHERE levenshtein(x.p_brand, y.p_brand) <= 1),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM (
+        |          SELECT b1 AS v FROM e UNION ALL SELECT b2 AS v FROM e)
+        |        GROUP BY 1),
+        |w AS (SELECT COUNT(*) AS n_nodes,
+        |        CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+        |      FROM deg),
+        |t AS (SELECT COUNT(*) AS n_triangles
+        |      FROM e ab JOIN e ac ON ab.b1 = ac.b1 AND ab.b2 < ac.b2
+        |        JOIN e bc ON bc.b1 = ab.b2 AND bc.b2 = ac.b2),
+        |m AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+        |    AS clustering_coeff
+        |FROM m, w, t""".stripMargin,
     "q_fuzzy_brand" -> fuzzyBrandSql,
     // deliberately the SAME oracle: deletion-neighborhood blocking is
     // exact for distance <= 1, so the blocked path must reproduce the
