@@ -533,7 +533,8 @@ object Relational extends QueryModule {
       df.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= KmvK).drop("rn")
     }
-    // per-sample / per-population quantile picks at rank floor((n−1)p)+1
+    // per-sample quantile picks at rank floor((n−1)p)+1 — ROW-rank form,
+    // used only on bottom-k SAMPLES (≤ cells × k rows)
     def picks(df: DataFrame, parts: Seq[String], nName: String,
         p50Name: String, p90Name: String): DataFrame = {
       val wp = if (parts.isEmpty) Window.partitionBy()
@@ -550,6 +551,30 @@ object Relational extends QueryModule {
       agged.agg(max(col("ns")).as(nName),
         pick(0.5, p50Name), pick(0.9, p90Name))
     }
+    // exact-audit picks — the HISTOGRAM cumulative device (the
+    // [[valueQuantiles]] shape): the window walks distinct-cents
+    // histogram rows, never raw rows, so the global all-up pick costs a
+    // cents-cardinality sort, not a corpus sort. Same floor((n−1)p)+1
+    // rank, identical picked value.
+    def histPicks(df: DataFrame, parts: Seq[String], nName: String,
+        p50Name: String, p90Name: String): DataFrame = {
+      val hist = df.groupBy((parts :+ "cents").map(col): _*)
+        .agg(count(lit(1)).as("ct"))
+      val wp = if (parts.isEmpty) Window.partitionBy()
+        else Window.partitionBy(parts.map(col): _*)
+      val cum = hist
+        .withColumn("cum", sum(col("ct")).over(wp.orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ns", sum(col("ct")).over(wp))
+      def pick(p: Double, name: String) =
+        min(when(col("cum") >=
+          (floor((col("ns") - 1) * lit(p)) + 1).cast("long"),
+          col("cents"))).as(name)
+      val agged = if (parts.isEmpty) cum.groupBy()
+        else cum.groupBy(parts.map(col): _*)
+      agged.agg(max(col("ns")).as(nName),
+        pick(0.5, p50Name), pick(0.9, p90Name))
+    }
 
     val hourS = bottomK(e.select(col("day"), col("hr"), col("h"),
       col("cents")), Seq("day", "hr")).localCheckpoint()
@@ -558,14 +583,15 @@ object Relational extends QueryModule {
     val allS = bottomK(dayS.select(col("h"), col("cents")), Nil)
 
     val dayOut = picks(dayS, Seq("day"), "n_sample", "est_p50", "est_p90")
-      .join(picks(e, Seq("day"), "n_rows", "exact_p50", "exact_p90"), "day")
+      .join(histPicks(e, Seq("day"), "n_rows", "exact_p50", "exact_p90"),
+        "day")
       .join(e.groupBy(col("day"))
         .agg(countDistinct(col("hr")).as("n_merged")), "day")
       .select(lit("day").as("grain"), col("day").as("bucket"),
         col("n_merged"), col("n_rows"), col("n_sample"),
         col("est_p50"), col("est_p90"), col("exact_p50"), col("exact_p90"))
     val allOut = picks(allS, Nil, "n_sample", "est_p50", "est_p90")
-      .crossJoin(picks(e, Nil, "n_rows", "exact_p50", "exact_p90"))
+      .crossJoin(histPicks(e, Nil, "n_rows", "exact_p50", "exact_p90"))
       .crossJoin(e.agg(countDistinct(col("day")).as("n_merged")))
       .select(lit("all").as("grain"), lit("ALL").as("bucket"),
         col("n_merged"), col("n_rows"), col("n_sample"),
