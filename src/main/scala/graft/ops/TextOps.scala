@@ -199,13 +199,15 @@ object TextOps extends QueryModule {
     * window device) and [[dupSpanProfile]] (span *profiling* without
     * removal) — this operator is the removal+rebuild member of that
     * family. */
-  def segmentDedup(s: SparkSession, d: String): DataFrame = {
-    val src = docsParallel(s, d).select(col("doc_id"), col("source"), col("text"))
-    // The zz tail is computed in its OWN projection, before the id is
-    // re-aliased: inside one select Spark resolved the lambda's
-    // col("doc_id") against the post-offset alias (observed: 28-char
-    // zz_uni_<2^62+id>_k tokens), silently diverging from the SQL-scoped
-    // oracle. Two-step projection pins the original id.
+  /** Shared plant construction for the removal-dedup pair
+    * ([[segmentDedup]], [[spanDedup]]): partial host-prefix copies
+    * (%41, [[PlantOffset]]) and full byte-identical copies (%43,
+    * [[PlantOffset2]]). The zz tail is computed in its OWN projection,
+    * before the id is re-aliased: inside one select Spark resolved the
+    * lambda's col("doc_id") against the post-offset alias (observed:
+    * 28-char zz_uni_<2^62+id>_k tokens), silently diverging from the
+    * SQL-scoped oracle. Two-step projection pins the original id. */
+  private def plantedAug(src: DataFrame): DataFrame = {
     val partial = src
       .filter(col("doc_id") % 41 === 3 && size(tokens(col("text"))) >= SegW)
       .withColumn("ztail", concat_ws(" ", transform(sequence(lit(1), lit(SegW)),
@@ -221,7 +223,12 @@ object TextOps extends QueryModule {
       .filter(col("doc_id") % 43 === 7)
       .select((col("doc_id") + PlantOffset2).as("doc_id"), col("source"),
         col("text"))
-    val aug = src.unionByName(partial).unionByName(fullCopy)
+    src.unionByName(partial).unionByName(fullCopy)
+  }
+
+  def segmentDedup(s: SparkSession, d: String): DataFrame = {
+    val src = docsParallel(s, d).select(col("doc_id"), col("source"), col("text"))
+    val aug = plantedAug(src)
 
     val withSegs = aug
       .withColumn("toks", tokens(col("text")))
@@ -249,6 +256,69 @@ object TextOps extends QueryModule {
         col("nseg").cast("long").as("n_seg"),
         (col("nseg") - coalesce(size(col("dropped")), lit(0))).cast("long").as("n_kept"),
         coalesce(size(col("dropped")), lit(0)).cast("long").as("n_dropped"),
+        md5(col("text_out")).as("out_fp"),
+        length(col("text_out")).cast("long").as("chars_out"))
+  }
+
+  /** Overlapping-SPAN exact dedup with removal — the Lee et al. (ACL'22)
+    * substring-dedup class, completing the removal family at its finest
+    * granularity: [[dedupKeepFirst]] removes whole docs, [[segmentDedup]]
+    * fixed 16-token passages, this removes every token covered by a
+    * duplicated 8-token span whose FIRST occurrence (lexicographic min
+    * (doc_id, pos) per gram md5) lives elsewhere — overlapping
+    * duplicate spans union into one covered region, exactly how
+    * substring dedup behaves on real corpora. [[dupSpanProfile]] is the
+    * read-only audit of the same signal; this executes the removal and
+    * rebuilds the text.
+    *
+    * Same no-text-shuffle plan as [[segmentDedup]]: the content-keyed
+    * exchange carries (md5, doc_id, pos) triples; the winner is a
+    * map-side-combinable min-struct aggregate; non-winner occurrences
+    * explode to covered token indices (8 per span, pre-distinct'd) and
+    * return doc-keyed as broadcast covered-index lists; removal is a
+    * per-row filter of the doc's own token array. Plants (shared
+    * [[plantedAug]] builders): full copies lose every token (all their
+    * grams' winners are the host's), partial plants lose exactly the
+    * copied 16-token prefix — the zz tail's grams straddling the prefix
+    * boundary are globally unique, so coverage stops at token 15 and
+    * reassembly keeps precisely the tail (TextSpec pins both, plus
+    * byte-exact reassembly of untouched docs). */
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val src = docsParallel(s, d).select(col("doc_id"), col("source"), col("text"))
+    val aug = plantedAug(src)
+      .withColumn("toks", tokens(col("text")))
+
+    val light = aug
+      // CASE guard, not greatest(): Spark's sequence(0, -1) yields the
+      // DESCENDING [0, -1] (CLAUDE.md trap), so sub-W docs must take an
+      // explicit empty-array branch
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(toks) >= $W THEN " +
+          s"transform(sequence(0, size(toks) - $W), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $W))) " +
+          "ELSE CAST(array() AS array<string>) END")))
+      .select(md5(col("col")).as("fp"), col("doc_id"), col("pos"))
+    val winners = light.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val covered = light.join(winners, Seq("fp"))
+      .filter(col("doc_id") =!= col("w.doc_id") ||
+        col("pos") =!= col("w.pos"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("idx"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("idx")).as("covered"))
+
+    aug.join(broadcast(covered), Seq("doc_id"), "left")
+      .withColumn("text_out", expr(
+        """concat_ws(' ', transform(
+          |  filter(transform(toks, (x, i) -> named_struct('i', i, 'x', x)),
+          |         p -> covered IS NULL OR NOT array_contains(covered, p.i)),
+          |  p -> p.x))""".stripMargin))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tok"),
+        coalesce(size(col("covered")), lit(0)).cast("long").as("n_covered"),
         md5(col("text_out")).as("out_fp"),
         length(col("text_out")).cast("long").as("chars_out"))
   }
@@ -1859,6 +1929,7 @@ object TextOps extends QueryModule {
     "q_exact_dedup_groups" -> exactDedupGroups _,
     "q_dedup_keep_first"   -> dedupKeepFirst _,
     "q_segment_dedup"      -> segmentDedup _,
+    "q_span_dedup"         -> spanDedup _,
     "q_delta_dedup"        -> deltaDedup _,
     "q_delta_dedup_bloom"  -> deltaDedupBloom _,
     "q_delta_neardup"      -> deltaNearDup _,
@@ -1890,6 +1961,24 @@ object TextOps extends QueryModule {
     "q_decontaminate"      -> decontaminate _,
     "q_doc_chunks"         -> docChunks _,
   )
+
+  /** Shared plant-construction CTE prefix of the removal-dedup pair —
+    * mirrors [[plantedAug]]; both oracles must build the identical
+    * augmented corpus. */
+  private val plantedAugSql: String =
+    s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+       |tk AS (SELECT doc_id, source, text, $dToks AS toks FROM base),
+       |partial AS (
+       |  SELECT doc_id + $PlantOffset AS doc_id, source,
+       |    array_to_string(toks[1:$SegW], ' ') || ' ' ||
+       |    array_to_string(list_transform(range(1, ${SegW + 1}),
+       |      k -> 'zz_uni_' || CAST(doc_id AS VARCHAR) || '_' ||
+       |           CAST(k AS VARCHAR)), ' ') AS text
+       |  FROM tk WHERE doc_id % 41 = 3 AND len(toks) >= $SegW),
+       |fullc AS (SELECT doc_id + $PlantOffset2 AS doc_id, source, text
+       |  FROM base WHERE doc_id % 43 = 7),
+       |aug AS (SELECT * FROM base UNION ALL SELECT * FROM partial
+       |        UNION ALL SELECT * FROM fullc)""".stripMargin
 
   /** Shared training prefix of the subword pair: the corpus word count,
     * the dictionary, and the weighted 2–4-gram table. RECURSIVE is on the
@@ -2114,20 +2203,41 @@ object TextOps extends QueryModule {
       """SELECT source, COUNT(*) AS n_kept FROM (
         |  SELECT source, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_span_dedup" ->
+      s"""$plantedAugSql,
+         |tk2 AS (SELECT doc_id, source, text, $dToks AS toks FROM aug),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    md5(array_to_string(
+         |      toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS fp
+         |  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) - 6)) AS i
+         |        FROM tk2 WHERE len(toks) >= 8)),
+         |w1 AS (SELECT fp, MIN(doc_id) AS wdoc FROM grams GROUP BY 1),
+         |w AS (SELECT g.fp, w1.wdoc, MIN(g.pos) AS wpos
+         |      FROM grams g JOIN w1 ON g.fp = w1.fp AND g.doc_id = w1.wdoc
+         |      GROUP BY 1, 2),
+         |nonwin AS (SELECT g.doc_id, g.pos FROM grams g JOIN w ON g.fp = w.fp
+         |           WHERE NOT (g.doc_id = w.wdoc AND g.pos = w.wpos)),
+         |cov AS (SELECT DISTINCT doc_id, pos + k AS idx
+         |        FROM (SELECT doc_id, pos, UNNEST(range(0, 8)) AS k
+         |              FROM nonwin)),
+         |tokr AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS idx,
+         |         UNNEST(toks) AS tok FROM tk2),
+         |keptt AS (SELECT t.doc_id, t.idx, t.tok FROM tokr t
+         |          WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |            WHERE c.doc_id = t.doc_id AND c.idx = t.idx)),
+         |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS t
+         |       FROM keptt GROUP BY 1)
+         |SELECT a.doc_id, a.source, CAST(len(a.toks) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(cc.nc, 0) AS BIGINT) AS n_covered,
+         |  md5(COALESCE(k.t, '')) AS out_fp,
+         |  CAST(length(COALESCE(k.t, '')) AS BIGINT) AS chars_out
+         |FROM tk2 a
+         |LEFT JOIN (SELECT doc_id, COUNT(*) AS nc FROM cov GROUP BY 1) cc
+         |  USING (doc_id)
+         |LEFT JOIN ka k USING (doc_id)""".stripMargin,
     "q_segment_dedup" ->
-      s"""WITH base AS (SELECT doc_id, source, text FROM documents),
-         |tk AS (SELECT doc_id, source, text, $dToks AS toks FROM base),
-         |partial AS (
-         |  SELECT doc_id + $PlantOffset AS doc_id, source,
-         |    array_to_string(toks[1:$SegW], ' ') || ' ' ||
-         |    array_to_string(list_transform(range(1, ${SegW + 1}),
-         |      k -> 'zz_uni_' || CAST(doc_id AS VARCHAR) || '_' ||
-         |           CAST(k AS VARCHAR)), ' ') AS text
-         |  FROM tk WHERE doc_id % 41 = 3 AND len(toks) >= $SegW),
-         |fullc AS (SELECT doc_id + $PlantOffset2 AS doc_id, source, text
-         |  FROM base WHERE doc_id % 43 = 7),
-         |aug AS (SELECT * FROM base UNION ALL SELECT * FROM partial
-         |        UNION ALL SELECT * FROM fullc),
+      s"""$plantedAugSql,
          |seg AS (SELECT doc_id, source, $dToks AS toks,
          |        (len($dToks) + ${SegW - 1}) // $SegW AS nseg FROM aug),
          |sarr AS (SELECT doc_id, source, nseg,

@@ -366,6 +366,40 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup: full copies empty out, partial plants lose exactly " +
+      "the 16-token prefix, untouched docs are byte-exact, and the " +
+      "natural boilerplate leg is live") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val out = TextOps.spanDedup(spark, TestSession.sf).localCheckpoint()
+    val po1 = 1L << 62
+    val po2 = (1L << 62) + (1L << 61)
+
+    val full = out.filter(col("doc_id") >= po2)
+    assert(full.count() > 0)
+    assert(full.filter(col("n_covered") =!= col("n_tok") ||
+      col("chars_out") =!= 0).count() == 0,
+      "a full copy kept a token — some of its spans were not dominated")
+
+    // partial plants: coverage is EXACTLY the copied 16-token prefix
+    // (grams straddling into the unique zz tail are their own winners)
+    val partial = out.filter(col("doc_id") >= po1 && col("doc_id") < po2)
+    assert(partial.count() > 0)
+    assert(partial.filter(col("n_covered") =!= 16).count() == 0,
+      "partial-plant coverage leaked past the prefix boundary")
+
+    val untouched = out
+      .filter(col("doc_id") < po1 && col("n_covered") === 0)
+      .join(Tables.documents(spark, TestSession.sf), Seq("doc_id"))
+    assert(untouched.count() > 0)
+    assert(untouched.filter(col("out_fp") =!= md5(col("text"))).count() == 0)
+
+    // the corpus generator repeats boilerplate phrases across docs —
+    // the base-side span removal must be live on them
+    assert(out.filter(col("doc_id") < po1 && col("n_covered") > 0)
+      .count() > 0, "degenerate: no natural repeated spans removed")
+  }
+
   test("segment dedup: both plant families live (partial keeps its unique " +
       "tail, full copies empty out) and reassembly is byte-exact") {
     val spark = TestSession.spark
