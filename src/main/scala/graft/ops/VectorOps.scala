@@ -238,6 +238,40 @@ object VectorOps extends QueryModule {
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** ANN RECALL AUDIT as a first-class gated query: per probe, how many
+    * of the exact cosine top-5 ([[annBruteforce]]) the multi-probe LSH
+    * path ([[annMultiprobe]]) actually returned. VectorSpec pins recall
+    * floors in-JVM; this makes the quality metric itself part of the
+    * cross-engine contract — the DuckDB oracle recomputes BOTH search
+    * paths and the intersection, so a silent recall regression in either
+    * engine's path breaks the hash gate, not just a spec threshold.
+    * Everything is exact integer counts plus one n/5 division
+    * (bit-stable). Scale: composes two already-bounded top-k pipelines;
+    * the intersection join is probes × k rows.
+    *
+    * What it MEASURES here is itself the point: on the synthetic
+    * near-uniform embeddings (the adversarial geometry for sign-LSH —
+    * little cluster structure for hyperplanes to exploit), hamming-1
+    * multi-probe recall@5 is 0–0.2 at sf0.01. That is the true number,
+    * and it is why the catalog carries the recall DIALS (more probes:
+    * `q_ivf_multiprobe`; shortlist + exact re-rank: `q_ann_pq`, whose
+    * 40/40 shortlist recall VectorSpec pins) rather than one blessed
+    * index — a production pipeline picks the operating point from
+    * exactly this audit. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val bf = annBruteforce(s, d).select(col("probe_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val mp = annMultiprobe(s, d).select(col("probe_id"), col("neighbor_id"))
+    val hits = bf.join(mp, Seq("probe_id", "neighbor_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
+    bf.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") / 5.0)
+          .as("recall_at_5"))
+  }
+
   /** IVF-style search. Coarse quantizer = per-label element-wise mean;
     * probes search only their nearest list.
     *
@@ -352,6 +386,7 @@ object VectorOps extends QueryModule {
     "q_lsh_buckets"    -> lshBuckets _,
     "q_ann_lsh"        -> annLsh _,
     "q_ann_multiprobe" -> annMultiprobe _,
+    "q_ann_recall"     -> annRecall _,
     "q_embed_neardup"  -> embedNearDup _,
     "q_embed_neardup_components" -> embedNearDupComponents _,
     "q_ivf_topk"       -> ivfTopk _,
@@ -810,6 +845,42 @@ object VectorOps extends QueryModule {
          |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |FROM scored
          |QUALIFY rank <= 5""".stripMargin
+    },
+    "q_ann_recall" -> {
+      val nbrs = "bucket" +: (0 until Planes.length).map(j => s"xor(bucket, ${1 << j})")
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+         |      FROM embeddings),
+         |bscored AS (
+         |  SELECT probe_id, neighbor_id, ${dCos("pvec", "cvec")} AS sim
+         |  FROM c CROSS JOIN p WHERE neighbor_id <> probe_id),
+         |bf AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT probe_id, neighbor_id, ROW_NUMBER() OVER
+         |    (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC)
+         |    AS rank FROM bscored) WHERE rank <= 5),
+         |wb AS (SELECT vec_id, embedding, $dBucket AS bucket
+         |       FROM embeddings),
+         |p2 AS (SELECT vec_id AS probe_id, embedding AS pvec, bucket
+         |       FROM wb WHERE vec_id < 8),
+         |pb AS (SELECT probe_id, pvec,
+         |         UNNEST([${nbrs.mkString(", ")}]) AS bucket FROM p2),
+         |c2 AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket
+         |       FROM wb),
+         |mscored AS (
+         |  SELECT probe_id, neighbor_id, ${dCos("pvec", "cvec")} AS sim
+         |  FROM c2 JOIN pb USING (bucket) WHERE neighbor_id <> probe_id),
+         |mp AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT probe_id, neighbor_id, ROW_NUMBER() OVER
+         |    (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC)
+         |    AS rank FROM mscored) WHERE rank <= 5),
+         |hits AS (SELECT bf.probe_id, COUNT(*) AS h
+         |         FROM bf JOIN mp USING (probe_id, neighbor_id)
+         |         GROUP BY 1)
+         |SELECT probe_id, CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h, 0) AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM (SELECT DISTINCT probe_id FROM bf) LEFT JOIN hits
+         |  USING (probe_id)""".stripMargin
     },
     "q_embed_neardup" ->
       s"""WITH $embedNearDupCtes
