@@ -45,6 +45,38 @@ class VectorSpec extends AnyFunSuite {
     assert((ivf & truth).nonEmpty, "IVF found no true neighbor")
   }
 
+  test("recall audit: per-probe recall is consistent with ground truth " +
+      "and multi-probe recall dominates the single-bucket path") {
+    // probing MORE buckets can never lower recall: the candidate set
+    // grows, and any exact-top-5 member among candidates outranks every
+    // non-member under the same sim order. A violation means the probe
+    // fan-out or the top-k merge broke.
+    def recallByProbe(df: org.apache.spark.sql.DataFrame,
+        truth: Map[Long, Set[Long]]): Map[Long, Int] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1)
+        .map { case (p, rows) =>
+          p -> rows.map(_._2).count(truth(p).contains) }
+    val truth = ops.VectorOps.annBruteforce(spark, TestSession.sf)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).toSet }
+    val single = recallByProbe(
+      ops.VectorOps.annLsh(spark, TestSession.sf), truth)
+    val multi = recallByProbe(
+      ops.VectorOps.annMultiprobe(spark, TestSession.sf), truth)
+    truth.keys.foreach { p =>
+      assert(multi.getOrElse(p, 0) >= single.getOrElse(p, 0),
+        s"probe $p: multi-probe recall below single-bucket")
+    }
+    // and the gated audit query reports exactly these counts
+    val audited = ops.VectorOps.annRecall(spark, TestSession.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audited === truth.keys.map(p =>
+      p -> multi.getOrElse(p, 0).toLong).toMap)
+  }
+
   test("trained-PQ re-rank recall@5 vs exact-L2 ground truth") {
     import org.apache.spark.sql.expressions.Window
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
