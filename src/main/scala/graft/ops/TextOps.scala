@@ -95,6 +95,54 @@ object TextOps extends QueryModule {
         when(col("avg_tok_len").between(3.0, 10.0), 1).otherwise(0))
   }
 
+  /** Per-source DATASET CARD — the one-row-per-source profile a pipeline
+    * exports before training (Datasheets-for-Datasets class): volume
+    * (docs/tokens/chars), quality mix (full-quality count + mean score),
+    * language mix (predicted-en count via the [[langId]] heuristic),
+    * lexical concentration (micro type-token ratio — Σtypes/Σtokens, ONE
+    * division of exact longs, never an average of per-doc doubles, which
+    * would reassociate and break the bit-exact gate), and the exact-dup
+    * profile (distinct content fingerprints). Every column is an exact
+    * integer aggregate or a single IEEE division of two — the
+    * determinism discipline for doubles under the strict gate.
+    *
+    * Scale: one scan, all signals are per-row map stages (codegen'd
+    * collection functions, no lambda HOFs), one source-keyed
+    * partial-aggregable rollup; output is sources-sized. */
+  def sourceDatasheet(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val perDoc = docsParallel(s, d).select(
+        col("source"),
+        md5(col("text")).as("fp"),
+        size(t).as("n_tok"),
+        size(array_distinct(t)).as("n_types"),
+        length(col("text")).cast("long").as("n_chars"),
+        stopwordCount(t, EnMarkers).as("stop_ct"),
+        (length(col("text")) - (size(t) - 1)).cast("long").as("char_sum"),
+        langId(t).as("pred_lang"))
+      .withColumn("stop_ratio", col("stop_ct").cast("double") / col("n_tok"))
+      .withColumn("avg_tok_len", col("char_sum").cast("double") / col("n_tok"))
+      .withColumn("quality",
+        when(col("n_tok").between(30, 500), 1).otherwise(0) +
+        when(col("stop_ratio") >= 0.02 && col("stop_ratio") <= 0.6, 1)
+          .otherwise(0) +
+        when(col("avg_tok_len").between(3.0, 10.0), 1).otherwise(0))
+    perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(when(col("quality") === 3, 1).otherwise(0)).cast("long")
+        .as("n_quality3"),
+      (sum(col("quality")).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_quality"),
+      sum(when(col("pred_lang") === "en", 1).otherwise(0)).cast("long")
+        .as("n_en"),
+      sum(col("n_types")).as("sum_types"),
+      (sum(col("n_types")).cast("double") / sum(col("n_tok")).cast("double"))
+        .as("ttr_micro"),
+      countDistinct(col("fp")).as("n_distinct_fp"))
+  }
+
   /** Language-ID heuristic vs the labeled `lang` column (confusion matrix). */
   def langIdConfusion(s: SparkSession, d: String): DataFrame =
     docsParallel(s, d)
@@ -1925,6 +1973,7 @@ object TextOps extends QueryModule {
     "q_doc_quality"        -> docQuality _,
     "q_lang_id_confusion"  -> langIdConfusion _,
     "q_lexical_diversity"  -> lexicalDiversity _,
+    "q_source_datasheet"   -> sourceDatasheet _,
     "q_doc_fingerprint"    -> docFingerprint _,
     "q_exact_dedup_groups" -> exactDedupGroups _,
     "q_dedup_keep_first"   -> dedupKeepFirst _,
@@ -2267,6 +2316,44 @@ object TextOps extends QueryModule {
          |  md5(COALESCE(k.t, '')) AS out_fp,
          |  CAST(length(COALESCE(k.t, '')) AS BIGINT) AS chars_out
          |FROM sarr a LEFT JOIN ka k USING (doc_id)""".stripMargin,
+    "q_source_datasheet" ->
+      s"""WITH perdoc AS (
+         |  SELECT source, md5(text) AS fp, len(t) AS n_tok,
+         |    len(list_distinct(t)) AS n_types,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    len(list_filter(t, x -> x IN ${dIn(EnMarkers)})) AS en,
+         |    len(list_filter(t, x -> x IN ${dIn(CodeMarkers)})) AS code,
+         |    CAST(length(text) - (len(t) - 1) AS BIGINT) AS char_sum
+         |  FROM (SELECT source, text, $dToks AS t FROM documents)),
+         |q AS (
+         |  SELECT *,
+         |    CAST(en AS DOUBLE) / n_tok AS stop_ratio,
+         |    CAST(char_sum AS DOUBLE) / n_tok AS avg_tok_len,
+         |    CASE WHEN en = 0 AND code = 0 THEN 'und'
+         |         WHEN en >= code THEN 'en' ELSE 'code' END AS pred_lang
+         |  FROM perdoc),
+         |q2 AS (
+         |  SELECT *,
+         |    (CASE WHEN n_tok BETWEEN 30 AND 500 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.6
+         |          THEN 1 ELSE 0 END) +
+         |    (CASE WHEN avg_tok_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+         |      AS quality
+         |  FROM q)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(CASE WHEN quality = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality3,
+         |  CAST(SUM(quality) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS avg_quality,
+         |  CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_en,
+         |  CAST(SUM(n_types) AS BIGINT) AS sum_types,
+         |  CAST(SUM(n_types) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+         |    AS ttr_micro,
+         |  COUNT(DISTINCT fp) AS n_distinct_fp
+         |FROM q2 GROUP BY 1""".stripMargin,
     "q_lexical_diversity" ->
       s"""WITH c AS (
          |  SELECT doc_id, source, tok, COUNT(*) AS c
