@@ -14,7 +14,7 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] =
     Seq(Relational, TextOps, VectorOps, WindowOps, MultimodalOps, DwsOps,
-      OrderWide, graft.ads.AdsQueries)
+      OrderWide, RetrievalOps, CatalogOps, graft.ads.AdsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,312 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Catalog / table-maintenance operators: ANALYZE-style column statistics
+  * (the CBO's food) and the small-file compaction planner (the OPTIMIZE
+  * mechanism's planning half, complementing `q_zorder_layout`'s clustering
+  * half).
+  *
+  * Reference capability analog: the warehouse serves ClickHouse tables the
+  * reference never profiles — statistics and compaction are the operations
+  * a lakehouse adds on top (Delta OPTIMIZE / ANALYZE TABLE). Cited shapes:
+  * the per-table stats DDL the reference hand-maintains
+  * (`gmall-publisher-2022` mappers assume fixed table layouts, e.g.
+  * `TradeStatsMapper.java:18-37`) becomes measured statistics here.
+  *
+  * 100 TB stance:
+  *   - [[columnStats]] reads the fact table ONCE: the per-column rows come
+  *     from an `explode(array(struct…))` stack, so Catalyst sees a single
+  *     parquet scan followed by a ×C row expansion of (name, canonical
+  *     string, numeric) triples — C = profiled columns, never a second
+  *     scan. All downstream aggregation is partial-aggregable, and the NDV
+  *     sketch is the repo's deterministic KMV (dense_rank ≤ k →
+  *     WindowGroupLimit: each map task forwards at most k hashes per
+  *     column, so sketch shuffle is columns × k regardless of row count).
+  *     The emitted stats are exactly what a cost-based optimizer consumes
+  *     (rows, nulls, NDV, min/max, mean width) — and mergeable: KMV
+  *     sketches from per-partition ANALYZE runs union into table-level
+  *     NDV by the bottom-k identity the kmv-rollup entries prove.
+  *   - [[compactionPlan]] never touches rows at planning time beyond the
+  *     day-grain rollup: the bin-packer's input is the partition-stats
+  *     table (one row per (event_type, day) — metastore-sized), and the
+  *     greedy day-order binning is a per-type prefix sum over that tiny
+  *     table. The plan's execution (not modeled here) is the rewrite;
+  *     planning cost stays proportional to partition COUNT at any data
+  *     volume, which is why this runs as a frequent maintenance job.
+  */
+object CatalogOps extends QueryModule {
+
+  /** KMV sketch size for NDV estimation (error ~ 1/sqrt(k) ≈ 6%). */
+  val StatsKmvK = 256
+  /** Compaction target output-file size (bytes, modeled). */
+  val CompactTargetBytes = 16384L
+  /** Modeled fixed per-row storage overhead added to `length(props)`. */
+  val RowOverheadBytes = 64L
+
+  /** One profiled column: its name, the cross-engine canonical string
+    * encoding (hashing/NDV/width domain), and a numeric image for
+    * min/max (NULL for non-numeric columns). Canonical forms are chosen
+    * bit-deterministic in both engines: integers and scale-2 decimals
+    * print identically, dates go through 'yyyy-MM-dd', and raw doubles
+    * are never stringified (the formatting would diverge). */
+  private case class Profiled(name: String, vStr: Column, vNum: Column)
+
+  private def profiledCols: Seq[Profiled] = Seq(
+    Profiled("l_orderkey", col("l_orderkey").cast("string"),
+      col("l_orderkey").cast("double")),
+    // raw-double → DECIMAL is the sanctioned canonicalization direction
+    // (CLAUDE.md trap list); double → BIGINT would diverge (Spark
+    // truncates, DuckDB rounds) the moment a non-integral quantity ships.
+    Profiled("l_quantity",
+      col("l_quantity").cast("decimal(18,2)").cast("string"),
+      col("l_quantity")),
+    Profiled("l_extendedprice",
+      col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+      col("l_extendedprice")),
+    Profiled("l_returnflag", col("l_returnflag"),
+      lit(null).cast("double")),
+    Profiled("l_shipdate", date_format(col("l_shipdate"), "yyyy-MM-dd"),
+      unix_timestamp(col("l_shipdate")).cast("double")),
+  )
+
+  /** ANALYZE-style column statistics over `lineitem` in ONE scan:
+    * rows / nulls / exact NDV / deterministic-KMV NDV (+ its accuracy
+    * audit flag) / lexicographic min-max of the canonical encoding /
+    * numeric min-max / mean encoded width. */
+  def columnStats(s: SparkSession, d: String): DataFrame = {
+    val stacked = Tables.lineitem(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(array(profiledCols.map(p =>
+        struct(lit(p.name).as("col_name"), p.vStr.as("v_str"),
+          p.vNum.as("v_num"))): _*)).as("c"))
+      .select(col("c.*"))
+    val base = stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("v_str"))).as("n_null"),
+      countDistinct(col("v_str")).as("ndv_exact"),
+      min(col("v_str")).as("min_str"),
+      max(col("v_str")).as("max_str"),
+      min(col("v_num")).as("min_num"),
+      max(col("v_num")).as("max_num"),
+      (sum(length(col("v_str"))).cast("double") /
+        nullif(count(col("v_str")), lit(0L)).cast("double")).as("avg_len"))
+    val h = stacked.filter(col("v_str").isNotNull)
+      .select(col("col_name"),
+        conv(substring(md5(col("v_str")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+    val w = Window.partitionBy(col("col_name")).orderBy(col("h"))
+    val est = h.withColumn("rn", dense_rank().over(w))
+      .filter(col("rn") <= StatsKmvK)
+      .groupBy(col("col_name"))
+      .agg(countDistinct(col("h")).as("n_kept"), max(col("h")).as("kth"))
+      .select(col("col_name"),
+        when(col("n_kept") < StatsKmvK, col("n_kept"))
+          .otherwise(floor(
+            lit((StatsKmvK - 1).toDouble) * lit((1L << 60).toDouble)
+              / col("kth").cast("double")))
+          .cast("long").as("ndv_kmv"))
+    base.join(est, Seq("col_name"))
+      .withColumn("within_15pct",
+        (abs(col("ndv_kmv") - col("ndv_exact")).cast("double")
+          <= col("ndv_exact").cast("double") * 0.15).cast("long"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("ndv_exact"), col("ndv_kmv"), col("within_15pct"),
+        col("min_str"), col("max_str"), col("min_num"), col("max_num"),
+        col("avg_len"))
+  }
+
+  /** Small-file compaction plan over the events table's (event_type, day)
+    * partitions: per type in day order, partitions are packed whole into
+    * output files of ≈[[CompactTargetBytes]] via the exclusive-prefix-sum
+    * bin device (`bin = cum_before div target` — the same associative
+    * scan `q_seq_packing_sharded` parallelizes, so the planner itself
+    * shards at scale). Emits one row per planned output file with its
+    * merge range and fill ratio. */
+  def compactionPlan(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(length(col("props"))) + count(lit(1)) * RowOverheadBytes)
+          .as("bytes"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("bin_id",
+        expr(s"(cum - bytes) div $CompactTargetBytes"))
+      .groupBy(col("event_type"), col("bin_id"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("n_rows")).as("n_rows"),
+        sum(col("bytes")).as("bytes"),
+        min(col("day")).as("day_from"), max(col("day")).as("day_to"))
+      .withColumn("fill",
+        col("bytes").cast("double") / lit(CompactTargetBytes.toDouble))
+  }
+
+  /** Erasure-request registry: every key ≡ [[GdprResidue]] (mod
+    * [[GdprModulus]]) across the subject-key spaces. 13 is coprime to
+    * every plant/split modulus in use (CLAUDE.md discipline). */
+  val GdprModulus = 13L
+  val GdprResidue = 4L
+
+  /** GDPR/right-to-be-forgotten delete propagation: one erasure-request
+    * registry anti-joined through every table keyed by a data-subject id
+    * (events.user_id, orders.o_custkey, customer.c_custkey), with a
+    * per-table audit row — rows before/deleted/after, how many of the
+    * requested keys were present, and `surviving_matches`, the count of
+    * post-delete rows still referencing a requested key, which the gate
+    * pins to 0 (the anti-join's contract, hash-checked rather than
+    * assumed).
+    *
+    * Scale: the registry is request-sized (≪ data) and broadcasts; the
+    * purge is a broadcast LEFT ANTI per table — one map-side pass, no
+    * fact shuffle. On the bucketed dim store (`CdcOps.routeDims` layout)
+    * the rewrite touches only buckets whose pk-hash matches a requested
+    * key, so delete I/O is O(touched buckets), the same bound as ingest;
+    * at lakehouse scale this is the MERGE DELETE + vacuum pair. The
+    * audit legs here re-scan per table for clarity — production folds
+    * before/deleted/after into the purge pass itself with a flag
+    * aggregation (one scan), same plan family as [[columnStats]]. */
+  def gdprPurge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val or = Tables.orders(s, d)
+    val cu = Tables.customer(s, d)
+    val reqs = ev.select(col("user_id").as("k"))
+      .union(or.select(col("o_custkey").as("k")))
+      .union(cu.select(col("c_custkey").as("k")))
+      .distinct()
+      .filter(pmod(col("k"), lit(GdprModulus)) === lit(GdprResidue))
+      .localCheckpoint()
+    val nReq = reqs.count()
+    def leg(name: String, keyCol: String, t: DataFrame): DataFrame = {
+      val before = t.agg(count(lit(1)).as("rows_before"))
+      val deleted = t.join(broadcast(reqs), t(keyCol) === reqs("k"),
+          "left_semi")
+        .agg(count(lit(1)).as("rows_deleted"),
+          countDistinct(col(keyCol)).as("keys_present"))
+      val after = t.join(broadcast(reqs), t(keyCol) === reqs("k"),
+          "left_anti")
+        .agg(count(lit(1)).as("rows_after"),
+          sum(when(pmod(col(keyCol), lit(GdprModulus))
+            === lit(GdprResidue), 1L).otherwise(0L))
+            .as("surviving_matches"))
+      before.crossJoin(deleted).crossJoin(after)
+        .select(lit(name).as("table_name"), lit(keyCol).as("key_col"),
+          lit(nReq).as("keys_requested"), col("keys_present"),
+          col("rows_before"), col("rows_deleted"), col("rows_after"),
+          col("surviving_matches"))
+    }
+    leg("events", "user_id", ev)
+      .unionByName(leg("orders", "o_custkey", or))
+      .unionByName(leg("customer", "c_custkey", cu))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_column_stats" -> (columnStats _),
+      "q_compaction_plan" -> (compactionPlan _),
+      "q_gdpr_purge" -> (gdprPurge _),
+    )
+
+  override def oracles: Map[String, String] = Map(
+    "q_column_stats" ->
+      s"""WITH st AS (
+         |  SELECT 'l_orderkey' AS col_name,
+         |    CAST(l_orderkey AS VARCHAR) AS v_str,
+         |    CAST(l_orderkey AS DOUBLE) AS v_num FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_quantity', CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+         |    l_quantity FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_extendedprice',
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+         |    l_extendedprice FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_returnflag', l_returnflag, CAST(NULL AS DOUBLE)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_shipdate', strftime(l_shipdate, '%Y-%m-%d'),
+         |    CAST(FLOOR(epoch(l_shipdate)) AS DOUBLE) FROM lineitem),
+         |base AS (
+         |  SELECT col_name, COUNT(*) AS n_rows,
+         |    COUNT(*) - COUNT(v_str) AS n_null,
+         |    COUNT(DISTINCT v_str) AS ndv_exact,
+         |    MIN(v_str) AS min_str, MAX(v_str) AS max_str,
+         |    MIN(v_num) AS min_num, MAX(v_num) AS max_num,
+         |    CAST(SUM(length(v_str)) AS DOUBLE) /
+         |      CAST(NULLIF(COUNT(v_str), 0) AS DOUBLE) AS avg_len
+         |  FROM st GROUP BY 1),
+         |h AS (SELECT col_name, ('0x'||substr(md5(v_str),1,15))::BIGINT AS h
+         |      FROM st WHERE v_str IS NOT NULL),
+         |r AS (SELECT col_name, h,
+         |        dense_rank() OVER (PARTITION BY col_name ORDER BY h) AS rn
+         |      FROM h),
+         |k AS (SELECT col_name, COUNT(DISTINCT h) AS n_kept, MAX(h) AS kth
+         |      FROM r WHERE rn <= $StatsKmvK GROUP BY 1),
+         |est AS (SELECT col_name,
+         |          CASE WHEN n_kept < $StatsKmvK THEN n_kept
+         |               ELSE CAST(floor(${StatsKmvK - 1}.0 *
+         |                 1152921504606846976.0 / kth) AS BIGINT)
+         |          END AS ndv_kmv
+         |        FROM k)
+         |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(n_null AS BIGINT) AS n_null,
+         |  CAST(ndv_exact AS BIGINT) AS ndv_exact, ndv_kmv,
+         |  CAST(ABS(ndv_kmv - ndv_exact) <= ndv_exact * 0.15 AS BIGINT)
+         |    AS within_15pct,
+         |  min_str, max_str, min_num, max_num, avg_len
+         |FROM base JOIN est USING (col_name)""".stripMargin,
+    // The oracle states the SEMANTICS (residue predicate); Spark executes
+    // the MECHANISM (registry broadcast anti/semi-join). They coincide
+    // because every residue key in a table is in the registry by
+    // construction — so a hash match proves the join-based purge
+    // implements the predicate spec exactly, including surviving = 0.
+    "q_gdpr_purge" -> {
+      def leg(name: String, key: String, tbl: String) =
+        s"""SELECT '$name' AS table_name, '$key' AS key_col,
+           |  (SELECT COUNT(*) FROM r) AS keys_requested,
+           |  COUNT(DISTINCT CASE WHEN $key % $GdprModulus = $GdprResidue
+           |    THEN $key END) AS keys_present,
+           |  COUNT(*) AS rows_before,
+           |  CAST(SUM(CASE WHEN $key % $GdprModulus = $GdprResidue
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted,
+           |  CAST(COUNT(*) - SUM(CASE WHEN $key % $GdprModulus =
+           |    $GdprResidue THEN 1 ELSE 0 END) AS BIGINT) AS rows_after,
+           |  CAST(0 AS BIGINT) AS surviving_matches
+           |FROM $tbl""".stripMargin
+      s"""WITH r AS (
+         |  SELECT DISTINCT k FROM (
+         |    SELECT user_id AS k FROM events
+         |    UNION ALL SELECT o_custkey FROM orders
+         |    UNION ALL SELECT c_custkey FROM customer)
+         |  WHERE k % $GdprModulus = $GdprResidue)
+         |${leg("events", "user_id", "events")}
+         |UNION ALL
+         |${leg("orders", "o_custkey", "orders")}
+         |UNION ALL
+         |${leg("customer", "c_custkey", "customer")}""".stripMargin
+    },
+    "q_compaction_plan" ->
+      s"""WITH parts AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |    COUNT(*) AS n_rows,
+         |    CAST(SUM(length(props)) + COUNT(*) * $RowOverheadBytes
+         |      AS BIGINT) AS bytes
+         |  FROM events GROUP BY 1, 2),
+         |c AS (SELECT event_type, day, n_rows, bytes,
+         |        SUM(bytes) OVER (PARTITION BY event_type ORDER BY day
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM parts)
+         |SELECT event_type,
+         |  CAST((cum - bytes) // $CompactTargetBytes AS BIGINT) AS bin_id,
+         |  COUNT(*) AS n_parts, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  MIN(day) AS day_from, MAX(day) AS day_to,
+         |  CAST(SUM(bytes) AS DOUBLE) / $CompactTargetBytes.0 AS fill
+         |FROM c GROUP BY 1, 2""".stripMargin,
+  )
+}

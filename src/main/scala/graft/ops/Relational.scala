@@ -732,6 +732,81 @@ object Relational extends QueryModule {
         (col("n").cast("double") / col("row_n").cast("double")).as("p"))
   }
 
+  /** PageRank iteration count and fixed-point scale for [[eventPagerank]]. */
+  val PagerankIters = 10
+  val PagerankScale = 1000000000L
+
+  /** Weighted PageRank over the event-transition graph — eigenvector
+    * centrality of the user-journey Markov chain ([[eventTransitions]]'s
+    * matrix promoted from one-step probabilities to the stationary
+    * signal; the graph-algorithms shelf's iterative member next to the
+    * connected-components and triangle entries).
+    *
+    * Determinism: ranks are FIXED-POINT longs (scale [[PagerankScale]] =
+    * parts-per-billion) and every update is integer arithmetic —
+    * `(85 * rank * w) div (100 * out_w)` — so there is no IEEE anything
+    * to diverge: Spark's `div` and DuckDB's `//` agree exactly on
+    * positive longs, and the DuckDB oracle replays the identical
+    * recursion (recursive CTE with per-iteration GROUP BY), making the
+    * hash gate a cross-engine proof of all 10 iterations. Headroom:
+    * 85 × rank × w stays < 2^63 while total scaled mass × max edge count
+    * < 1e17 — comfortable until per-edge transition counts reach ~2e7
+    * (×10000 the gate volume; renormalize edge weights by their GCD
+    * before iterating beyond that).
+    *
+    * Semantics pin: nodes start with mass [[PagerankScale]] each; a node
+    * with no in-edges leaves the frontier after one iteration and a
+    * no-out-edge node's mass evaporates (the standard trimmed-graph
+    * variant, identical algebra in both engines — on the gate data the
+    * transition graph is complete, so nothing trims). Truncation leaks
+    * < 1 ppb × edges per iteration by design; [[graft.RelationalSpec]]
+    * bounds total mass drift.
+    *
+    * 100 TB stance: the expensive part — building the weighted edge list
+    * from raw events — is ONE pass (the same lag-window shuffle the
+    * transition matrix pays), after which iteration cost is
+    * edge-table-sized, independent of event volume. Each iteration is
+    * one shuffle keyed by dst; the edge table is `localCheckpoint`ed
+    * once and reused by all 10 joins, and each iterate is checkpointed
+    * to truncate lineage (at cluster scale: ranks and edges co-partitioned
+    * by vertex so the join is exchange-free on the rank side). */
+  def eventPagerank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec").asc, col("event_id").asc)
+    val adj = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type").as("src"), col("event_type").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    pagerankIterate(adj, PagerankIters)
+      .select(col("v").as("event_type"), col("rank").as("rank_ppb"))
+  }
+
+  /** The iteration core behind [[eventPagerank]], over any weighted edge
+    * list (src, dst, w): fixed-point integer PageRank, `iters` rounds.
+    * Exposed for the spec's hand-computable graphs. */
+  private[graft] def pagerankIterate(adj: DataFrame, iters: Int): DataFrame = {
+    val outw = adj.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val e = adj.join(outw, Seq("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    var pr = nodes.withColumn("rank", lit(PagerankScale))
+    for (_ <- 1 to iters) {
+      pr = e.join(pr, e("src") === pr("v"))
+        .select(col("dst"),
+          expr("(85 * rank * w) div (100 * ow)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(15L * PagerankScale / 100L) + sum(col("contrib")))
+          .as("rank"))
+        .withColumnRenamed("dst", "v")
+        .localCheckpoint()
+    }
+    pr
+  }
+
   /** UNION ALL funnel of labeled aggregates — SURVEY U2
     * (ref publisher/mapper/UserStatsMapper.java:12-63). */
   def funnelUnion(s: SparkSession, d: String): DataFrame = {
@@ -869,7 +944,8 @@ object Relational extends QueryModule {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         (lit(3.0) * col("n_triangles").cast("double") /
-          col("n_wedges").cast("double")).as("clustering_coeff"))
+          nullif(col("n_wedges"), lit(0L)).cast("double"))
+          .as("clustering_coeff"))
   }
 
   /** The blocking engine behind [[fuzzyBrandBlocked]], over any distinct
@@ -1341,6 +1417,7 @@ object Relational extends QueryModule {
     "q_interval_join"     -> intervalJoin _,
     "q_funnel_order"      -> funnelOrder _,
     "q_event_transitions" -> eventTransitions _,
+    "q_event_pagerank"    -> eventPagerank _,
     "q_graph_triangles"   -> graphTriangles _,
     "q_asof_join"         -> asofJoin _,
     "q_salted_join"       -> saltedJoin _,
@@ -1509,6 +1586,38 @@ object Relational extends QueryModule {
         |SELECT adj.prev_type, next_type, n,
         |  CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE) AS p
         |FROM adj JOIN tot USING (prev_type)""".stripMargin,
+    "q_event_pagerank" ->
+      s"""WITH RECURSIVE
+         |o AS (SELECT user_id, event_id, event_type,
+         |        CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         |adj AS (SELECT prev_type AS src, event_type AS dst,
+         |          CAST(COUNT(*) AS BIGINT) AS w
+         |        FROM (SELECT event_type,
+         |                LAG(event_type, 1) OVER (PARTITION BY user_id
+         |                  ORDER BY tsec, event_id) AS prev_type
+         |              FROM o)
+         |        WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |ov AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+         |       FROM adj GROUP BY 1),
+         |e AS (SELECT adj.src, adj.dst, adj.w, ov.ow
+         |      FROM adj JOIN ov USING (src)),
+         |-- no top-level UNION here: inside WITH RECURSIVE, DuckDB treats
+         |-- any top-level-set-op CTE as recursive and emits BOTH arms
+         |-- (measured: every node seeded twice); subquery + DISTINCT stays
+         |-- a plain CTE
+         |nodes AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |pr(iter, v, rank) AS (
+         |  SELECT 0, v, CAST(${PagerankScale} AS BIGINT) FROM nodes
+         |  UNION ALL
+         |  SELECT pr.iter + 1, e.dst,
+         |    CAST(${15L * PagerankScale / 100L} +
+         |      SUM((85 * pr.rank * e.w) // (100 * e.ow)) AS BIGINT)
+         |  FROM pr JOIN e ON pr.v = e.src
+         |  WHERE pr.iter < ${PagerankIters}
+         |  GROUP BY 1, 2)
+         |SELECT v AS event_type, rank AS rank_ppb
+         |FROM pr WHERE iter = ${PagerankIters}""".stripMargin,
     "q_graph_triangles" ->
       """WITH b AS (SELECT DISTINCT p_brand FROM part),
         |e AS (SELECT x.p_brand AS b1, y.p_brand AS b2
@@ -1525,8 +1634,8 @@ object Relational extends QueryModule {
         |        JOIN e bc ON bc.b1 = ab.b2 AND bc.b2 = ac.b2),
         |m AS (SELECT COUNT(*) AS n_edges FROM e)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-        |  3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
-        |    AS clustering_coeff
+        |  3.0 * CAST(n_triangles AS DOUBLE)
+        |    / CAST(NULLIF(n_wedges, 0) AS DOUBLE) AS clustering_coeff
         |FROM m, w, t""".stripMargin,
     "q_fuzzy_brand" -> fuzzyBrandSql,
     // deliberately the SAME oracle: deletion-neighborhood blocking is

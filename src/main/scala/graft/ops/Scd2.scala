@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * proves fold ≡ rebuild cross-engine; Scd2Spec proves the same for
   * arbitrary random logs and split points.
   *
-  * Contract: per key, every `seq` value in a later batch is ≥ every seq
-  * already in the history (monotone ingest — exactly what a changelog
-  * source delivers). `order` extends (seq ASC) to a total order when the
-  * log carries duplicate (key, seq) pairs.
+  * Contract: per key, every `seq` value in a later batch is STRICTLY
+  * GREATER than every seq already in the history (monotone ingest —
+  * exactly what a changelog source delivers). Equality is NOT enough:
+  * a batch row whose seq ties the history head would be interleaved
+  * BEFORE same-seq history rows by the rebuild's tie-break order, while
+  * the fold always closes the open interval and appends after — the two
+  * diverge (Scd2Spec pins this divergence on an equal-seq split). Rows
+  * sharing a (key, seq) pair must therefore arrive in ONE batch, where
+  * `order` extends (seq ASC) to a total order among them.
   *
   * Scale: the rebuild is one hash exchange on the key + per-key sorts of
   * chain length. The fold's cost is BATCH-sized, not history-sized: the

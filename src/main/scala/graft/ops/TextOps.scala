@@ -181,7 +181,8 @@ object TextOps extends QueryModule {
         (count(lit(1)).cast("double") / sum(col("c")).cast("double"))
           .as("ttr"),
         (sum(col("c") * (col("c") - 1)).cast("double") /
-          (sum(col("c")) * (sum(col("c")) - 1)).cast("double"))
+          nullif(sum(col("c")) * (sum(col("c")) - 1), lit(0L))
+            .cast("double"))
           .as("simpson"))
 
   /** Content fingerprints: 128-bit hex + 60-bit numeric. */
@@ -2364,7 +2365,7 @@ object TextOps extends QueryModule {
          |  COUNT(*) AS n_types,
          |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
          |  CAST(SUM(c * (c - 1)) AS DOUBLE) /
-         |    CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE) AS simpson
+         |    CAST(NULLIF(SUM(c) * (SUM(c) - 1), 0) AS DOUBLE) AS simpson
          |FROM c GROUP BY 1, 2""".stripMargin,
     "q_subword_vocab" ->
       s"""$subwordTrainSql

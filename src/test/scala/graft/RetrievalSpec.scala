@@ -1,0 +1,221 @@
+package graft
+
+import graft.ops.{CatalogOps, Relational, RetrievalOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 operator invariants: inverted-index search vs a brute-force
+  * in-JVM reference, skip-greedy context packing replayed from its own
+  * audit trail, catalog-stats self-consistency, compaction-plan
+  * partition accounting, and fixed-point PageRank on hand-computable
+  * graphs. The DuckDB hash gate proves Spark ≡ DuckDB; these specs prove
+  * both ≡ the intended semantics. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("inverted search equals the brute-force conjunctive scan") {
+    val out = RetrievalOps.invertedSearch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty, "no search results at sf0.001")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val queries = out.map(r => (r._1, (r._2, r._3))).distinct
+    for ((qid, (ta, tb)) <- queries) {
+      val scored = docs.flatMap { case (id, toks) =>
+        val ca = toks.count(_ == ta)
+        val cb = toks.count(_ == tb)
+        if (ca > 0 && cb > 0) Some((id, (ca + cb).toLong)) else None
+      }
+      val want = scored.sortBy { case (id, s) => (-s, id) }
+        .take(RetrievalOps.TopK)
+        .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }.toSeq
+      val got = out.filter(_._1 == qid).sortBy(_._4)
+        .map(r => (r._4, r._5, r._6)).toSeq
+      assert(got === want, s"query $qid ($ta AND $tb) diverged")
+    }
+  }
+
+  test("rag pack: kept/cum replay the greedy fold, budget binds, and " +
+      "kept docs are exactly the greedy-feasible ones") {
+    val rows = RetrievalOps.ragPack(spark, sf)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("kept"),
+        r.getAs[Long]("cum_tok")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq,
+        s"query $qid ranks not contiguous")
+      var cum = 0L
+      sorted.foreach { case (_, rank, nTok, kept, cumTok) =>
+        val fits = cum + nTok <= RetrievalOps.TokenBudget
+        assert(kept === (if (fits) 1L else 0L),
+          s"query $qid rank $rank kept flag diverges from greedy")
+        if (fits) cum += nTok
+        assert(cumTok === cum, s"query $qid rank $rank cum_tok mismatch")
+      }
+      assert(cum <= RetrievalOps.TokenBudget)
+      assert(sorted.exists(_._4 == 0L),
+        s"query $qid: budget never binds — spec can't see the cut")
+      assert(sorted.exists(_._4 == 1L), s"query $qid kept nothing")
+    }
+  }
+
+  test("bm25 ranking equals the in-JVM replay of the rational formula") {
+    val out = RetrievalOps.bm25Rank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val n = docs.length.toLong
+    val tTok = docs.map(_._2.length.toLong).sum
+    val dfMap = docs.flatMap { case (_, toks) => toks.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    // recover each query's term pair from the search entry (same spine)
+    val terms = RetrievalOps.invertedSearch(spark, sf)
+      .select(col("query_id"), col("term_a"), col("term_b")).distinct()
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    for ((qid, (ta, tb)) <- terms) {
+      val scored = docs.flatMap { case (id, toks) =>
+        val dl = toks.length.toLong
+        def s(t: String): Option[Double] = {
+          val tf = toks.count(_ == t).toLong
+          if (tf == 0) None
+          else {
+            val num = 22L * tf * (2 * n - 2 * dfMap(t) + 1)
+            val den = (2 * dfMap(t) + 1) * 10L *
+              (tf * 10000L * tTok + 3000L * tTok + 9000L * dl * n)
+            Some(num.toDouble / den.toDouble)
+          }
+        }
+        for (a <- s(ta); b <- s(tb)) yield (id, a + b)
+      }
+      val want = scored.sortBy { case (id, sc) => (-sc, id) }
+        .take(RetrievalOps.TopK)
+        .zipWithIndex.map { case ((id, sc), i) => (i + 1L, id, sc) }.toSeq
+      val got = out.filter(_._1 == qid).sortBy(_._2)
+        .map(r => (r._2, r._3, r._4)).toSeq
+      assert(got === want, s"query $qid bm25 diverged")
+    }
+  }
+
+  test("gdpr purge audit is self-consistent and matches direct counts") {
+    val out = graft.ops.CatalogOps.gdprPurge(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(out.size === 3)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("rows_after") ===
+        r.getAs[Long]("rows_before") - r.getAs[Long]("rows_deleted"))
+      assert(r.getAs[Long]("surviving_matches") === 0L)
+      assert(r.getAs[Long]("keys_present") <=
+        r.getAs[Long]("keys_requested"))
+    }
+    val evDel = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(graft.ops.CatalogOps.GdprModulus))
+        === graft.ops.CatalogOps.GdprResidue).count()
+    assert(out("events").getAs[Long]("rows_deleted") === evDel)
+    assert(evDel > 0, "erasure registry empty — purge never exercised")
+  }
+
+  test("incremental posting-list maintenance equals the full rebuild " +
+      "under uneven batches and an at-least-once replay") {
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val n = all.count().toInt
+    val slices = Seq(
+      all.filter(col("doc_id") % 5 === 0),
+      all.filter(col("doc_id") % 5 === 1),
+      all.filter(col("doc_id") % 5 === 0), // replayed batch
+      all.filter(col("doc_id") % 5 >= 2))
+    val store = slices.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      case (acc, batch) =>
+        val fresh = RetrievalOps.postingsOf(batch)
+        Some(acc.map(s => RetrievalOps.mergePostings(s, fresh))
+          .getOrElse(fresh).localCheckpoint())
+    }.get
+    val direct = RetrievalOps.postingsOf(all)
+    assert(store.count() === direct.count())
+    assert(store.except(direct).isEmpty && direct.except(store).isEmpty,
+      "incrementally maintained index diverged from the rebuild")
+    assert(n > 0)
+  }
+
+  test("column stats: exact NDV cross-checked, KMV exact below k, " +
+      "row counts uniform") {
+    val st = CatalogOps.columnStats(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val nLi = Tables.lineitem(spark, sf).count()
+    assert(st.values.forall(_.getAs[Long]("n_rows") == nLi))
+    val exactFlag = Tables.lineitem(spark, sf)
+      .select(countDistinct(col("l_returnflag"))).head().getLong(0)
+    assert(st("l_returnflag").getAs[Long]("ndv_exact") === exactFlag)
+    // below sketch size k the KMV estimate IS the exact count
+    st.values.filter(_.getAs[Long]("ndv_exact") < CatalogOps.StatsKmvK)
+      .foreach { r =>
+        assert(r.getAs[Long]("ndv_kmv") === r.getAs[Long]("ndv_exact"),
+          s"${r.getAs[String]("col_name")}: KMV not exact below k")
+      }
+    assert(st("l_orderkey").getAs[Long]("n_null") === 0L)
+  }
+
+  test("compaction plan: partitions land in exactly one bin, day ranges " +
+      "don't overlap, byte totals account for every partition") {
+    val plan = CatalogOps.compactionPlan(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("n_parts"), r.getAs[Long]("bytes"),
+        r.getAs[String]("day_from"), r.getAs[String]("day_to")))
+    assert(plan.nonEmpty)
+    val partTotals = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"))
+      .agg((sum(length(col("props"))) +
+        count(lit(1)) * CatalogOps.RowOverheadBytes).as("b"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("b")).as("tot"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    plan.groupBy(_._1).foreach { case (et, bins) =>
+      val ordered = bins.sortBy(_._2)
+      assert(ordered.map(_._4).sum === partTotals(et)._1,
+        s"$et: plan bytes don't sum to the partition total")
+      assert(ordered.map(_._3).sum === partTotals(et)._2,
+        s"$et: plan loses or duplicates partitions")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 < b._5, s"$et: bins ${a._2}/${b._2} day-overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("pagerank: symmetric 2-cycle is an exact fixed point; star graph " +
+      "ranks hand-computed; event graph conserves mass to truncation") {
+    import spark.implicits._
+    val scale = Relational.PagerankScale
+    val cyc = Relational.pagerankIterate(
+      Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w"), 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cyc === Map("a" -> scale, "b" -> scale),
+      "symmetric cycle must hold the exact initial mass")
+    // star a->b, a->c (w 3:1): after ONE iteration b,c hold base + split
+    // of a's 0.85 mass; a (no in-edges) leaves the frontier.
+    val star = Relational.pagerankIterate(
+      Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w"), 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = 15L * scale / 100L
+    assert(star === Map(
+      "b" -> (base + (85L * scale * 3L) / (100L * 4L)),
+      "c" -> (base + (85L * scale * 1L) / (100L * 4L))))
+    val ranks = Relational.eventPagerank(spark, sf)
+      .collect().map(_.getLong(1))
+    assert(ranks.length === 5 && ranks.forall(_ > 0))
+    val drift = math.abs(ranks.sum - 5L * scale)
+    // complete 5x5 graph: <= 25 edges x 10 iters x 1 unit truncation,
+    // plus the base-term rounding — generous factor-10 headroom
+    assert(drift <= 10L * 25L * Relational.PagerankIters,
+      s"mass drift $drift exceeds the truncation budget")
+  }
+}

@@ -57,4 +57,28 @@ class Scd2Spec extends AnyFunSuite {
       .groupBy(col("k")).count().filter(col("count") =!= 1)
     assert(open.isEmpty, "a key without exactly one current version")
   }
+
+  test("equal-seq split DIVERGES from the rebuild — the contract's '>' " +
+      "is strict, not '>='") {
+    // Two rows share (k=1, seq=10). Rebuilt in one log, the tie-break
+    // order ("a" before "b") interleaves them; split across batches,
+    // applyBatch closes the open interval and appends AFTER — proving
+    // same-(key,seq) rows must arrive in one batch. If this assertion
+    // ever starts failing (fold == rebuild), the scaladoc contract in
+    // Scd2.scala can be relaxed back to '>='.
+    import spark.implicits._
+    val b1 = Seq((1L, 10L, "b")).toDF("k", "seq", "payload")
+    val b2 = Seq((1L, 10L, "a"), (1L, 20L, "c")).toDF("k", "seq", "payload")
+    val ord = Seq(col("payload").asc)
+    val rebuild = sortedRows(Scd2.fromLog(b1.unionByName(b2), "k", "seq", ord))
+    val fold = sortedRows(
+      Scd2.applyBatch(Scd2.fromLog(b1, "k", "seq", ord), b2, "k", "seq", ord))
+    assert(fold !== rebuild,
+      "equal-seq split unexpectedly matched the rebuild — contract drifted")
+    // Sanity on the divergence shape: the fold's head row "b" is closed
+    // by the batch's min seq (10) and keeps version 1, while the rebuild
+    // orders "a" first.
+    assert(fold.exists(r => r.contains("b") && r.contains("1,10,10")),
+      s"fold shape changed: $fold")
+  }
 }
