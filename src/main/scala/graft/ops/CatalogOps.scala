@@ -78,23 +78,38 @@ object CatalogOps extends QueryModule {
     * audit flag) / lexicographic min-max of the canonical encoding /
     * numeric min-max / mean encoded width. */
   def columnStats(s: SparkSession, d: String): DataFrame = {
-    val stacked = Tables.lineitem(s, d)
+    // Value-grain first: one exchange keyed by (col_name, value) collapses
+    // the ×C stacked stream to distinct values with counts (map-side
+    // partial aggregation does most of the work), and every downstream
+    // stat — exact NDV included, with NO countDistinct expand — plus the
+    // md5 for the KMV sketch (hashed once per DISTINCT value, not per
+    // row) derives from that value-grain table. Oracle SQL is the
+    // row-grain formulation verbatim, so the hash gate proves the
+    // rewrite's algebra (measured at sf0.1: 17.2 s row-grain → 2.2 s
+    // value-grain; see PLANS.md).
+    val grouped = Tables.lineitem(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(explode(array(profiledCols.map(p =>
         struct(lit(p.name).as("col_name"), p.vStr.as("v_str"),
           p.vNum.as("v_num"))): _*)).as("c"))
       .select(col("c.*"))
-    val base = stacked.groupBy(col("col_name")).agg(
-      count(lit(1)).as("n_rows"),
-      (count(lit(1)) - count(col("v_str"))).as("n_null"),
-      countDistinct(col("v_str")).as("ndv_exact"),
+      .groupBy(col("col_name"), col("v_str"))
+      .agg(count(lit(1)).as("cnt"), min(col("v_num")).as("mn"),
+        max(col("v_num")).as("mx"))
+      .localCheckpoint()
+    val base = grouped.groupBy(col("col_name")).agg(
+      sum(col("cnt")).as("n_rows"),
+      coalesce(sum(when(col("v_str").isNull, col("cnt"))), lit(0L))
+        .as("n_null"),
+      count(col("v_str")).as("ndv_exact"),
       min(col("v_str")).as("min_str"),
       max(col("v_str")).as("max_str"),
-      min(col("v_num")).as("min_num"),
-      max(col("v_num")).as("max_num"),
-      (sum(length(col("v_str"))).cast("double") /
-        nullif(count(col("v_str")), lit(0L)).cast("double")).as("avg_len"))
-    val h = stacked.filter(col("v_str").isNotNull)
+      min(col("mn")).as("min_num"),
+      max(col("mx")).as("max_num"),
+      (sum(length(col("v_str")) * col("cnt")).cast("double") /
+        nullif(sum(when(col("v_str").isNotNull, col("cnt"))), lit(0L))
+          .cast("double")).as("avg_len"))
+    val h = grouped.filter(col("v_str").isNotNull)
       .select(col("col_name"),
         conv(substring(md5(col("v_str")), 1, 15), 16, 10).cast("long")
           .as("h"))

