@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -194,7 +195,53 @@ object MultimodalOps extends QueryModule {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"))
   }
 
+  /** Scene-cut candidates — the temporal member of the multimodal shelf
+    * (frame-sequence analysis next to the spatial decode/resize/histogram
+    * ops): the decoded pixel stream is treated as a sequence of full
+    * 256-byte frames (the [[mmFrames]] framing), each consecutive pair
+    * scored by the sum of absolute per-position byte differences (the
+    * classic mean-absolute-difference cut detector), and the corpus-wide
+    * top-20 sharpest temporal gradients emitted with a total-order
+    * tie-break. Integer arithmetic end to end — hash-exact.
+    *
+    * Scale: per-partition batch decode exactly like [[mmDecodeFeatures]]
+    * (payload bytes never shuffle; only (doc, boundary, diff) triples
+    * leave the map stage), and the global top-20 runs through
+    * `orderBy(...).limit`, which Spark plans as TakeOrderedAndProject —
+    * per-partition bounded top-k then a 20-row merge, no full sort at
+    * any corpus size. A real detector swaps the byte MAD for a codec
+    * call per frame pair; every Spark-side shape stays. */
+  def mmSceneCut(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val diffs = mediaTable(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val px = GrfCodec.decode(bytes).pixels
+          val nFull = px.length / 256
+          (0 until nFull - 1).iterator.map { f =>
+            var sum = 0L
+            var i = 0
+            while (i < 256) {
+              sum += math.abs((px(f * 256 + i) & 0xff) -
+                (px((f + 1) * 256 + i) & 0xff))
+              i += 1
+            }
+            (id, f.toLong, sum)
+          }
+        }
+      }
+      .toDF("doc_id", "boundary", "diff")
+    val ord = Seq(col("diff").desc, col("doc_id").asc, col("boundary").asc)
+    diffs.orderBy(ord: _*).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("boundary"), col("diff"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_scenecut" -> mmSceneCut _,
     "q_mm_histogram" -> mmHistogram _,
     "q_mm_resize"   -> mmResize _,
     "q_mm_metadata" -> mmMetadata _,
@@ -208,6 +255,22 @@ object MultimodalOps extends QueryModule {
   // never re-parses the container; Spark does, and the hash gate compares
   // the two derivations cell-for-cell).
   override val oracles: Map[String, String] = Map(
+    "q_mm_scenecut" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) // 256 AS n_full
+        |           FROM documents),
+        |pr AS (SELECT doc_id, hx, UNNEST(range(0, n_full - 1)) AS f
+        |       FROM m WHERE n_full >= 2),
+        |d AS (SELECT doc_id, f AS boundary,
+        |        CAST(list_sum(list_transform(range(0, 256), i ->
+        |          abs(('0x'||substring(hx, 2*(f*256+i)+1, 2))::BIGINT -
+        |              ('0x'||substring(hx, 2*((f+1)*256+i)+1, 2))::BIGINT)))
+        |          AS BIGINT) AS diff
+        |      FROM pr)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY diff DESC, doc_id ASC,
+        |    boundary ASC) AS BIGINT) AS rank,
+        |  doc_id, boundary, diff
+        |FROM d QUALIFY rank <= 20""".stripMargin,
     "q_mm_dedup" ->
       s"""WITH aug AS (
         |  SELECT doc_id, text FROM documents UNION ALL

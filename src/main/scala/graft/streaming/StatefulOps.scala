@@ -378,4 +378,40 @@ object StatefulOps {
           }
           out.result().iterator
         })
+
+  /** A keyed token occurrence — input to the streaming sketch. */
+  case class KeyedToken(key: String, token: String)
+
+  /** Streaming heavy hitters: one Misra–Gries buffer per key held in
+    * state, folded forward each micro-batch with the SAME mergeable
+    * Aggregator the batch query uses (`Aggregators.misraGries`, whose
+    * reduce/merge algebra HeavyHitterSpec property-tests under every
+    * partitioning) and re-emitted as the sketch's update-mode changelog
+    * (key, token, estimate).
+    *
+    * This is the streaming face of `q_heavy_hitters`: the MG guarantees —
+    * ≤ k entries, no false negative above n/k, undercount ≤ n/k — are
+    * ORDER-FREE properties, so they hold at every micro-batch boundary
+    * regardless of how arrivals were sliced (spec-pinned over the
+    * accumulated prefix after every batch). State is O(k) per key —
+    * bounded forever, the whole point of sketching an unbounded stream;
+    * at 100 TB/day this is the only per-key token summary whose state
+    * does not grow with vocabulary. */
+  def heavyHittersStream(ds: Dataset[KeyedToken], k: Int)
+      : Dataset[(String, String, Long)] = {
+    val mg = graft.functions.Aggregators.misraGries(k)
+    implicit val ktEnc: Encoder[KeyedToken] = Encoders.product[KeyedToken]
+    implicit val outEnc: Encoder[(String, String, Long)] =
+      Encoders.product[(String, String, Long)]
+    implicit val bufEnc: Encoder[Map[String, Long]] = mg.bufferEncoder
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[KeyedToken],
+            state: GroupState[Map[String, Long]]) => {
+          val buf = rows.foldLeft(state.getOption.getOrElse(mg.zero))(
+            (b, r) => mg.reduce(b, r.token))
+          state.update(buf)
+          buf.iterator.map { case (t, c) => (key, t, c) }
+        })
+  }
 }

@@ -50,4 +50,61 @@ class HeavyHitterSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming MG state holds the order-free guarantees at every " +
+      "micro-batch boundary, per key") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.KeyedToken
+    val spark = TestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val k = 8
+    // two keys with different hot sets, interleaved
+    val stream = rnd.shuffle(
+      (1 to 400).map(_ => KeyedToken("a", s"t${rnd.nextInt(40)}")) ++
+      (1 to 300).map(_ => KeyedToken("a", "hotA")) ++
+      (1 to 350).map(_ => KeyedToken("b", s"u${rnd.nextInt(40)}")) ++
+      (1 to 250).map(_ => KeyedToken("b", "hotB")))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[KeyedToken]
+    var latest = Map.empty[String, Map[String, Long]]
+    var fed = Vector.empty[KeyedToken]
+    val q = StatefulOps.heavyHittersStream(in.toDS(), k).toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val touched = rows.map(_._1).toSet
+        latest = latest -- touched
+        rows.groupBy(_._1).foreach { case (key, g) =>
+          latest += key -> g.map(r => r._2 -> r._3).toMap
+        }
+      }
+      .start()
+    // uneven slicing incl. a tiny batch
+    Seq(stream.slice(0, 13), stream.slice(13, 500),
+        stream.slice(500, 501), stream.slice(501, stream.length))
+      .foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+        fed = fed ++ chunk
+        for ((key, summary) <- latest) {
+          val mine = fed.filter(_.key == key)
+          val n = mine.size.toLong
+          val exact = mine.groupBy(_.token)
+            .map { case (t, v) => t -> v.size.toLong }
+          assert(summary.size <= k, s"$key: state exceeded k")
+          for ((t, ct) <- exact if ct * k > n)
+            assert(summary.contains(t), s"$key lost heavy hitter $t")
+          for ((t, est) <- summary) {
+            assert(est <= exact(t), s"$key/$t overcounted")
+            assert(est >= exact(t) - n / k, s"$key/$t undercounted past n/k")
+          }
+        }
+      }
+    q.stop()
+    assert(latest.keySet === Set("a", "b"))
+    assert(latest("a").contains("hotA") && latest("b").contains("hotB"))
+  }
 }
