@@ -102,9 +102,11 @@ object RetrievalOps extends QueryModule {
 
   /** The derived two-term query table: (query_id, term) + per-query
     * labels (term_a, term_b). Vocab-sized input, broadcast-sized output. */
-  private def queryTerms(s: SparkSession, d: String): DataFrame = {
-    val df_ = postings(s, d).groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+  private def queryTerms(s: SparkSession, d: String): DataFrame =
+    queryTermsOf(postings(s, d))
+
+  private def queryTermsOf(p: DataFrame): DataFrame = {
+    val df_ = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     df_
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("df").desc, col("term").asc))
@@ -118,9 +120,12 @@ object RetrievalOps extends QueryModule {
   /** Conjunctive scored candidates: docs containing ALL the query's
     * terms, scored by summed term frequency, ranked with a doc_id
     * tie-break. Shared spine of search and packing. */
-  private def ranked(s: SparkSession, d: String): DataFrame = {
-    val qt = queryTerms(s, d)
-    val matched = postings(s, d)
+  private def ranked(s: SparkSession, d: String): DataFrame =
+    rankedOf(postings(s, d))
+
+  private def rankedOf(p: DataFrame): DataFrame = {
+    val qt = queryTermsOf(p)
+    val matched = p
       .join(broadcast(qt), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_matched"), sum(col("tf")).as("score"))
@@ -209,11 +214,37 @@ object RetrievalOps extends QueryModule {
     * oracle replays the identical fold as a rank-stepping recursive CTE:
     * a hash match proves the imperative Spark fold ≡ the declarative
     * recursion. */
-  def ragPack(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def ragPack(s: SparkSession, d: String): DataFrame =
+    packOf(s, ranked(s, d), PostingStore.doclen(s, d)
+      .select(col("doc_id"), col("dl").as("n_tok")))
+
+  /** The composed retrieval flagship: the full training-data journey from
+    * raw corpus to served context — quality/language gates → exact dedup →
+    * near-dup removal (the `q_corpus_filter` survivor set, shared with the
+    * embedding flagship so text and vector pipelines clean identically) →
+    * inverted index over ONLY the survivors → conjunctive search → greedy
+    * context packing. Cross-module composition is id-only: the survivor
+    * set broadcasts as a LeftSemi against the posting store (the same
+    * filter-before-index shape `q_embed_pipeline` uses), so no text
+    * re-tokenization and no index rebuild — the cleaned index is the
+    * stored index minus dropped postings. Note the df-ranking that
+    * derives the benchmark queries recomputes on the CLEANED corpus, as
+    * it must: term statistics of a filtered index differ from the raw
+    * one, and BM25/selectivity downstream consume the cleaned df. */
+  def ragPipeline(s: SparkSession, d: String): DataFrame = {
+    val surv = TextOps.filteredCorpus(s, d).select(col("doc_id"))
+    val p = postings(s, d)
+      .join(broadcast(surv), Seq("doc_id"), "left_semi")
     val toklen = PostingStore.doclen(s, d)
+      .join(broadcast(surv), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dl").as("n_tok"))
-    val cand = ranked(s, d)
+    packOf(s, rankedOf(p), toklen)
+  }
+
+  private def packOf(s: SparkSession, rankedC: DataFrame,
+      toklen: DataFrame): DataFrame = {
+    import s.implicits._
+    val cand = rankedC
       .filter(col("rank") <= PackCandidates)
       .join(toklen, Seq("doc_id"))
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_tok"),
@@ -238,14 +269,17 @@ object RetrievalOps extends QueryModule {
       "q_inverted_search" -> (invertedSearch _),
       "q_bm25_rank" -> (bm25Rank _),
       "q_rag_pack" -> (ragPack _),
+      "q_rag_pipeline" -> (ragPipeline _),
     )
 
-  /** Shared oracle spine mirroring [[postings]]/[[queryTerms]]/[[ranked]]. */
-  private val rankedSql: String =
+  /** Shared oracle spine mirroring [[postings]]/[[queryTerms]]/[[ranked]],
+    * parameterized by the document relation so the composed pipeline can
+    * run the IDENTICAL spine over the survivor-filtered corpus. */
+  private def rankedSqlFrom(docSrc: String): String =
     s"""p AS (
        |  SELECT term, doc_id, COUNT(*) AS tf FROM (
        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
-       |    FROM documents)
+       |    FROM $docSrc)
        |  GROUP BY 1, 2),
        |v AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
        |qt AS (
@@ -263,6 +297,35 @@ object RetrievalOps extends QueryModule {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM m WHERE n_matched = 2)""".stripMargin
+
+  private val rankedSql: String = rankedSqlFrom("documents")
+
+  /** The pack-recursion tail shared verbatim by `q_rag_pack` and
+    * `q_rag_pipeline` — the fold must be textually identical over either
+    * corpus, so it is one string (the shared-`private val` discipline). */
+  private def packSqlTail(docSrc: String): String =
+    s"""tl AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |       FROM $docSrc),
+       |c AS (SELECT r.query_id, r.rank, r.doc_id, tl.n_tok, r.score
+       |      FROM r JOIN tl USING (doc_id)
+       |      WHERE r.rank <= $PackCandidates),
+       |pack(query_id, rank, doc_id, n_tok, kept, cum, score) AS (
+       |  SELECT DISTINCT query_id, CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM c
+       |  UNION ALL
+       |  SELECT c.query_id, c.rank, c.doc_id, c.n_tok,
+       |    CASE WHEN p.cum + c.n_tok <= $TokenBudget
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+       |    CASE WHEN p.cum + c.n_tok <= $TokenBudget
+       |         THEN p.cum + c.n_tok ELSE p.cum END,
+       |    c.score
+       |  FROM pack p JOIN c
+       |    ON c.query_id = p.query_id AND c.rank = p.rank + 1)
+       |SELECT query_id, rank, doc_id, n_tok, kept, cum AS cum_tok, score
+       |FROM pack WHERE rank >= 1""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q_inverted_search" ->
@@ -297,27 +360,17 @@ object RetrievalOps extends QueryModule {
          |FROM rk WHERE rank <= $TopK""".stripMargin,
     "q_rag_pack" ->
       s"""WITH RECURSIVE $rankedSql,
-         |tl AS (SELECT doc_id,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-         |       FROM documents),
-         |c AS (SELECT r.query_id, r.rank, r.doc_id, tl.n_tok, r.score
-         |      FROM r JOIN tl USING (doc_id)
-         |      WHERE r.rank <= $PackCandidates),
-         |pack(query_id, rank, doc_id, n_tok, kept, cum, score) AS (
-         |  SELECT DISTINCT query_id, CAST(0 AS BIGINT),
-         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-         |  FROM c
-         |  UNION ALL
-         |  SELECT c.query_id, c.rank, c.doc_id, c.n_tok,
-         |    CASE WHEN p.cum + c.n_tok <= $TokenBudget
-         |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
-         |    CASE WHEN p.cum + c.n_tok <= $TokenBudget
-         |         THEN p.cum + c.n_tok ELSE p.cum END,
-         |    c.score
-         |  FROM pack p JOIN c
-         |    ON c.query_id = p.query_id AND c.rank = p.rank + 1)
-         |SELECT query_id, rank, doc_id, n_tok, kept, cum AS cum_tok, score
-         |FROM pack WHERE rank >= 1""".stripMargin,
+         |${packSqlTail("documents")}""".stripMargin,
+    // The composed flagship runs the IDENTICAL spine + pack fold over the
+    // corpus-filter survivor set (WITH RECURSIVE is safe here: every
+    // set-op CTE in corpusSurvivorCtes is UNION ALL, which DuckDB's
+    // recursive-WITH quirk leaves intact — only bare UNION loses its
+    // dedup; see CLAUDE.md traps).
+    "q_rag_pipeline" ->
+      s"""WITH RECURSIVE ${TextOps.corpusSurvivorCtes},
+         |cleaned AS (SELECT d0.doc_id, d0.text FROM documents d0
+         |            WHERE d0.doc_id IN (SELECT doc_id FROM surv)),
+         |${rankedSqlFrom("cleaned")},
+         |${packSqlTail("cleaned")}""".stripMargin,
   )
 }

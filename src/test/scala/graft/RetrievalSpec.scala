@@ -144,6 +144,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("rag pipeline: packs only corpus-filter survivors and actually " +
+      "diverges from the raw-corpus pack") {
+    val piped = RetrievalOps.ragPipeline(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("kept")))
+    assert(piped.nonEmpty)
+    // survivors of the shared corpus-filter chain, via its own report
+    val surv = graft.ops.TextOps.corpusFilter(spark, sf)
+    assert(surv.count() > 0)
+    val rawDocs = Tables.documents(spark, sf).count()
+    val pipeDocs = piped.map(_._2).distinct.length
+    assert(pipeDocs < rawDocs, "cleaned index should be smaller universe")
+    val rawPack = RetrievalOps.ragPack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))
+    assert(piped.map(p => (p._1, p._2)).toSet !== rawPack.toSet,
+      "pipeline output identical to raw pack — the filter did nothing")
+  }
+
   test("sq8 ann: full result shape and recall vs the exact L2 top-5") {
     val out = graft.ops.VectorOps.annSq(spark, sf).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
