@@ -13,7 +13,9 @@ object Explain {
       "q_tumbling_window", "q_dws_sku_order", "q_corpus_filter",
       "q_ann_multiprobe", "q_asof_join", "q_neardup_components",
       "q_tfidf_topterms", "q_value_quantiles", "q_skew_profile",
-      "q_mm_dedup")
+      "q_mm_dedup", "q_inverted_search", "q_bm25_rank", "q_rag_pipeline",
+      "q_column_stats", "q_event_pagerank", "q_ann_sq", "q_gdpr_purge",
+      "q_mm_scenecut")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sf).explain("formatted")
