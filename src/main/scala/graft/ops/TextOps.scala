@@ -109,6 +109,48 @@ object TextOps extends QueryModule {
     * Scale: one scan, all signals are per-row map stages (codegen'd
     * collection functions, no lambda HOFs), one source-keyed
     * partial-aggregable rollup; output is sources-sized. */
+  /** Relative-threshold corpus gate — "drop each source's shortest 10 %"
+    * rather than an absolute cutoff (the per-source quality gates real
+    * pipelines use, because sources have wildly different length
+    * distributions and one absolute bound over- or under-prunes them).
+    * The per-source P10 is EXACT via the histogram-cumulate device
+    * (`q_value_quantiles`' shape): value-grain counts, one cumulative
+    * window per source over the value histogram — never a row sort —
+    * and `threshold = min v where cum ≥ ceil(n/10)`. A doc is kept iff
+    * `n_chars ≥ threshold` (the P10 tie rule keeps the boundary value,
+    * so kept fraction ≥ 90 % exactly). Output is the per-source audit:
+    * threshold, kept/dropped counts, and the kept-chars share as the one
+    * sanctioned IEEE division.
+    *
+    * Scale: the histogram is (source × distinct lengths)-sized; the gate
+    * itself is a broadcast of the sources-sized threshold table back
+    * onto the doc scan — one pass, no doc shuffle. */
+  def lengthPercentileGate(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+    val hist = docs.groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .join(tot, Seq("source"))
+      .filter(col("cum") * 10 >= col("n"))
+      .groupBy(col("source")).agg(min(col("len")).as("threshold"))
+    docs.join(broadcast(thr), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("threshold")).as("threshold"),
+        sum(when(col("len") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("len") < col("threshold"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        (sum(when(col("len") >= col("threshold"), col("len"))
+          .otherwise(0L)).cast("double") /
+          sum(col("len")).cast("double")).as("chars_kept_ratio"))
+  }
+
   def sourceDatasheet(s: SparkSession, d: String): DataFrame = {
     val t = tokens(col("text"))
     val perDoc = docsParallel(s, d).select(
@@ -1972,6 +2014,7 @@ object TextOps extends QueryModule {
     "q_doc_stats"          -> docStats _,
     "q_length_buckets"     -> lengthBuckets _,
     "q_doc_quality"        -> docQuality _,
+    "q_length_gate"        -> lengthPercentileGate _,
     "q_lang_id_confusion"  -> langIdConfusion _,
     "q_lexical_diversity"  -> lexicalDiversity _,
     "q_source_datasheet"   -> sourceDatasheet _,
@@ -2219,6 +2262,28 @@ object TextOps extends QueryModule {
          |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_re_tok,
          |  CAST(list_sum(list_transform($dToks, x -> length(x))) AS BIGINT) AS char_sum
          |FROM documents""".stripMargin,
+    "q_length_gate" ->
+      """WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS len
+        |           FROM documents),
+        |h AS (SELECT source, len, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+        |      FROM h GROUP BY 1),
+        |c AS (SELECT h.source, h.len,
+        |        SUM(h.cnt) OVER (PARTITION BY h.source ORDER BY h.len
+        |          ROWS UNBOUNDED PRECEDING) AS cum, t.n
+        |      FROM h JOIN t USING (source)),
+        |thr AS (SELECT source, MIN(len) AS threshold
+        |        FROM c WHERE cum * 10 >= n GROUP BY 1)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  MIN(thr.threshold) AS threshold,
+        |  CAST(SUM(CASE WHEN d.len >= thr.threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN d.len < thr.threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN d.len >= thr.threshold THEN d.len ELSE 0 END)
+        |      AS DOUBLE) /
+        |    CAST(SUM(d.len) AS DOUBLE) AS chars_kept_ratio
+        |FROM d JOIN thr USING (source) GROUP BY 1""".stripMargin,
     "q_doc_quality" ->
       s"""WITH base AS (
          |  SELECT doc_id, len(t) AS n_tok,

@@ -189,6 +189,27 @@ class RetrievalSpec extends AnyFunSuite {
       s"sq8 recall@5 $recall below 0.8 — quantized shortlist too coarse")
   }
 
+  test("length-percentile gate: per source, at most 10% dropped and the " +
+      "threshold is the exact P10 boundary") {
+    val rows = graft.ops.TextOps.lengthPercentileGate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .select(col("source"), length(col("text")).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._2).sorted }
+    rows.foreach { r =>
+      val (src, n, thr, kept, dropped) = (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("threshold"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))
+      assert(kept + dropped === n)
+      assert(dropped * 10 < n, s"$src dropped ≥ 10%")
+      val sorted = lens(src)
+      // exact P10: smallest value whose cumulative count reaches ceil(n/10)
+      val want = sorted((sorted.length + 9) / 10 - 1)
+      assert(thr === want, s"$src threshold $thr != exact P10 $want")
+    }
+  }
+
   test("cohort retention: offset-0 cell is the cohort itself, no cell " +
       "exceeds its cohort") {
     val rows = graft.ops.Relational.cohortRetention(spark, sf).collect()
