@@ -182,10 +182,19 @@ object CatalogOps extends QueryModule {
     * fact shuffle. On the bucketed dim store (`CdcOps.routeDims` layout)
     * the rewrite touches only buckets whose pk-hash matches a requested
     * key, so delete I/O is O(touched buckets), the same bound as ingest;
-    * at lakehouse scale this is the MERGE DELETE + vacuum pair. The
-    * audit legs here re-scan per table for clarity — production folds
-    * before/deleted/after into the purge pass itself with a flag
-    * aggregation (one scan), same plan family as [[columnStats]]. */
+    * at lakehouse scale this is the MERGE DELETE + vacuum pair. The audit
+    * is ONE scan per table: a broadcast LEFT OUTER against the registry
+    * marks each row hit/miss, and before/deleted/after/surviving all fold
+    * out of that one pass as conditional sums (the [[columnStats]] plan
+    * family) — at 100 TB the audit costs exactly what the purge costs,
+    * not 3× it.
+    *
+    * The registry residue uses SQL `%` (sign-of-dividend), NOT `pmod`:
+    * the DuckDB oracle's `%` and Spark's `%` agree on negative keys where
+    * `pmod` silently diverges (k % 13 = -9 vs pmod = 4) — on a registry
+    * device that divergence would present as a confusing hash mismatch.
+    * Synthetic keys are positive, so this pins semantics rather than
+    * fixing an active bug. */
   def gdprPurge(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val or = Tables.orders(s, d)
@@ -194,27 +203,24 @@ object CatalogOps extends QueryModule {
       .union(or.select(col("o_custkey").as("k")))
       .union(cu.select(col("c_custkey").as("k")))
       .distinct()
-      .filter(pmod(col("k"), lit(GdprModulus)) === lit(GdprResidue))
+      .filter(col("k") % GdprModulus === GdprResidue)
       .localCheckpoint()
     val nReq = reqs.count()
-    def leg(name: String, keyCol: String, t: DataFrame): DataFrame = {
-      val before = t.agg(count(lit(1)).as("rows_before"))
-      val deleted = t.join(broadcast(reqs), t(keyCol) === reqs("k"),
-          "left_semi")
-        .agg(count(lit(1)).as("rows_deleted"),
-          countDistinct(col(keyCol)).as("keys_present"))
-      val after = t.join(broadcast(reqs), t(keyCol) === reqs("k"),
-          "left_anti")
-        .agg(count(lit(1)).as("rows_after"),
-          sum(when(pmod(col(keyCol), lit(GdprModulus))
-            === lit(GdprResidue), 1L).otherwise(0L))
+    def leg(name: String, keyCol: String, t: DataFrame): DataFrame =
+      t.join(broadcast(reqs), t(keyCol) === reqs("k"), "left_outer")
+        .agg(
+          count(lit(1)).as("rows_before"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("rows_deleted"),
+          countDistinct(when(col("k").isNotNull, col(keyCol)))
+            .as("keys_present"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("rows_after"),
+          sum(when(col("k").isNull &&
+            col(keyCol) % GdprModulus === GdprResidue, 1L).otherwise(0L))
             .as("surviving_matches"))
-      before.crossJoin(deleted).crossJoin(after)
         .select(lit(name).as("table_name"), lit(keyCol).as("key_col"),
           lit(nReq).as("keys_requested"), col("keys_present"),
           col("rows_before"), col("rows_deleted"), col("rows_after"),
           col("surviving_matches"))
-    }
     leg("events", "user_id", ev)
       .unionByName(leg("orders", "o_custkey", or))
       .unionByName(leg("customer", "c_custkey", cu))

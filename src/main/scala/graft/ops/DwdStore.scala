@@ -55,6 +55,32 @@ private[ops] object StoreDirs {
     new java.io.File(root,
       tag + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest).getPath
   }
+
+  /** Input-freshness cache key: the sfDir path plus a digest of every
+    * file's (path, mtime, length) under it. The driver can REGENERATE the
+    * input parquet mid-round (CLAUDE.md: the events timestamp precision
+    * flipped mid-round in r6); a store memoized on the path alone would
+    * then probe STALE artifacts while the oracles recompute from the fresh
+    * inputs — a gate failure disguised as a query bug. Keying both the
+    * memo map and the store directory on this fingerprint makes input
+    * regeneration invalidate every store automatically (the superseded
+    * directory lingers until JVM exit — metadata-sized, reclaimed by the
+    * shutdown hook). The walk is a metadata-only listing of a few dozen
+    * files, so calling it on every store access is free relative to a
+    * query. */
+  def freshKey(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val c = f.listFiles()
+      if (c == null) Seq(f)
+      else f +: c.sortBy(_.getName).toSeq.flatMap(walk)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(new java.io.File(d)).foreach { f =>
+      md.update(s"${f.getPath}|${f.lastModified}|${f.length}\n"
+        .getBytes("UTF-8"))
+    }
+    d + "@" + md.digest().map("%02x".format(_)).mkString.take(12)
+  }
 }
 
 object DwdStore {
@@ -62,8 +88,8 @@ object DwdStore {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensure(s: SparkSession, d: String): String =
-    built.computeIfAbsent(d, _ => {
-      val base = StoreDirs.dirFor("dwd", d)
+    built.computeIfAbsent(StoreDirs.freshKey(d), k => {
+      val base = StoreDirs.dirFor("dwd", k)
       val wide = OrderWide.buildWide(
         OrderWide.detail(s, d), OrderWide.info(s, d),
         OrderWide.activity(s, d), OrderWide.coupon(s, d), OrderWide.dic(s, d))

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * rebuild proven in RetrievalSpec). All three retrieval queries
   * (`q_inverted_search`, `q_bm25_rank`, `q_rag_pack`) keep their oracle
   * SQL — which recomputes the index from raw text — verbatim, so the
-  * hash gate proves store-probing ≡ fresh-build for free.
+  * hash gate proves store-probing ≡ fresh-build for free. The memo is
+  * keyed on [[StoreDirs.freshKey]] (path + input-file fingerprint), so a
+  * mid-round regeneration of the input parquet rebuilds the store instead
+  * of probing stale postings against fresh oracles.
   *
   *   - `postings` — (term, doc_id, tf): the index proper.
   *   - `doclen`   — (doc_id, dl): per-document token counts (BM25's
@@ -27,8 +30,8 @@ object PostingStore {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensure(s: SparkSession, d: String): String =
-    built.computeIfAbsent(d, _ => {
-      val base = StoreDirs.dirFor("postings", d)
+    built.computeIfAbsent(StoreDirs.freshKey(d), k => {
+      val base = StoreDirs.dirFor("postings", k)
       val docs = graft.Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
       RetrievalOps.postingsOf(docs)

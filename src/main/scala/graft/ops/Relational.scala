@@ -770,10 +770,16 @@ object Relational extends QueryModule {
     * once and reused by all 10 joins, and each iterate is checkpointed
     * to truncate lineage (at cluster scale: ranks and edges co-partitioned
     * by vertex so the join is exchange-free on the rank side). */
-  def eventPagerank(s: SparkSession, d: String): DataFrame = {
+  def eventPagerank(s: SparkSession, d: String): DataFrame =
+    pagerankIterate(eventEdges(s, d), PagerankIters)
+      .select(col("v").as("event_type"), col("rank").as("rank_ppb"))
+
+  /** The weighted event-type transition edge list (src, dst, w) — the one
+    * event-volume-sized pass shared by both PageRank variants. */
+  private def eventEdges(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tsec").asc, col("event_id").asc)
-    val adj = Tables.events(s, d)
+    Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("tsec"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
@@ -781,9 +787,15 @@ object Relational extends QueryModule {
       .select(col("prev_type").as("src"), col("event_type").as("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
-    pagerankIterate(adj, PagerankIters)
-      .select(col("v").as("event_type"), col("rank").as("rank_ppb"))
   }
+
+  /** Convergence threshold and round cap for [[eventPagerankConverge]]:
+    * stop once no node's rank moved more than [[PagerankConvEps]] scaled
+    * units (1e-3 of one node's unit mass) between consecutive iterations,
+    * hard-capped at [[PagerankConvCap]] rounds so the DuckDB oracle's
+    * recursion stays finite regardless of the data's spectral gap. */
+  val PagerankConvEps = 1000000L
+  val PagerankConvCap = 25
 
   /** The iteration core behind [[eventPagerank]], over any weighted edge
     * list (src, dst, w): fixed-point integer PageRank, `iters` rounds.
@@ -794,6 +806,7 @@ object Relational extends QueryModule {
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     var pr = nodes.withColumn("rank", lit(PagerankScale))
+    var lastCp: Option[DataFrame] = None
     for (i <- 1 to iters) {
       pr = e.join(pr, e("src") === pr("v"))
         .select(col("dst"),
@@ -809,10 +822,95 @@ object Relational extends QueryModule {
       // at sf0.1 — this query's cost is the event-volume edge build, not
       // the iteration jobs; the cadence matters when iterating to
       // convergence on a graph whose plans are deep.)
-      if (i % 3 == 0 || i == iters) pr = pr.localCheckpoint()
+      if (i % 3 == 0 || i == iters) {
+        pr = pr.localCheckpoint()
+        // the superseded checkpoint's blocks are dead the moment the new
+        // one materializes (localCheckpoint is eager) — release them
+        // instead of pinning every third iterate until GC; at
+        // convergence-length runs the pinned set would otherwise grow
+        // linearly with rounds
+        lastCp.foreach(unpersistCheckpoint)
+        lastCp = Some(pr)
+      }
     }
+    // the returned frame is itself a checkpoint (i == iters always
+    // lands one), so the edge table's blocks are no longer reachable
+    unpersistCheckpoint(e)
     pr
   }
+
+  /** Releases the cached blocks behind a `localCheckpoint()`ed frame.
+    * A local checkpoint pins its RDD's blocks until the RDD is GC'd;
+    * iterative algorithms that checkpoint per round must unpersist the
+    * superseded iterate explicitly or accumulate one pinned copy of the
+    * working set per round. Non-checkpoint plans have no LogicalRDD leaf
+    * and pass through untouched. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
+  /** Convergence-gated PageRank: the SAME fixed-point integer algebra as
+    * [[pagerankIterate]], but iterating until no node's rank moves more
+    * than `eps` scaled units between consecutive rounds (max |Δrank| ≤
+    * eps over the inner-join of consecutive iterates), with a hard `cap`
+    * so both engines' work is bounded. Returns (v, rank, iters_run) where
+    * `iters_run` is the FIRST converged round (or `cap`).
+    *
+    * The per-round stopping test is one max-of-abs-deltas aggregate — a
+    * single driver-side scalar per round (the legitimate `.collect()`
+    * class: bounded by 1 row, like `gdprPurge`'s registry count). Every
+    * iterate is localCheckpointed (it is materialized by the delta job
+    * anyway) and the superseded one unpersisted, so peak pinned state is
+    * two node-table-sized frames regardless of round count. The DuckDB
+    * oracle replays the identical recursion to `cap`, derives every
+    * round's max-delta declaratively, and selects the first converged
+    * round — so the hash gate proves the STOPPING DECISION cross-engine,
+    * not just the final ranks. */
+  private[graft] def pagerankConverge(adj: DataFrame, eps: Long,
+      cap: Int): DataFrame = {
+    val outw = adj.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val e = adj.join(outw, Seq("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    var pr = nodes.withColumn("rank", lit(PagerankScale)).localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < cap && !converged) {
+      i += 1
+      val next = e.join(pr, e("src") === pr("v"))
+        .select(col("dst"),
+          expr("(85 * rank * w) div (100 * ow)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(15L * PagerankScale / 100L) + sum(col("contrib")))
+          .as("rank"))
+        .withColumnRenamed("dst", "v")
+        .localCheckpoint()
+      val delta = next
+        .join(pr.withColumnRenamed("rank", "prev"), Seq("v"))
+        .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0L)))
+        .head().getLong(0)
+      converged = delta <= eps
+      unpersistCheckpoint(pr)
+      pr = next
+    }
+    unpersistCheckpoint(e)
+    pr.withColumn("iters_run", lit(i.toLong))
+  }
+
+  /** [[eventPagerank]]'s convergence-gated sibling: iterate the event-type
+    * transition graph until the stationary distribution stops moving
+    * (ε = [[PagerankConvEps]], cap = [[PagerankConvCap]]) instead of a
+    * fixed round count — what a production centrality job actually runs,
+    * since the needed round count depends on the graph's spectral gap,
+    * not on a constant. Emits `iters_run` so the stopping round itself is
+    * hash-gated. */
+  def eventPagerankConverge(s: SparkSession, d: String): DataFrame =
+    pagerankConverge(eventEdges(s, d), PagerankConvEps, PagerankConvCap)
+      .select(col("v").as("event_type"), col("rank").as("rank_ppb"),
+        col("iters_run"))
 
   /** Cohort-retention matrix — the full generalization of
     * `AdsQueries.userRetention`'s next-day number (reference
@@ -1459,6 +1557,7 @@ object Relational extends QueryModule {
     "q_funnel_order"      -> funnelOrder _,
     "q_event_transitions" -> eventTransitions _,
     "q_event_pagerank"    -> eventPagerank _,
+    "q_event_pagerank_conv" -> eventPagerankConverge _,
     "q_cohort_retention"  -> cohortRetention _,
     "q_graph_triangles"   -> graphTriangles _,
     "q_asof_join"         -> asofJoin _,
@@ -1660,6 +1759,45 @@ object Relational extends QueryModule {
          |  GROUP BY 1, 2)
          |SELECT v AS event_type, rank AS rank_ppb
          |FROM pr WHERE iter = ${PagerankIters}""".stripMargin,
+    // Identical recursion to q_event_pagerank but capped at the round
+    // budget; the per-round max-delta CTE derives the first converged
+    // round declaratively, so the oracle replays Spark's DATA-DEPENDENT
+    // stopping decision, not a hardcoded iteration count.
+    "q_event_pagerank_conv" ->
+      s"""WITH RECURSIVE
+         |o AS (SELECT user_id, event_id, event_type,
+         |        CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         |adj AS (SELECT prev_type AS src, event_type AS dst,
+         |          CAST(COUNT(*) AS BIGINT) AS w
+         |        FROM (SELECT event_type,
+         |                LAG(event_type, 1) OVER (PARTITION BY user_id
+         |                  ORDER BY tsec, event_id) AS prev_type
+         |              FROM o)
+         |        WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |ov AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+         |       FROM adj GROUP BY 1),
+         |e AS (SELECT adj.src, adj.dst, adj.w, ov.ow
+         |      FROM adj JOIN ov USING (src)),
+         |nodes AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |pr(iter, v, rank) AS (
+         |  SELECT 0, v, CAST(${PagerankScale} AS BIGINT) FROM nodes
+         |  UNION ALL
+         |  SELECT pr.iter + 1, e.dst,
+         |    CAST(${15L * PagerankScale / 100L} +
+         |      SUM((85 * pr.rank * e.w) // (100 * e.ow)) AS BIGINT)
+         |  FROM pr JOIN e ON pr.v = e.src
+         |  WHERE pr.iter < ${PagerankConvCap}
+         |  GROUP BY 1, 2),
+         |d AS (SELECT a.iter AS iter, MAX(ABS(a.rank - b.rank)) AS md
+         |      FROM pr a JOIN pr b ON a.v = b.v AND b.iter = a.iter - 1
+         |      GROUP BY 1),
+         |k AS (SELECT CAST(COALESCE(MIN(iter), ${PagerankConvCap})
+         |        AS BIGINT) AS kstop
+         |      FROM d WHERE md <= ${PagerankConvEps})
+         |SELECT pr.v AS event_type, pr.rank AS rank_ppb,
+         |  k.kstop AS iters_run
+         |FROM pr, k WHERE pr.iter = k.kstop""".stripMargin,
     "q_cohort_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

@@ -164,14 +164,25 @@ object RetrievalOps extends QueryModule {
     *     division of those integer aggregates — the sanctioned double
     *     pattern. Per query the two per-term scores add commutatively
     *     (2 addends ⇒ order-free), so the double stays hash-exact.
+    *   - SCORE SCALE: multiplying avgdl through the denominator without
+    *     restoring the 10⁴·T factor in the numerator means the emitted
+    *     value is the textbook (rational-idf) BM25 DIVIDED BY 10⁴·T — a
+    *     uniform positive constant per corpus, so ranking is invariant
+    *     but magnitudes are corpus-size-dependent and not on BM25 scale.
+    *     Deliberate: restoring the factor (num × 10⁴·T) would spend the
+    *     int64 headroom ~10⁴× faster for a cosmetic rescale the ranking
+    *     never reads.
     *   - int64 headroom: den peaks ≈ 3·10¹⁶ at sf0.1 (T ≈ 6.4·10⁵);
     *     overflow arrives only past ~30× that corpus — renormalize T, N
     *     by a common factor before then.
     *
     * Scale: identical plan to [[invertedSearch]] plus one broadcast of
-    * the per-term df row and a doc-length join performed AFTER the
-    * candidate cut (so the doc-length table joins against queries × k
-    * rows, not the corpus). */
+    * the per-term df row and a doc-length join at the POSTING-MATCH grain
+    * (every doc containing any query term) — BM25's per-term normalizer
+    * needs dl before aggregation, so the match-grain join is inherent to
+    * the formula, and its width is bounded by the broadcast query batch's
+    * posting selectivity, not the corpus. With the doc-length store
+    * bucketed alongside the postings the join is co-located. */
   def bm25Rank(s: SparkSession, d: String): DataFrame = {
     val p = postings(s, d)
     val qt = queryTerms(s, d)

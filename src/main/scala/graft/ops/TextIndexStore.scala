@@ -31,8 +31,8 @@ object TextIndexStore {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensure(s: SparkSession, d: String): String =
-    built.computeIfAbsent(d, _ => {
-      val base = StoreDirs.dirFor("textidx", d)
+    built.computeIfAbsent(StoreDirs.freshKey(d), k => {
+      val base = StoreDirs.dirFor("textidx", k)
       val index = TextOps.deltaIndex(s, d)
       index.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
         .write.mode("overwrite").parquet(s"$base/fp")

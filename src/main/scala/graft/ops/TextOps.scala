@@ -1175,9 +1175,18 @@ object TextOps extends QueryModule {
 
   /** Stages 1–3 of [[corpusFilter]] (gates → exact dedup → near-dup
     * removal), returning the SURVIVING docs — exposed so downstream
-    * compositions (the cleaned-index ANN pipeline in VectorOps) consume
-    * the same filtered corpus the rollup reports on. */
-  private[ops] def filteredCorpus(s: SparkSession, d: String): DataFrame = {
+    * compositions (the cleaned-index ANN pipeline in VectorOps, the
+    * cleaned-index retrieval pipeline in RetrievalOps) consume the same
+    * filtered corpus the rollup reports on. PROBES the materialized
+    * [[CorpusStore]] manifest: the gate chain runs once per
+    * (JVM, input fingerprint), not once per consuming query — the
+    * filter-stage-writes-a-manifest shape a production pipeline has. */
+  private[ops] def filteredCorpus(s: SparkSession, d: String): DataFrame =
+    CorpusStore.survivors(s, d)
+
+  /** The survivor computation itself — called only by [[CorpusStore]] to
+    * build the manifest. */
+  private[ops] def filteredCorpusCompute(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d)
       .select(col("doc_id"), col("text"), col("source"))
     val aug = docs.unionAll(

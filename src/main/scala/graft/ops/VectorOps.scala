@@ -393,6 +393,8 @@ object VectorOps extends QueryModule {
     "q_ivf_multiprobe" -> ivfMultiprobe _,
     "q_ann_pq"         -> annPq _,
     "q_ann_ivfpq"      -> annIvfPq _,
+    "q_ann_pq_recall"  -> annPqRecall _,
+    "q_ann_ivfpq_recall" -> annIvfPqRecall _,
     "q_ann_sq"         -> annSq _,
   )
 
@@ -480,19 +482,107 @@ object VectorOps extends QueryModule {
        |             FROM p, ms) q
        |       JOIN cwt ON q.m = cwt.m)""".stripMargin
 
-  /** Exact-re-rank tail over a `shortlist(probe_id, neighbor_id)` CTE:
-    * 64-dim ordered-fold squared-L2, top-5 (dist ASC, id ASC). */
-  private val dRerank: String =
+  /** Exact-re-rank CTEs over a `shortlist(probe_id, neighbor_id)` CTE:
+    * `rr` = 64-dim ordered-fold squared-L2, `rrk` = ranked (dist ASC,
+    * id ASC). CTE form so the recall audit can consume the ranked set
+    * inside a larger WITH; [[dRerank]] adds the final top-5 SELECT. */
+  private val dRerankCtes: String =
     s"""rr AS (
        |  SELECT s.probe_id AS probe_id, s.neighbor_id AS neighbor_id,
        |    ${dL2sq("pvec", "embedding", 64)} AS dist
        |  FROM shortlist s
        |  JOIN p ON s.probe_id = p.probe_id
-       |  JOIN embeddings e ON s.neighbor_id = e.vec_id)
-       |SELECT probe_id, neighbor_id, dist,
-       |  ROW_NUMBER() OVER (PARTITION BY probe_id
-       |    ORDER BY dist ASC, neighbor_id ASC) AS rank
-       |FROM rr QUALIFY rank <= 5""".stripMargin
+       |  JOIN embeddings e ON s.neighbor_id = e.vec_id),
+       |rrk AS (
+       |  SELECT probe_id, neighbor_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY dist ASC, neighbor_id ASC) AS rank
+       |  FROM rr)""".stripMargin
+
+  /** Exact-re-rank tail: [[dRerankCtes]] + the final top-5 projection. */
+  private val dRerank: String =
+    s"""$dRerankCtes
+       |SELECT probe_id, neighbor_id, dist, rank FROM rrk
+       |WHERE rank <= 5""".stripMargin
+
+  /** The full-corpus ADC chain (`ad` over ALL codes → top-[[Shortlist]])
+    * — shared VERBATIM by `q_ann_pq` and its recall audit so the audited
+    * path can never drift from the audited query. */
+  private lazy val dPqAdChain: String =
+    s"""ad AS (
+       |  SELECT probe_id, vec_id AS neighbor_id,
+       |    list_sum(list_transform(
+       |      list_sort(list(struct_pack(m := codes.m, pdist := pdist))),
+       |      s -> s.pdist)) AS adist
+       |  FROM codes JOIN pt
+       |    ON codes.m = pt.m AND codes.code = pt.j
+       |  WHERE vec_id <> probe_id
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT probe_id, neighbor_id
+       |  FROM (SELECT probe_id, neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY probe_id
+       |            ORDER BY adist ASC, neighbor_id ASC) AS srank
+       |        FROM ad)
+       |  WHERE srank <= $Shortlist)""".stripMargin
+
+  /** Recall-audit tail over `rrk` (the audited path's ranked output) and
+    * `p` (the probe set): exact norm-form L2 top-5 over the whole corpus,
+    * intersection counts, recall@5 — shared verbatim by both quantization
+    * recall audits. */
+  private lazy val dRecallTail: String =
+    s"""approx AS (SELECT probe_id, neighbor_id FROM rrk WHERE rank <= 5),
+       |ec AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+       |       FROM embeddings),
+       |esc AS (
+       |  SELECT probe_id, neighbor_id,
+       |    ${dDot("pvec", "pvec")} + ${dDot("cvec", "cvec")} -
+       |      2.0 * ${dDot("pvec", "cvec")} AS dist
+       |  FROM ec CROSS JOIN p WHERE neighbor_id <> probe_id),
+       |exact5 AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT probe_id, neighbor_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY dist ASC, neighbor_id ASC)
+       |    AS rank FROM esc) WHERE rank <= 5),
+       |hits AS (SELECT exact5.probe_id, COUNT(*) AS h
+       |         FROM exact5 JOIN approx USING (probe_id, neighbor_id)
+       |         GROUP BY 1)
+       |SELECT probe_id, CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h, 0) AS DOUBLE) / 5.0 AS recall_at_5
+       |FROM (SELECT DISTINCT probe_id FROM exact5) LEFT JOIN hits
+       |  USING (probe_id)""".stripMargin
+
+  /** The IVFADC candidate chain (nearest-list pick → list-restricted ADC →
+    * top-[[Shortlist]]) — shared VERBATIM by `q_ann_ivfpq` and its recall
+    * audit so the audited path can never drift from the audited query. */
+  private lazy val dIvfPqChain: String =
+    s"""pick AS (
+       |  SELECT probe_id, c_label AS list_label
+       |  FROM (SELECT probe_id, c_label,
+       |          ROW_NUMBER() OVER (PARTITION BY probe_id
+       |            ORDER BY ${dCos("pvec", "cvec")} DESC, c_label ASC) AS crank
+       |        FROM p CROSS JOIN cvecs)
+       |  WHERE crank = 1),
+       |cand AS (
+       |  SELECT probe_id, vec_id
+       |  FROM embeddings e JOIN pick ON e.label = pick.list_label),
+       |ad AS (
+       |  SELECT cand.probe_id AS probe_id, cand.vec_id AS neighbor_id,
+       |    list_sum(list_transform(
+       |      list_sort(list(struct_pack(m := codes.m, pdist := pdist))),
+       |      s -> s.pdist)) AS adist
+       |  FROM cand
+       |  JOIN codes ON cand.vec_id = codes.vec_id
+       |  JOIN pt ON pt.probe_id = cand.probe_id AND codes.m = pt.m
+       |         AND codes.code = pt.j
+       |  WHERE cand.vec_id <> cand.probe_id
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT probe_id, neighbor_id
+       |  FROM (SELECT probe_id, neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY probe_id
+       |            ORDER BY adist ASC, neighbor_id ASC) AS srank
+       |        FROM ad)
+       |  WHERE srank <= $Shortlist)""".stripMargin
 
   private def dDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> " +
@@ -611,8 +701,8 @@ object VectorOps extends QueryModule {
   private val pqBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqStore(s: SparkSession, d: String): String =
-    pqBuilt.computeIfAbsent(d, _ => {
-      val base = StoreDirs.dirFor("pqindex", d)
+    pqBuilt.computeIfAbsent(StoreDirs.freshKey(d), k => {
+      val base = StoreDirs.dirFor("pqindex", k)
       val e = embParallel(s, d)
       pqCodebook(e).write.mode("overwrite").parquet(s"$base/codebook")
       pqAssign(subspaced(e, "vec_id", "embedding"),
@@ -847,6 +937,66 @@ object VectorOps extends QueryModule {
     rerank(shortlist, probes, e)
   }
 
+  /** QUANTIZATION RECALL AUDITS, hash-gated like [[annRecall]]: recall@5
+    * of a composed quantization path against the exact squared-L2 top-5
+    * over the WHOLE corpus. VectorSpec pins [[annPq]]'s ≥ 0.85 floor
+    * in-JVM; these put the end-to-end quality numbers under the driver's
+    * cross-engine gate — each DuckDB oracle recomputes BOTH paths (the
+    * audited query's full training + ADC chain, its CTEs shared verbatim,
+    * and the exact scan) and the intersection, so a silent recall
+    * regression in either engine breaks the hash, not just a spec
+    * threshold.
+    *
+    * Honest numbers, both gated: [[annPq]] (full-corpus ADC + 100-deep
+    * re-rank) measures 1.0 recall@5 at sf0.001; [[annIvfPq]] measures
+    * 0–0.4 — NOT a bug: its coarse quantizer restricts each probe to one
+    * label list, and on this geometry labels are random rather than
+    * proximity clusters, so the list restriction is the adversarial worst
+    * case for IVF (the same honesty story as the sign-LSH audit). The
+    * dial is nprobe (`q_ivf_multiprobe`) or a trained coarse quantizer;
+    * the audit is what a production pipeline reads to pick the operating
+    * point.
+    *
+    * The exact arm scores with the norm-form distance `‖p‖² + ‖c‖² −
+    * 2·p·c` — three codegen [[graft.functions.VectorFunctions.dot]]
+    * folds, mirrored textually by the oracle — rather than a per-pair
+    * subtract-square HOF fold, so the corpus-sized scan stays inside
+    * whole-stage codegen. Gated columns are exact integer counts plus one
+    * n/5 division. Scale: two bounded top-k pipelines + a probes × k
+    * intersection join. */
+  def annPqRecall(s: SparkSession, d: String): DataFrame =
+    recallVsExactL2(s, d, annPq(s, d))
+
+  /** See [[annPqRecall]] — the IVFADC arm of the same audit. */
+  def annIvfPqRecall(s: SparkSession, d: String): DataFrame =
+    recallVsExactL2(s, d, annIvfPq(s, d))
+
+  private def recallVsExactL2(s: SparkSession, d: String,
+      audited: DataFrame): DataFrame = {
+    val approx = audited
+      .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+    val e = embParallel(s, d)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val exScored = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (lit(0.0) - (normSq(col("pvec")) + normSq(col("cvec")) -
+          lit(2.0) * dot(col("pvec"), col("cvec")))).as("sim"))
+    val exact = topKPerProbe(exScored, 5)
+      .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+    val hits = exact.join(approx, Seq("probe_id", "neighbor_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") / 5.0)
+          .as("recall_at_5"))
+  }
+
   /** Shared CTE chain ending in `pairs` (the embedding near-dup pair
     * graph) — consumed by both `q_embed_neardup` and
     * `q_embed_neardup_components` so the two oracles cannot drift. */
@@ -1050,54 +1200,28 @@ object VectorOps extends QueryModule {
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
          |           FROM embeddings WHERE vec_id < 8),
          |$dPq,
-         |ad AS (
-         |  SELECT probe_id, vec_id AS neighbor_id,
-         |    list_sum(list_transform(
-         |      list_sort(list(struct_pack(m := codes.m, pdist := pdist))),
-         |      s -> s.pdist)) AS adist
-         |  FROM codes JOIN pt
-         |    ON codes.m = pt.m AND codes.code = pt.j
-         |  WHERE vec_id <> probe_id
-         |  GROUP BY 1, 2),
-         |shortlist AS (
-         |  SELECT probe_id, neighbor_id
-         |  FROM (SELECT probe_id, neighbor_id,
-         |          ROW_NUMBER() OVER (PARTITION BY probe_id
-         |            ORDER BY adist ASC, neighbor_id ASC) AS srank
-         |        FROM ad)
-         |  WHERE srank <= $Shortlist),
+         |$dPqAdChain,
          |$dRerank""".stripMargin,
+    "q_ann_pq_recall" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |$dPq,
+         |$dPqAdChain,
+         |$dRerankCtes,
+         |$dRecallTail""".stripMargin,
     "q_ann_ivfpq" ->
       s"""WITH $dCentP,
          |$dPq,
-         |pick AS (
-         |  SELECT probe_id, c_label AS list_label
-         |  FROM (SELECT probe_id, c_label,
-         |          ROW_NUMBER() OVER (PARTITION BY probe_id
-         |            ORDER BY ${dCos("pvec", "cvec")} DESC, c_label ASC) AS crank
-         |        FROM p CROSS JOIN cvecs)
-         |  WHERE crank = 1),
-         |cand AS (
-         |  SELECT probe_id, vec_id
-         |  FROM embeddings e JOIN pick ON e.label = pick.list_label),
-         |ad AS (
-         |  SELECT cand.probe_id AS probe_id, cand.vec_id AS neighbor_id,
-         |    list_sum(list_transform(
-         |      list_sort(list(struct_pack(m := codes.m, pdist := pdist))),
-         |      s -> s.pdist)) AS adist
-         |  FROM cand
-         |  JOIN codes ON cand.vec_id = codes.vec_id
-         |  JOIN pt ON pt.probe_id = cand.probe_id AND codes.m = pt.m
-         |         AND codes.code = pt.j
-         |  WHERE cand.vec_id <> cand.probe_id
-         |  GROUP BY 1, 2),
-         |shortlist AS (
-         |  SELECT probe_id, neighbor_id
-         |  FROM (SELECT probe_id, neighbor_id,
-         |          ROW_NUMBER() OVER (PARTITION BY probe_id
-         |            ORDER BY adist ASC, neighbor_id ASC) AS srank
-         |        FROM ad)
-         |  WHERE srank <= $Shortlist),
+         |$dIvfPqChain,
          |$dRerank""".stripMargin,
+    // The audited path (everything through rrk) is dIvfPqChain +
+    // dRerankCtes — the exact strings q_ann_ivfpq runs; the exact arm
+    // mirrors the Spark norm-form distance textually.
+    "q_ann_ivfpq_recall" ->
+      s"""WITH $dCentP,
+         |$dPq,
+         |$dIvfPqChain,
+         |$dRerankCtes,
+         |$dRecallTail""".stripMargin,
   )
 }

@@ -301,4 +301,49 @@ class RetrievalSpec extends AnyFunSuite {
     assert(drift <= 10L * 25L * Relational.PagerankIters,
       s"mass drift $drift exceeds the truncation budget")
   }
+
+  test("pagerank convergence gate: stops at the FIRST round whose max " +
+      "delta <= eps, ranks equal the fixed-iteration algebra at that " +
+      "round, and an unreachable eps runs exactly to the cap") {
+    import spark.implicits._
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // symmetric 2-cycle: iterate 1 reproduces the initial mass exactly,
+    // so even eps = 0 must stop after one round
+    val cyc = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val cycConv = Relational.pagerankConverge(cyc, 0L, 10)
+    assert(cycConv.select("iters_run").distinct().head().getLong(0) === 1L)
+    assert(ranksOf(cycConv.select("v", "rank")) ===
+      Map("a" -> Relational.PagerankScale, "b" -> Relational.PagerankScale))
+    // asymmetric strongly-connected graph: convergence is gradual, so the
+    // gate's stopping round is non-trivial. The convergence run must (a)
+    // match pagerankIterate at its own stopping round bit-for-bit (same
+    // algebra, genuinely stopped there), and (b) stop at the FIRST
+    // converged round: delta(k) <= eps < delta(k-1), derived from the
+    // fixed-iteration ladder.
+    val g = Seq(("a", "b", 3L), ("b", "c", 2L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("src", "dst", "w")
+    val eps = Relational.PagerankScale / 100L // 1% of unit mass
+    val conv = Relational.pagerankConverge(g, eps, 30)
+    val k = conv.select("iters_run").distinct().head().getLong(0).toInt
+    assert(k > 1 && k < 30, s"stopping round $k must be interior")
+    assert(ranksOf(conv.select("v", "rank")) ===
+      ranksOf(Relational.pagerankIterate(g, k)))
+    def maxDelta(i: Int): Long = {
+      val a = ranksOf(Relational.pagerankIterate(g, i))
+      val b = if (i == 1)
+        a.keys.map(_ -> Relational.PagerankScale).toMap
+      else ranksOf(Relational.pagerankIterate(g, i - 1))
+      a.collect { case (v, r) if b.contains(v) => math.abs(r - b(v)) }.max
+    }
+    assert(maxDelta(k) <= eps, s"round $k did not actually converge")
+    assert(maxDelta(k - 1) > eps, s"round ${k - 1} already converged — " +
+      "the gate overshot the first converged round")
+    // unreachable eps (deltas are >= 0 > -1 forever): the cap bounds the
+    // run and the result is the fixed-iteration result at the cap
+    val capped = Relational.pagerankConverge(g, -1L, 4)
+    assert(capped.select("iters_run").distinct().head().getLong(0) === 4L)
+    assert(ranksOf(capped.select("v", "rank")) ===
+      ranksOf(Relational.pagerankIterate(g, 4)))
+  }
 }
