@@ -14,11 +14,25 @@ import org.apache.spark.sql.SparkSession
   * whose isolated min is 1.14 s). So after the sweep, every query whose
   * sweep min exceeds `SPARK_GRAFT_BENCH_ISO_THRESH` seconds (default 1.0)
   * — plus the `SPARK_GRAFT_BENCH_ISOLATED` (default 5) slowest-by-sweep-min
-  * — is re-run ALONE (post-GC, cache-cleared), and the HEADLINE per-query
-  * figure is `min(sweep_min, isolated_min)`; `value`/`total` are recomputed
-  * from those folded mins. A contention spike big enough to matter is by
+  * — is re-run in a FRESH FORKED JVM, and the HEADLINE per-query figure is
+  * `min(sweep_min, isolated_min)`; `value`/`total` are recomputed from
+  * those folded mins. A contention spike big enough to matter is by
   * construction big enough to cross the threshold, get isolated, and be
   * replaced — the headline self-heals without anyone re-adjudicating noise.
+  *
+  * WHY a fresh JVM, not a post-GC re-run here: r8 proved the in-process
+  * isolation pass shares the sweep's aged heap — after ~500 query
+  * executions, old-gen pressure can poison the sweep AND the "isolated"
+  * re-run identically (q_ngram_jaccard recorded 7.47 s against a
+  * fresh-JVM 1.19 s). The child process replays only the outlier names
+  * (args = a name filter) with `SPARK_GRAFT_BENCH_CHILD=1`, which skips
+  * its own isolation phase; the parent parses the child's stdout JSON.
+  * The candidate set is CAPPED at `SPARK_GRAFT_BENCH_ISO_MAX` (default
+  * 16, slowest first) so the isolation phase stays bounded as the catalog
+  * grows — a dropped candidate is logged, never silent. If forking fails
+  * (no usable classpath outside `run / fork`), the old in-JVM post-GC
+  * path runs as fallback with an agreement retry loop (two consecutive
+  * runs within 20%), and says so on stderr.
   *
   * The stdout line carries ONLY the headline figures — totals plus the
   * per-query folded-min map (~2.4 kB for 100+ queries) — so it always fits
@@ -76,17 +90,97 @@ object Bench {
       (name, best, med)
     }
 
-    // Sweep outliers get a second, uninterleaved measurement. Quiesce the
-    // heap first: after ~300 query runs in this JVM, old-gen pressure can
-    // stall an "isolated" run worse than the sweep itself (observed 51 s
-    // for a 0.9 s query). Candidates: everything whose sweep min crossed
+    // Sweep outliers get a second, uninterleaved measurement in a FRESH
+    // JVM (see scaladoc). Candidates: everything whose sweep min crossed
     // the absolute threshold (a contention spike that moves the total by
-    // definition crosses it) plus the nIsolated slowest-by-sweep-min.
-    System.gc()
+    // definition crosses it) plus the nIsolated slowest-by-sweep-min,
+    // capped at isoMax slowest-first so the phase stays bounded.
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    val isoMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_MAX", "16").toInt
     val okSweep = results.filter(_._2 >= 0)
-    val isoNames = (okSweep.sortBy(-_._2).take(nIsolated).map(_._1) ++
+    val sweepMin = okSweep.map(r => (r._1, r._2)).toMap
+    val allCand = (okSweep.sortBy(-_._2).take(nIsolated).map(_._1) ++
       okSweep.filter(_._2 > isoThresh).map(_._1)).distinct
-    val isolated = isoNames.map(n => (n, timed(selected(n), n)._1))
+    val isoNames =
+      if (isChild) Nil else allCand.sortBy(n => -sweepMin(n)).take(isoMax)
+    if (allCand.size > isoNames.size && !isChild)
+      System.err.println(s"[bench] isolation capped at $isoMax: dropped " +
+        s"${allCand.size - isoNames.size} of ${allCand.size} candidates " +
+        s"(${allCand.sortBy(n => -sweepMin(n)).drop(isoMax).mkString(",")})")
+
+    /** Fallback: in-JVM post-GC isolation with an agreement retry loop —
+      * re-run until two consecutive mins agree within 20% (max 4 tries),
+      * so an old-gen stall cannot stand as the "isolated" figure. */
+    def isolateInJvm(names: Seq[String]): Seq[(String, Double)] = {
+      System.gc()
+      names.map { n =>
+        var prev = timed(selected(n), n)._1
+        var best = prev
+        var tries = 1
+        var stable = false
+        while (!stable && tries < 4 && prev >= 0) {
+          System.gc()
+          val next = timed(selected(n), n)._1
+          if (next >= 0) best = math.min(best, next)
+          stable = next >= 0 &&
+            math.abs(next - prev) <= 0.2 * math.max(next, prev)
+          prev = next
+          tries += 1
+        }
+        (n, best)
+      }
+    }
+
+    /** Fresh-JVM isolation: fork `java -cp <this classpath> graft.Bench
+      * <names>` with the child marker set, parse its per-query JSON map. */
+    def isolateFresh(names: Seq[String]): Option[Seq[(String, Double)]] =
+      try {
+        val javaBin = new java.io.File(
+          new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+        val cp = sys.props("java.class.path")
+        if (cp == null || !cp.contains("classes")) None
+        else {
+          val jvmOpts = java.lang.management.ManagementFactory
+            .getRuntimeMXBean.getInputArguments
+            .toArray(Array.empty[String]).toSeq
+            .filterNot(o => o.startsWith("-agentlib") || o.startsWith("-Xdebug"))
+          val cmd = Seq(javaBin) ++ jvmOpts ++ Seq("-cp", cp, "graft.Bench") ++ names
+          val out = new StringBuilder
+          val logger = scala.sys.process.ProcessLogger(
+            line => { out.append(line).append('\n'); () },
+            line => { System.err.println(s"[bench-child] $line"); () })
+          val code = scala.sys.process.Process(cmd, None,
+            "SPARK_GRAFT_SF_DIR" -> sfDir,
+            "SPARK_GRAFT_BENCH_CHILD" -> "1",
+            "SPARK_GRAFT_BENCH_RUNS" -> runs.toString).!(logger)
+          if (code != 0) {
+            System.err.println(s"[bench] child exited $code"); None
+          } else {
+            out.toString.linesIterator
+              .find(_.contains("\"queries\":{"))
+              .flatMap { line =>
+                val seg = line.substring(
+                  line.indexOf("\"queries\":{") + "\"queries\":{".length)
+                val body = seg.substring(0, seg.indexOf('}'))
+                val pair = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+                val parsed = pair.findAllMatchIn(body)
+                  .map(m => (m.group(1), m.group(2).toDouble)).toSeq
+                if (parsed.isEmpty) None else Some(parsed)
+              }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] fork failed: ${e.getMessage}"); None
+      }
+
+    val isolated =
+      if (isoNames.isEmpty) Nil
+      else isolateFresh(isoNames).getOrElse {
+        System.err.println(
+          "[bench] fresh-JVM isolation unavailable — in-JVM fallback")
+        isolateInJvm(isoNames)
+      }
     val isoMap = isolated.filter(_._2 >= 0).toMap
     // headline = min(sweep_min, isolated_min): the steady-state plan cost
     // survives whichever measurement the box let run clean

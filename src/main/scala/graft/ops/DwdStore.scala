@@ -78,6 +78,21 @@ private[ops] object StoreDirs {
     walk(new java.io.File(d)).foreach { f =>
       md.update(s"${f.getPath}|${f.lastModified}|${f.length}\n"
         .getBytes("UTF-8"))
+      // defense in depth: metadata alone misses a regeneration that
+      // preserves sizes under coarse mtimes (or an atomic rename keeping
+      // timestamps). The last 64 bytes of each file cover the parquet
+      // footer — metadata offsets + row-group stats — which any content
+      // change perturbs; 64 bytes × a few dozen files is still free.
+      if (f.isFile && f.length > 0) {
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val n = math.min(64L, raf.length).toInt
+          raf.seek(raf.length - n)
+          val buf = new Array[Byte](n)
+          raf.readFully(buf)
+          md.update(buf)
+        } finally raf.close()
+      }
     }
     d + "@" + md.digest().map("%02x".format(_)).mkString.take(12)
   }

@@ -801,6 +801,10 @@ object Relational extends QueryModule {
     * list (src, dst, w): fixed-point integer PageRank, `iters` rounds.
     * Exposed for the spec's hand-computable graphs. */
   private[graft] def pagerankIterate(adj: DataFrame, iters: Int): DataFrame = {
+    // the loop must run: the returned frame is the i == iters checkpoint;
+    // with iters <= 0 the tail unpersist below would free the edge blocks
+    // a pass-through result still reads (a LAZY failure at collect time)
+    require(iters >= 1, s"pagerankIterate needs iters >= 1, got $iters")
     val outw = adj.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val e = adj.join(outw, Seq("src")).localCheckpoint()
     val nodes = e.select(col("src").as("v"))
@@ -844,8 +848,9 @@ object Relational extends QueryModule {
     * iterative algorithms that checkpoint per round must unpersist the
     * superseded iterate explicitly or accumulate one pinned copy of the
     * working set per round. Non-checkpoint plans have no LogicalRDD leaf
-    * and pass through untouched. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+    * and pass through untouched. (Shared: VectorOps' recall audits apply
+    * the same discipline to their intermediate checkpoints.) */
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false): Unit

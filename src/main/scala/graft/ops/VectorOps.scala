@@ -989,12 +989,19 @@ object VectorOps extends QueryModule {
       .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
     val hits = exact.join(approx, Seq("probe_id", "neighbor_id"))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
-    exact.select(col("probe_id")).distinct()
+    // pin the probe-count-sized RESULT, then release the two intermediate
+    // checkpoints (the pagerankConverge discipline: peak pinned state is
+    // the frame the caller consumes, never the working set that built it)
+    val out = exact.select(col("probe_id")).distinct()
       .join(hits, Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("h"), lit(0L)).as("n_hits"),
         (coalesce(col("h"), lit(0L)).cast("double") / 5.0)
           .as("recall_at_5"))
+      .localCheckpoint()
+    Relational.unpersistCheckpoint(approx)
+    Relational.unpersistCheckpoint(exact)
+    out
   }
 
   /** Shared CTE chain ending in `pairs` (the embedding near-dup pair
