@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *     bucket and probing prunes partitions at the scan.
   *   - IVF: label-grouped centroids as the coarse quantizer (k-means drop-in
   *     slot); probe → nearest centroid → scan only that inverted list.
+  *   - IVFADC: a TRAINED k-means coarse quantizer (seeded + one Lloyd
+  *     round, the PQ training device at one 64-dim "subspace") over PQ
+  *     codes; list assignments are stored at ingest and probed per query.
   */
 object VectorOps extends QueryModule {
 
@@ -402,8 +405,9 @@ object VectorOps extends QueryModule {
 
   /** Deterministic label-centroid + probe CTE chain (`ex` → `cent` →
     * `cvecs`, plus `p` = the probe set) — shared VERBATIM by the two IVF
-    * oracles and both PQ oracles so the coarse-quantizer definition can
-    * never drift between them. */
+    * oracles so the label-centroid definition can never drift between
+    * them. (The IVFADC oracles train their own coarse quantizer — see
+    * [[dIvfPqChain]].) */
   private val dCentP: String =
     s"""ex AS (
        |  SELECT label, vec_id, UNNEST(embedding) AS x,
@@ -551,20 +555,52 @@ object VectorOps extends QueryModule {
        |FROM (SELECT DISTINCT probe_id FROM exact5) LEFT JOIN hits
        |  USING (probe_id)""".stripMargin
 
-  /** The IVFADC candidate chain (nearest-list pick → list-restricted ADC →
-    * top-[[Shortlist]]) — shared VERBATIM by `q_ann_ivfpq` and its recall
-    * audit so the audited path can never drift from the audited query. */
+  /** The IVFADC candidate chain (trained coarse quantizer → inverted-list
+    * assignment → list-restricted ADC → top-[[Shortlist]]) — shared
+    * VERBATIM by `q_ann_ivfpq` and its recall audit so the audited path
+    * can never drift from the audited query. The coarse training mirrors
+    * [[coarseCodebook]]: seeds = the [[CoarseK]] lowest-id vectors
+    * (`kcw0`), one nearest-centroid assignment (`ka1`, the [[dL2sq]]
+    * ordered fold over all 64 dims, ties to the smaller centroid id), one
+    * Lloyd mean round with the ordered-fold device (`kcm`/`kcwt` — the
+    * [[dPq]] `cm`/`cwt` pattern), then every vector's final list (`klist`).
+    * Probes pick their OWN stored assignment (`pick` = klist at
+    * vec_id < 8), exactly what the Spark side probes from the store. */
   private lazy val dIvfPqChain: String =
-    s"""pick AS (
-       |  SELECT probe_id, c_label AS list_label
-       |  FROM (SELECT probe_id, c_label,
-       |          ROW_NUMBER() OVER (PARTITION BY probe_id
-       |            ORDER BY ${dCos("pvec", "cvec")} DESC, c_label ASC) AS crank
-       |        FROM p CROSS JOIN cvecs)
-       |  WHERE crank = 1),
+    s"""kcw0 AS (SELECT vec_id AS j, embedding AS cw
+       |         FROM embeddings WHERE vec_id < $CoarseK),
+       |ka1 AS (
+       |  SELECT vec_id, j
+       |  FROM (SELECT e.vec_id, j,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${dL2sq("embedding", "cw", 64)} ASC, j ASC) AS rk
+       |        FROM embeddings e CROSS JOIN kcw0)
+       |  WHERE rk = 1),
+       |kax AS (SELECT j, ka1.vec_id AS vec_id, UNNEST(e.embedding) AS x,
+       |          UNNEST(range(1, 65)) AS pos
+       |        FROM ka1 JOIN embeddings e ON ka1.vec_id = e.vec_id),
+       |kcm AS (SELECT j, pos,
+       |          list_sum(list_transform(
+       |            list_sort(list(struct_pack(vec_id := vec_id, x := x))),
+       |            s -> CAST(s.x AS DOUBLE))) / COUNT(*) AS cx
+       |        FROM kax GROUP BY 1, 2),
+       |kcwt AS (SELECT j,
+       |           list_transform(
+       |             list_sort(list(struct_pack(pos := pos, cx := cx))),
+       |             s -> CAST(s.cx AS REAL)) AS cw
+       |         FROM kcm GROUP BY j),
+       |klist AS (
+       |  SELECT vec_id, j AS list
+       |  FROM (SELECT e.vec_id, j,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${dL2sq("embedding", "cw", 64)} ASC, j ASC) AS rk
+       |        FROM embeddings e CROSS JOIN kcwt)
+       |  WHERE rk = 1),
+       |pick AS (SELECT vec_id AS probe_id, list FROM klist
+       |         WHERE vec_id < 8),
        |cand AS (
-       |  SELECT probe_id, vec_id
-       |  FROM embeddings e JOIN pick ON e.label = pick.list_label),
+       |  SELECT probe_id, klist.vec_id AS vec_id
+       |  FROM klist JOIN pick USING (list)),
        |ad AS (
        |  SELECT cand.probe_id AS probe_id, cand.vec_id AS neighbor_id,
        |    list_sum(list_transform(
@@ -688,6 +724,27 @@ object VectorOps extends QueryModule {
     pqLloyd(subspaced(e, "vec_id", "embedding"),
       pqAssign(subspaced(e, "vec_id", "embedding"), pqSeeds(e)))
 
+  /** Coarse-quantizer centroid count (IVFADC inverted lists). At real
+    * scale ≈ sqrt(N) lists keeps both the centroid broadcast and the
+    * per-list scan sublinear. */
+  private final val CoarseK = 16
+
+  /** The TRAINED coarse quantizer for IVFADC — the PQ k-means device
+    * ([[pqSeeds]] → [[pqAssign]] → [[pqLloyd]]) applied to ONE "subspace"
+    * spanning the full 64 dims: seeds are the [[CoarseK]] lowest-id
+    * vectors, refined by one Lloyd round with the ordered-fold mean, so
+    * the trained centroids are partition-order-independent and
+    * bit-identical to the DuckDB mirror. Training cost is two assignment
+    * passes over the corpus (ingest-time, stored); the codebook itself is
+    * [[CoarseK]] rows — broadcast-sized at any corpus scale. */
+  private def coarseSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), lit(0).as("m"), col("embedding").as("sv"))
+  private def coarseSeeds(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < CoarseK)
+      .select(lit(0).as("m"), col("vec_id").as("j"), col("embedding").as("cw"))
+  private def coarseCodebook(e: DataFrame): DataFrame =
+    pqLloyd(coarseSub(e), pqAssign(coarseSub(e), coarseSeeds(e)))
+
   /** PQ index store — codebook trained and corpus encoded ONCE per
     * (JVM, sfDir), parquet-materialized (the [[TextIndexStore]] memo
     * pattern): a production PQ index is built at ingest and only PROBED
@@ -708,12 +765,21 @@ object VectorOps extends QueryModule {
       pqAssign(subspaced(e, "vec_id", "embedding"),
           s.read.parquet(s"$base/codebook"))
         .write.mode("overwrite").parquet(s"$base/codes")
+      // the IVFADC coarse layer: trained centroids + each vector's
+      // inverted-list assignment, both ingest-time artifacts (a vector's
+      // list never changes after indexing)
+      coarseCodebook(e).write.mode("overwrite").parquet(s"$base/coarse")
+      pqAssign(coarseSub(e), s.read.parquet(s"$base/coarse"))
+        .select(col("vec_id"), col("code").as("list"))
+        .write.mode("overwrite").parquet(s"$base/lists")
       base
     })
   private def storedCodebook(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${pqStore(s, d)}/codebook")
   private def storedCodes(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${pqStore(s, d)}/codes")
+  private def storedLists(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${pqStore(s, d)}/lists")
 
   /** Asymmetric-distance table: probe × codeword squared-L2 per subspace.
     * Size = probes × M × K — broadcastable at any corpus scale. */
@@ -897,31 +963,31 @@ object VectorOps extends QueryModule {
     rerank(shortlist, probes, e)
   }
 
-  /** IVFADC — the composed 100 TB shape (coarse quantizer + PQ codes,
-    * Jégou et al. §V): each probe picks its nearest inverted list exactly
-    * as [[ivfTopk]] does, and the ADC scan reads ONLY that list's codes —
-    * candidate count drops from N to N/#lists before any distance math.
-    * The list restriction happens BEFORE the ADC join (a broadcast join
-    * on the probe's list label), so pruned candidates never materialize.
-    * Codebooks, codes, distance tables, fold and re-rank are shared with
-    * [[annPq]] — one encoding serves both query shapes, exactly how a
-    * production index is operated. */
+  /** IVFADC — the composed 100 TB shape (TRAINED coarse quantizer + PQ
+    * codes, Jégou et al. §V): the coarse layer is the [[coarseCodebook]]
+    * k-means (seeded, one Lloyd round — the same trained-quantizer device
+    * as the PQ codebooks, proven hash-exact there), each vector's
+    * inverted-list assignment is stored at ingest ([[storedLists]]), and
+    * the ADC scan reads ONLY the probe's own list's codes — candidate
+    * count drops from N to ~N/[[CoarseK]] before any distance math.
+    * Probes are corpus members, so their list pick IS their stored
+    * ingest-time assignment (nearest trained centroid by squared L2, the
+    * metric the index was built under) — probed, not recomputed. The list
+    * restriction happens BEFORE the ADC join (a broadcast join on the
+    * probe's list id), so pruned candidates never materialize. Codebooks,
+    * codes, distance tables, fold and re-rank are shared with [[annPq]] —
+    * one encoding serves both query shapes, exactly how a production
+    * index is operated. */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = embParallel(s, d)
-    val cents = labelCentroids(e)
     val cw = storedCodebook(s, d)
     val codes = storedCodes(s, d)
+    val lists = storedLists(s, d)
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
-    // nearest-list pick — same cosine + max_by device as ivfTopk
-    val pick = probes.crossJoin(broadcast(cents))
-      .select(col("probe_id"), col("c_label"),
-        cosine(col("pvec"), col("cvec")).as("csim"))
-      .groupBy(col("probe_id"))
-      .agg(max_by(col("c_label"),
-        struct(col("csim"), (-col("c_label")).as("neg"))).as("list_label"))
-    val cand = e.select(col("vec_id"), col("label"))
-      .join(broadcast(pick), col("label") === col("list_label"))
+    val pick = lists.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("list"))
+    val cand = lists.join(broadcast(pick), Seq("list"))
       .select(col("probe_id"), col("vec_id"))
     val pt = pqDistTable(probes, cw)
     val ad = adcSum(
@@ -949,13 +1015,14 @@ object VectorOps extends QueryModule {
     *
     * Honest numbers, both gated: [[annPq]] (full-corpus ADC + 100-deep
     * re-rank) measures 1.0 recall@5 at sf0.001; [[annIvfPq]] measures
-    * 0–0.4 — NOT a bug: its coarse quantizer restricts each probe to one
-    * label list, and on this geometry labels are random rather than
-    * proximity clusters, so the list restriction is the adversarial worst
-    * case for IVF (the same honesty story as the sign-LSH audit). The
-    * dial is nprobe (`q_ivf_multiprobe`) or a trained coarse quantizer;
-    * the audit is what a production pipeline reads to pick the operating
-    * point.
+    * 0.6–1.0 (mean ~0.83–0.88 across SFs) with the TRAINED coarse
+    * quantizer — up from 0–0.4 when list assignment used the synthetic
+    * random labels (the adversarial case this audit exposed in r8; the
+    * k-means coarse layer is exactly the fix the audit called for). The
+    * residual misses are probes whose true neighbors fall across a list
+    * boundary — the remaining dial is nprobe (`q_ivf_multiprobe`'s
+    * device); the audit is what a production pipeline reads to pick the
+    * operating point.
     *
     * The exact arm scores with the norm-form distance `‖p‖² + ‖c‖² −
     * 2·p·c` — three codegen [[graft.functions.VectorFunctions.dot]]
@@ -1217,7 +1284,8 @@ object VectorOps extends QueryModule {
          |$dRerankCtes,
          |$dRecallTail""".stripMargin,
     "q_ann_ivfpq" ->
-      s"""WITH $dCentP,
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
          |$dPq,
          |$dIvfPqChain,
          |$dRerank""".stripMargin,
@@ -1225,7 +1293,8 @@ object VectorOps extends QueryModule {
     // dRerankCtes — the exact strings q_ann_ivfpq runs; the exact arm
     // mirrors the Spark norm-form distance textually.
     "q_ann_ivfpq_recall" ->
-      s"""WITH $dCentP,
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
          |$dPq,
          |$dIvfPqChain,
          |$dRerankCtes,

@@ -112,6 +112,14 @@ class VectorSpec extends AnyFunSuite {
       val ranks = rows.map(_.getInt(3)).sorted.toSeq
       assert(ranks === (1 to ranks.size))
     }
+    // the TRAINED coarse quantizer is live: with k-means lists the mean
+    // recall@5 measures 0.83–0.88; random-label assignment measured
+    // 0–0.4 (r8's gated audit). The 0.5 floor trips a silent regression
+    // back to untrained lists while leaving noise margin.
+    val ivfpqPairs = ivfpq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqRecall = (ivfpqPairs & truth).size.toDouble / truth.size
+    assert(ivfpqRecall >= 0.5,
+      s"IVFADC recall@5 = $ivfpqRecall — trained coarse quantizer dead?")
   }
 
   test("two-level topKPerProbe equals the single global window, " +
