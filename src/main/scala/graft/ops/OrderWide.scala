@@ -284,6 +284,44 @@ object OrderWide extends QueryModule {
     scd2Project(h2)
   }
 
+  /** The STREAMING face of the SCD2 history — fold ONE changelog batch
+    * into the history store at `histDir` (read → [[Scd2.applyBatch]] →
+    * overwrite, the `foreachBatch` MERGE-class refresh; bootstrap via
+    * [[Scd2.fromLog]] when the store doesn't exist yet). The store holds
+    * RAW history rows (every changelog column + version_seq /
+    * effective_from / effective_to) so the next fold can keep chaining;
+    * query faces project what they need. Contract: [[Scd2]]'s monotone
+    * ingest — each batch's op_ts per key strictly exceeds the stored
+    * history's, and rows sharing (detail_id, op_ts) arrive in ONE batch
+    * (callers folding a mixed-wave micro-batch split it by op_ts first,
+    * the DwdChainSpec device). Scd2StreamSpec drives this through
+    * `foreachBatch` over the wide changelog and proves the maintained
+    * store ≡ the one-shot rebuild.
+    *
+    * Scale: each fold costs the BATCH (close-out joins on batch keys,
+    * append of batch chains) — the whole point of SCD2-as-MERGE; the
+    * overwrite is whole-store only because plain parquet has no MERGE
+    * (production: key-partitioned lakehouse table, touched partitions
+    * only). */
+  def scd2Refresh(s: SparkSession, histDir: String, batch: DataFrame): Unit = {
+    val h =
+      if (new java.io.File(histDir).exists())
+        Scd2.applyBatch(s.read.parquet(histDir), batch,
+          "detail_id", "op_ts", chainOrder).localCheckpoint()
+      else
+        Scd2.fromLog(batch, "detail_id", "op_ts", chainOrder)
+          .localCheckpoint()
+    h.write.mode("overwrite").parquet(histDir)
+    Relational.unpersistCheckpoint(h)
+  }
+
+  /** One-shot rebuild over an arbitrary changelog frame with the SAME
+    * key/seq/tie-order as the maintained store — the comparison arm of
+    * Scd2StreamSpec (and the building block `q_scd2_history` uses via
+    * [[scd2History]]). */
+  def scd2RebuildOf(log: DataFrame): DataFrame =
+    Scd2.fromLog(log, "detail_id", "op_ts", chainOrder)
+
   /** Point-in-time (as-of) snapshot probe over the SCD2 history — the
     * payoff [[scd2History]] promises: "what did the table say at time T"
     * is a RANGE PREDICATE over the validity intervals, not a window
