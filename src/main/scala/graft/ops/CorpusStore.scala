@@ -1,6 +1,9 @@
 package graft.ops
 
+import graft.functions.TextFunctions.fingerprint
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Materialized corpus-filter survivor manifest — the cleaned-corpus id
   * set the three pipeline flagships share, computed ONCE instead of once
@@ -42,4 +45,95 @@ object CorpusStore {
   /** The materialized survivor manifest (doc_id, source, n_tok, char_sum). */
   def survivors(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${ensure(s, d)}/surv")
+
+  /** The STREAMING face of the corpus filter — fold one ingest batch of
+    * (doc_id, text, source) rows into the manifest rooted at `base` (the
+    * [[TextIndexStore]] delta pattern applied to the whole gate chain,
+    * under `foreachBatch`). State layout, all APPEND-only:
+    *
+    *   - `dedup` — (doc_id, source, n_tok, char_sum, fp) for every
+    *     gate-passing, exact-dedup-surviving doc. This is the near-dup
+    *     INDEX: a doc later dropped as a near-dup STAYS here, because the
+    *     batch semantics drop any d2 paired with a smaller-id deduped doc
+    *     whether or not that d1 itself survived — the index must keep it
+    *     or a later re-statement of the same content would sneak through.
+    *   - `sig` — MinHash signatures of dedup docs (the LSH probe surface,
+    *     8 longs/doc — [[TextIndexStore.sig]]'s shape).
+    *   - `shset` — shingle sets of dedup docs (the verification surface;
+    *     production stores hashed shingles, same plan shape).
+    *   - `surv` — the manifest itself, appended per batch.
+    *
+    * Per batch: gates ([[TextOps.corpusGate]], shared verbatim with the
+    * rebuild) → intra-batch keep-first on the content fingerprint → fp
+    * anti-join against the stored index (exact dedup; also what makes a
+    * REPLAYED batch a no-op — at-least-once idempotence) → LSH band
+    * candidates against stored signatures ∪ intra-batch smaller ids →
+    * exact Jaccard verification ([[TextOps.verifySimPairs]], shared
+    * verbatim) → append state + non-dropped survivors.
+    *
+    * Contract: batches arrive in ascending doc_id order (monotone ingest,
+    * the [[Scd2]] discipline) — keep-first then means "first batch wins",
+    * exactly the rebuild's min-id winner. CorpusStreamSpec proves
+    * union-of-batches ≡ the whole-corpus rebuild under uneven boundaries
+    * + a replayed batch.
+    *
+    * Scale: per batch the index contributes ONE scan of its fp column
+    * (anti-join, hash-keyed) and one scan of its signature store (band
+    * probe, batch bands broadcast) — raw text never re-reads, the index
+    * never self-joins; verification touches candidate ids only. Cost ∝
+    * batch + collisions, independent of corpus × batch pairing. */
+  def refreshBatch(s: SparkSession, base: String, batch: DataFrame): Unit = {
+    val dedupDir = s"$base/dedup"; val sigDir = s"$base/sig"
+    val shDir = s"$base/shset"; val survDir = s"$base/surv"
+    def existing(p: String): Option[DataFrame] =
+      if (new java.io.File(p).exists()) Some(s.read.parquet(p)) else None
+
+    val withFp = TextOps.corpusGate(batch)
+      .withColumn("fp", fingerprint(col("text")))
+    val intra = withFp
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val fresh = (existing(dedupDir) match {
+      case Some(st) => intra.join(st.select(col("fp")), Seq("fp"), "left_anti")
+      case None => intra
+    }).localCheckpoint()
+    val sigNew = TextOps.minhashSignaturesOf(s, fresh).localCheckpoint()
+    val bandsNew = TextOps.bandKeys(sigNew)
+    val intraCand = bandsNew.as("x").join(bandsNew.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val cand = (existing(sigDir) match {
+      case Some(st) =>
+        TextOps.bandKeys(st).as("x")
+          .join(broadcast(bandsNew.as("y")),
+            col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .unionByName(intraCand)
+      case None => intraCand
+    }).distinct().localCheckpoint()
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val shNew = fresh.select(col("doc_id"), TextOps.shsetCol.as("shset"))
+    val shAll = (existing(shDir) match {
+      case Some(st) => st.unionByName(shNew)
+      case None => shNew
+    }).join(candIds, Seq("doc_id"), "left_semi")
+    val drops = TextOps.verifySimPairs(cand, shAll)
+      .select(col("d2").as("doc_id")).distinct().localCheckpoint()
+
+    // all state reads are materialized (checkpoints) before any append
+    fresh.select(col("doc_id"), col("source"), col("n_tok"),
+        col("char_sum"), col("fp"))
+      .write.mode("append").parquet(dedupDir)
+    sigNew.write.mode("append").parquet(sigDir)
+    shNew.write.mode("append").parquet(shDir)
+    fresh.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_tok"), col("char_sum"))
+      .write.mode("append").parquet(survDir)
+    Seq(fresh, sigNew, cand, drops).foreach(Relational.unpersistCheckpoint)
+  }
 }

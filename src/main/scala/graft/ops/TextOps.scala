@@ -955,7 +955,7 @@ object TextOps extends QueryModule {
   /** Same signature computation over any (doc_id, text) frame — the
     * composed corpus pipeline runs it on an augmented corpus, and the
     * [[TextIndexStore]] materializes it over the delta index at ingest. */
-  private[ops] def minhashSignaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def minhashSignaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
@@ -995,7 +995,7 @@ object TextOps extends QueryModule {
     * concat_ws would silently collapse them to bkey "" — pairing ALL
     * short docs with each other. concat propagates the NULL so the
     * equi-join skips them, exactly like the oracle's `mh0 || '_' || mh1`. */
-  private def bandKeys(sig: DataFrame): DataFrame =
+  private[graft] def bandKeys(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         concat(col(s"mh${2 * b}"), lit("_"), col(s"mh${2 * b + 1}"))
@@ -1096,8 +1096,7 @@ object TextOps extends QueryModule {
     def shs(df: DataFrame, idCol: String): DataFrame = df
       .join(cand.select(col(idCol).as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")), 3)).as("shset"))
+      .select(col("doc_id"), shsetCol.as("shset"))
     cand
       .join(broadcast(shs(incoming, "inc_id").toDF("inc_id", "sa")), "inc_id")
       .join(broadcast(shs(index, "idx_id").toDF("idx_id", "sb")), "idx_id")
@@ -1123,9 +1122,7 @@ object TextOps extends QueryModule {
   private def nearDupPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val cand = lshCandidates(minhashSignaturesOf(s, docs).localCheckpoint())
       .localCheckpoint()
-    val shingleSets = docs.select(
-      col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), 3)).as("shset"))
+    val shingleSets = docs.select(col("doc_id"), shsetCol.as("shset"))
     // Only docs that appear in ≥1 candidate pair need their shingle sets —
     // semi-join first so the broadcast below holds the survivor set (size
     // ∝ LSH collisions), NOT the whole corpus. Materialized: referenced by
@@ -1134,15 +1131,31 @@ object TextOps extends QueryModule {
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     val survivors = shingleSets
       .join(candIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    verifySimPairs(cand, survivors)
+      .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+  }
+
+  /** Exact shingle-Jaccard verification of (d1, d2) candidate pairs
+    * against a (doc_id, shset) frame — THE near-dup decision, shared
+    * verbatim by the batch pipeline ([[nearDupPairsOf]]) and the
+    * streaming corpus refresh ([[CorpusStore.refreshBatch]]) so the two
+    * faces apply a bit-identical threshold. The shset frame is
+    * collision-sized (semi-joined to candidate ids by callers), hence
+    * broadcast on both sides. */
+  private[graft] def verifySimPairs(cand: DataFrame, shsets: DataFrame): DataFrame =
     cand
-      .join(broadcast(survivors.toDF("d1", "sa")), "d1")
-      .join(broadcast(survivors.toDF("d2", "sb")), "d2")
+      .join(broadcast(shsets.toDF("d1", "sa")), "d1")
+      .join(broadcast(shsets.toDF("d2", "sb")), "d2")
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jaccard") >= 0.6)
-      .select(col("d1"), col("d2"), col("common"), col("jaccard"))
-  }
+
+  /** The canonical shingle-set column (de-duplicated 3-token shingles)
+    * over a `text` column — one definition so stored sets and recomputed
+    * sets are byte-identical. */
+  private[graft] def shsetCol: Column =
+    array_distinct(shingles(tokens(col("text")), 3))
 
   /** The end-to-end training-corpus filter — the composed pipeline a
     * 100 TB pretraining-data run actually executes, in the canonical stage
@@ -1186,15 +1199,28 @@ object TextOps extends QueryModule {
 
   /** The survivor computation itself — called only by [[CorpusStore]] to
     * build the manifest. */
-  private[ops] def filteredCorpusCompute(s: SparkSession, d: String): DataFrame = {
-    val docs = docsParallel(s, d)
-      .select(col("doc_id"), col("text"), col("source"))
-    val aug = docs.unionAll(
+  private[ops] def filteredCorpusCompute(s: SparkSession, d: String): DataFrame =
+    filteredCorpusOf(s, plantAugmented(docsParallel(s, d)
+      .select(col("doc_id"), col("text"), col("source"))))
+
+  /** The every-40th-doc planted-copy augmentation (byte-identical text
+    * under doc_id + [[PlantOffset]]) — the dedup-liveness device, exposed
+    * so CorpusStreamSpec feeds the IDENTICAL augmented corpus through the
+    * incremental face. */
+  private[graft] def plantAugmented(docs: DataFrame): DataFrame =
+    docs.unionAll(
       docs.filter(col("doc_id") % 40 === 0)
         .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"),
           col("source")))
+
+  /** Stage 1 of the corpus filter — the quality + language gates, a
+    * per-doc shuffle-free codegen map over any (doc_id, text, source)
+    * frame. Shared VERBATIM by the batch rebuild ([[filteredCorpusOf]])
+    * and the streaming refresh ([[CorpusStore.refreshBatch]]) so the two
+    * faces can never disagree on what passes. */
+  private[graft] def corpusGate(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    val scored = aug.select(
+    docs.select(
         col("doc_id"), col("source"), col("text"),
         size(t).as("n_tok"),
         stopwordCount(t, EnMarkers).as("stop_ct"),
@@ -1207,6 +1233,16 @@ object TextOps extends QueryModule {
          when(col("stop_ratio") >= 0.02 && col("stop_ratio") <= 0.6, 1)
            .otherwise(0) +
          when(col("avg_tok_len").between(3.0, 10.0), 1).otherwise(0)) >= 2)
+      .select(col("doc_id"), col("source"), col("text"), col("n_tok"),
+        col("char_sum"))
+  }
+
+  /** Stages 1–3 over an arbitrary (pre-augmented) corpus frame — the
+    * one-shot rebuild arm ([[filteredCorpusCompute]] binds it to the real
+    * corpus; CorpusStreamSpec compares the maintained incremental store
+    * against it). */
+  private[graft] def filteredCorpusOf(s: SparkSession, aug: DataFrame): DataFrame = {
+    val scored = corpusGate(aug)
     val deduped = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))))
