@@ -152,7 +152,10 @@ object Bench {
           val code = scala.sys.process.Process(cmd, None,
             "SPARK_GRAFT_SF_DIR" -> sfDir,
             "SPARK_GRAFT_BENCH_CHILD" -> "1",
-            "SPARK_GRAFT_BENCH_RUNS" -> runs.toString).!(logger)
+            "SPARK_GRAFT_BENCH_RUNS" -> runs.toString,
+            // share the parent's materialized stores: the isolated run
+            // measures the PROBE path like the sweep, not a cold rebuild
+            "SPARK_GRAFT_DWD_DIR" -> graft.ops.StoreDirs.rootDir).!(logger)
           if (code != 0) {
             System.err.println(s"[bench] child exited $code"); None
           } else {

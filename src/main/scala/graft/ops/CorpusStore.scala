@@ -35,12 +35,11 @@ object CorpusStore {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensure(s: SparkSession, d: String): String =
-    built.computeIfAbsent(StoreDirs.freshKey(d), k => {
-      val base = StoreDirs.dirFor("corpussurv", k)
-      TextOps.filteredCorpusCompute(s, d)
-        .write.mode("overwrite").parquet(s"$base/surv")
-      base
-    })
+    built.computeIfAbsent(StoreDirs.freshKey(d), k =>
+      StoreDirs.ensureBuilt("corpussurv", k) { base =>
+        TextOps.filteredCorpusCompute(s, d)
+          .write.mode("overwrite").parquet(s"$base/surv")
+      })
 
   /** The materialized survivor manifest (doc_id, source, n_tok, char_sum). */
   def survivors(s: SparkSession, d: String): DataFrame =

@@ -17,9 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                storing post-dedup rows is what a streaming DWS state
   *                store would hold.
   *
-  * Freshness: the store is ALWAYS rebuilt on first access within a JVM
-  * (the memo is per-process, the directory is overwritten), so a stale
-  * store from a previous run can never leak into this one. At real scale
+  * Freshness: the store directory's NAME encodes the input fingerprint
+  * ([[StoreDirs.freshKey]]) and a build is only reused when its
+  * completion marker exists ([[StoreDirs.ensureBuilt]]), so a stale or
+  * half-written store can never leak into this run — and the bench's
+  * fresh-JVM isolation child can safely probe the parent's stores via a
+  * shared root. At real scale
   * this layer is the lakehouse DWD table (Delta/Iceberg), partitioned by
   * date_id, with consumers pruning partitions — here it is plain parquet
   * because the sandbox has no table format on the classpath.
@@ -29,7 +32,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * JVMs — e.g. Verify and Bench overlapping — must never race each other's
   * overwrite of the same store directory), removed on JVM exit. Set
   * SPARK_GRAFT_DWD_DIR to pin a shared, persistent location instead. */
-private[ops] object StoreDirs {
+private[graft] object StoreDirs {
+
+  /** The resolved store root — exposed so Bench can hand it to its
+    * fresh-JVM isolation child via SPARK_GRAFT_DWD_DIR: the child then
+    * PROBES the parent's already-built stores instead of paying every
+    * cold build, measuring the probe path exactly as the sweep does.
+    * (Safe: the child runs while the parent blocks, and a pinned root is
+    * never registered for deletion by its own shutdown hook.) */
+  def rootDir: String = root
 
   private lazy val root: String =
     sys.env.get("SPARK_GRAFT_DWD_DIR").getOrElse {
@@ -54,6 +65,26 @@ private[ops] object StoreDirs {
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     new java.io.File(root,
       tag + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest).getPath
+  }
+
+  /** Disk-memoized store build, keyed by the input fingerprint: the
+    * directory name encodes [[freshKey]], so an existing COMPLETE dir
+    * (marker file present) was necessarily built from byte-identical
+    * inputs — safe to reuse across JVMs sharing a pinned root (the bench
+    * isolation child probing the parent's stores). An incomplete dir — a
+    * crashed or in-flight build — has no marker and is rebuilt. Within a
+    * JVM the callers' ConcurrentHashMap memo serializes builds; across
+    * the parent/child pair the parent blocks while the child runs, so
+    * the marker is never raced. */
+  def ensureBuilt(tag: String, key: String)(build: String => Unit): String = {
+    val base = dirFor(tag, key)
+    val marker = new java.io.File(base, "_GRAFT_DONE")
+    if (!marker.exists()) {
+      build(base)
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(marker.toPath, "ok"): Unit
+    }
+    base
   }
 
   /** Input-freshness cache key: the sfDir path plus a digest of every
@@ -103,19 +134,18 @@ object DwdStore {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensure(s: SparkSession, d: String): String =
-    built.computeIfAbsent(StoreDirs.freshKey(d), k => {
-      val base = StoreDirs.dirFor("dwd", k)
-      val wide = OrderWide.buildWide(
-        OrderWide.detail(s, d), OrderWide.info(s, d),
-        OrderWide.activity(s, d), OrderWide.coupon(s, d), OrderWide.dic(s, d))
-      wide.write.mode("overwrite").parquet(s"$base/wide")
-      // latest derives from the STORED wide (one scan of the materialized
-      // table, not a second run of the join subtree)
-      OrderWide.keepLatestBatch(
-          OrderWide.versions(s.read.parquet(s"$base/wide")))
-        .write.mode("overwrite").parquet(s"$base/latest")
-      base
-    })
+    built.computeIfAbsent(StoreDirs.freshKey(d), k =>
+      StoreDirs.ensureBuilt("dwd", k) { base =>
+        val wide = OrderWide.buildWide(
+          OrderWide.detail(s, d), OrderWide.info(s, d),
+          OrderWide.activity(s, d), OrderWide.coupon(s, d), OrderWide.dic(s, d))
+        wide.write.mode("overwrite").parquet(s"$base/wide")
+        // latest derives from the STORED wide (one scan of the materialized
+        // table, not a second run of the join subtree)
+        OrderWide.keepLatestBatch(
+            OrderWide.versions(s.read.parquet(s"$base/wide")))
+          .write.mode("overwrite").parquet(s"$base/latest")
+      })
 
   /** The materialized five-table wide join. */
   def wide(s: SparkSession, d: String): DataFrame =

@@ -30,17 +30,16 @@ object PostingStore {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensure(s: SparkSession, d: String): String =
-    built.computeIfAbsent(StoreDirs.freshKey(d), k => {
-      val base = StoreDirs.dirFor("postings", k)
-      val docs = graft.Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-      RetrievalOps.postingsOf(docs)
-        .write.mode("overwrite").parquet(s"$base/postings")
-      docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("dl"))
-        .write.mode("overwrite").parquet(s"$base/doclen")
-      base
-    })
+    built.computeIfAbsent(StoreDirs.freshKey(d), k =>
+      StoreDirs.ensureBuilt("postings", k) { base =>
+        val docs = graft.Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+        RetrievalOps.postingsOf(docs)
+          .write.mode("overwrite").parquet(s"$base/postings")
+        docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"$base/doclen")
+      })
 
   /** The materialized (term, doc_id, tf) posting lists. */
   def postings(s: SparkSession, d: String): DataFrame =

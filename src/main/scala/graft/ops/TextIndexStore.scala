@@ -31,15 +31,14 @@ object TextIndexStore {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensure(s: SparkSession, d: String): String =
-    built.computeIfAbsent(StoreDirs.freshKey(d), k => {
-      val base = StoreDirs.dirFor("textidx", k)
-      val index = TextOps.deltaIndex(s, d)
-      index.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
-        .write.mode("overwrite").parquet(s"$base/fp")
-      TextOps.minhashSignaturesOf(s, index)
-        .write.mode("overwrite").parquet(s"$base/sig")
-      base
-    })
+    built.computeIfAbsent(StoreDirs.freshKey(d), k =>
+      StoreDirs.ensureBuilt("textidx", k) { base =>
+        val index = TextOps.deltaIndex(s, d)
+        index.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+          .write.mode("overwrite").parquet(s"$base/fp")
+        TextOps.minhashSignaturesOf(s, index)
+          .write.mode("overwrite").parquet(s"$base/sig")
+      })
 
   /** The materialized (doc_id, source, fp) exact-dedup index. */
   def fp(s: SparkSession, d: String): DataFrame =

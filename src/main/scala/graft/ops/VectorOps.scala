@@ -399,6 +399,7 @@ object VectorOps extends QueryModule {
     "q_ann_pq_recall"  -> annPqRecall _,
     "q_ann_ivfpq_recall" -> annIvfPqRecall _,
     "q_ann_sq"         -> annSq _,
+    "q_semdedup"       -> semDedup _,
   )
 
   // ---- DuckDB oracle fragments ----
@@ -555,18 +556,16 @@ object VectorOps extends QueryModule {
        |FROM (SELECT DISTINCT probe_id FROM exact5) LEFT JOIN hits
        |  USING (probe_id)""".stripMargin
 
-  /** The IVFADC candidate chain (trained coarse quantizer → inverted-list
-    * assignment → list-restricted ADC → top-[[Shortlist]]) — shared
-    * VERBATIM by `q_ann_ivfpq` and its recall audit so the audited path
-    * can never drift from the audited query. The coarse training mirrors
-    * [[coarseCodebook]]: seeds = the [[CoarseK]] lowest-id vectors
-    * (`kcw0`), one nearest-centroid assignment (`ka1`, the [[dL2sq]]
-    * ordered fold over all 64 dims, ties to the smaller centroid id), one
-    * Lloyd mean round with the ordered-fold device (`kcm`/`kcwt` — the
-    * [[dPq]] `cm`/`cwt` pattern), then every vector's final list (`klist`).
-    * Probes pick their OWN stored assignment (`pick` = klist at
-    * vec_id < 8), exactly what the Spark side probes from the store. */
-  private lazy val dIvfPqChain: String =
+  /** The coarse-quantizer TRAINING CTEs alone (kcw0 → kcwt) — the oracle
+    * mirror of [[coarseCodebook]]: seeds = the [[CoarseK]] lowest-id
+    * vectors (`kcw0`), one nearest-centroid assignment (`ka1`, the
+    * [[dL2sq]] ordered fold over all 64 dims, ties to the smaller
+    * centroid id), one Lloyd mean round with the ordered-fold device
+    * (`kcm`/`kcwt` — the [[dPq]] `cm`/`cwt` pattern). Factored out so
+    * every consumer of the trained coarse layer (the IVFADC pair via
+    * [[dIvfPqChain]], the SemDeDup oracle's cluster assignment) trains
+    * the IDENTICAL quantizer from the identical string. */
+  private lazy val dCoarseTrain: String =
     s"""kcw0 AS (SELECT vec_id AS j, embedding AS cw
        |         FROM embeddings WHERE vec_id < $CoarseK),
        |ka1 AS (
@@ -588,7 +587,16 @@ object VectorOps extends QueryModule {
        |           list_transform(
        |             list_sort(list(struct_pack(pos := pos, cx := cx))),
        |             s -> CAST(s.cx AS REAL)) AS cw
-       |         FROM kcm GROUP BY j),
+       |         FROM kcm GROUP BY j)""".stripMargin
+
+  /** The IVFADC candidate chain ([[dCoarseTrain]] → every vector's final
+    * list (`klist`) → list-restricted ADC → top-[[Shortlist]]) — shared
+    * VERBATIM by `q_ann_ivfpq` and its recall audit so the audited path
+    * can never drift from the audited query. Probes pick their OWN stored
+    * assignment (`pick` = klist at vec_id < 8), exactly what the Spark
+    * side probes from the store. */
+  private lazy val dIvfPqChain: String =
+    s"""$dCoarseTrain,
        |klist AS (
        |  SELECT vec_id, j AS list
        |  FROM (SELECT e.vec_id, j,
@@ -758,28 +766,107 @@ object VectorOps extends QueryModule {
   private val pqBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqStore(s: SparkSession, d: String): String =
-    pqBuilt.computeIfAbsent(StoreDirs.freshKey(d), k => {
-      val base = StoreDirs.dirFor("pqindex", k)
-      val e = embParallel(s, d)
-      pqCodebook(e).write.mode("overwrite").parquet(s"$base/codebook")
-      pqAssign(subspaced(e, "vec_id", "embedding"),
-          s.read.parquet(s"$base/codebook"))
-        .write.mode("overwrite").parquet(s"$base/codes")
-      // the IVFADC coarse layer: trained centroids + each vector's
-      // inverted-list assignment, both ingest-time artifacts (a vector's
-      // list never changes after indexing)
-      coarseCodebook(e).write.mode("overwrite").parquet(s"$base/coarse")
-      pqAssign(coarseSub(e), s.read.parquet(s"$base/coarse"))
-        .select(col("vec_id"), col("code").as("list"))
-        .write.mode("overwrite").parquet(s"$base/lists")
-      base
-    })
+    pqBuilt.computeIfAbsent(StoreDirs.freshKey(d), k =>
+      StoreDirs.ensureBuilt("pqindex", k) { base =>
+        val e = embParallel(s, d)
+        pqCodebook(e).write.mode("overwrite").parquet(s"$base/codebook")
+        pqAssign(subspaced(e, "vec_id", "embedding"),
+            s.read.parquet(s"$base/codebook"))
+          .write.mode("overwrite").parquet(s"$base/codes")
+        // the IVFADC coarse layer: trained centroids + each vector's
+        // inverted-list assignment, both ingest-time artifacts (a vector's
+        // list never changes after indexing)
+        coarseCodebook(e).write.mode("overwrite").parquet(s"$base/coarse")
+        pqAssign(coarseSub(e), s.read.parquet(s"$base/coarse"))
+          .select(col("vec_id"), col("code").as("list"))
+          .write.mode("overwrite").parquet(s"$base/lists")
+      })
   private def storedCodebook(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${pqStore(s, d)}/codebook")
   private def storedCodes(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${pqStore(s, d)}/codes")
   private def storedLists(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${pqStore(s, d)}/lists")
+  private def storedCoarse(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${pqStore(s, d)}/coarse")
+
+  /** The STREAMING face of the PQ/IVFADC index: codebooks train ONCE
+    * ([[pqIndexInit]] — the expensive, corpus-wide stage), then every
+    * ingest batch of (vec_id, embedding) rows is ENCODED against the
+    * stored codebooks and appended — PQ codes from the subspace codebook,
+    * the inverted-list assignment from the coarse codebook. This is how a
+    * production vector index actually grows: assignment/encoding is an
+    * embarrassingly-parallel map against KB-sized broadcast codebooks
+    * (per-batch cost ∝ batch, zero index reads, zero shuffles beyond the
+    * batch's own), and the quantizer is NOT retrained per batch — drift
+    * is handled by periodic re-trains, not per-ingest. Appends are
+    * idempotent-per-vector only under exactly-once file commits (Spark's
+    * parquet append), so unlike the posting merge there is no read side
+    * at all. PqStreamSpec proves union-of-batch encodings ≡ the one-shot
+    * whole-corpus encoding. */
+  def pqIndexInit(s: SparkSession, base: String, corpus: DataFrame): Unit = {
+    pqCodebook(corpus).write.mode("overwrite").parquet(s"$base/codebook")
+    coarseCodebook(corpus).write.mode("overwrite").parquet(s"$base/coarse")
+  }
+
+  /** Encode + assign one ingest batch against the stored codebooks and
+    * append to the index (see [[pqIndexInit]]). */
+  def pqIndexIngest(s: SparkSession, base: String, batch: DataFrame): Unit = {
+    val cw = s.read.parquet(s"$base/codebook")
+    val coarse = s.read.parquet(s"$base/coarse")
+    pqAssign(subspaced(batch, "vec_id", "embedding"), cw)
+      .write.mode("append").parquet(s"$base/codes")
+    pqAssign(coarseSub(batch), coarse)
+      .select(col("vec_id"), col("code").as("list"))
+      .write.mode("append").parquet(s"$base/lists")
+  }
+
+  /** SemDeDup-class SEMANTIC deduplication (Abbas et al. 2023): cluster
+    * the embedding space with the trained coarse quantizer, then run the
+    * pairwise cosine check WITHIN clusters only and drop the larger id of
+    * every pair above threshold — clustering is what makes semantic
+    * pairwise affordable (candidate pairs fall from N² to Σ|cluster|²;
+    * with K ≈ sqrt(N) lists each bucket's self-join stays ~N, the same
+    * scaling argument as the SimHash band dial). New vectors are assigned
+    * with the STORED quantizer ([[storedCoarse]] + [[pqAssign]]) exactly
+    * as an ingest pipeline assigns new documents to existing clusters —
+    * no retraining per batch.
+    *
+    * Liveness: the corpus has no planted embedding copies, so every 25th
+    * vector is re-issued under +2^62 with dim 0 zeroed (the
+    * [[embedNearDup]] device, cosine ≈ 0.97 vs its original — above the
+    * 0.9 gate) and lands in the same or a neighboring list; natural
+    * same-cluster pairs may flag additionally. Output: per-list totals
+    * (all exact integers). The DuckDB oracle retrains the quantizer via
+    * [[dCoarseTrain]] (shared VERBATIM with the IVFADC oracles) and
+    * replays the identical assignment + pair decision. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val base = embParallel(s, d).select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + TextOps.PlantOffset).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val aug = base.unionAll(copies)
+    val assigned = aug.join(
+      pqAssign(coarseSub(aug), storedCoarse(s, d))
+        .select(col("vec_id"), col("code").as("list")), Seq("vec_id"))
+    val a = assigned.select(col("list"), col("vec_id").as("d1"),
+      col("embedding").as("v1"))
+    val b = assigned.select(col("list"), col("vec_id").as("d2"),
+      col("embedding").as("v2"))
+    val drops = a.join(b, Seq("list"))
+      .filter(col("d1") < col("d2"))
+      .filter(cosine(col("v1"), col("v2")) >= 0.9)
+      .select(col("d2").as("vec_id")).distinct()
+    assigned
+      .join(broadcast(drops.withColumn("hit", lit(1))), Seq("vec_id"), "left")
+      .groupBy(col("list"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("hit").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_dropped"),
+        sum(when(col("hit").isNull, 1).otherwise(0)).cast("long")
+          .as("n_kept"))
+  }
 
   /** Asymmetric-distance table: probe × codeword squared-L2 per subspace.
     * Size = probes × M × K — broadcastable at any corpus scale. */
@@ -1299,5 +1386,37 @@ object VectorOps extends QueryModule {
          |$dIvfPqChain,
          |$dRerankCtes,
          |$dRecallTail""".stripMargin,
+    "q_semdedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |copies AS (
+         |  SELECT vec_id + ${TextOps.PlantOffset} AS vec_id,
+         |    list_transform(range(1, len(embedding)+1),
+         |      i -> CASE WHEN i = 1 THEN CAST(0.0 AS REAL)
+         |           ELSE embedding[CAST(i AS INT)] END) AS embedding
+         |  FROM base WHERE vec_id % 25 = 0),
+         |aug AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+         |$dCoarseTrain,
+         |alist AS (
+         |  SELECT vec_id, j AS list
+         |  FROM (SELECT aug.vec_id, j,
+         |          ROW_NUMBER() OVER (PARTITION BY aug.vec_id
+         |            ORDER BY ${dL2sq("embedding", "cw", 64)} ASC, j ASC) AS rk
+         |        FROM aug CROSS JOIN kcwt)
+         |  WHERE rk = 1),
+         |av AS (SELECT aug.vec_id AS vec_id, embedding, list
+         |       FROM aug JOIN alist ON aug.vec_id = alist.vec_id),
+         |drops AS (
+         |  SELECT DISTINCT d2 AS vec_id
+         |  FROM (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |          ${dCos("a.embedding", "b.embedding")} AS sim
+         |        FROM av a JOIN av b ON a.list = b.list AND a.vec_id < b.vec_id)
+         |  WHERE sim >= 0.9)
+         |SELECT list, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(CASE WHEN drops.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN drops.vec_id IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept
+         |FROM av LEFT JOIN drops ON av.vec_id = drops.vec_id
+         |GROUP BY list""".stripMargin,
   )
 }
