@@ -1256,6 +1256,48 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("source"), col("n_tok"), col("char_sum"))
   }
 
+  /** Reference-corpus bigram coverage — the CCNet/importance-filtering
+    * class of quality signal without its log-space surface: score every
+    * document by the fraction of its DISTINCT bigrams that appear in a
+    * curated reference corpus's bigram vocabulary (here sources
+    * src0–src4 as the "curated" slice — in production, the wiki/books
+    * slice a perplexity filter would train its LM on). A doc whose
+    * bigram mass is mostly out-of-reference reads as boilerplate, code,
+    * or junk — the same ranking a KenLM perplexity gate produces, but
+    * every gated column is an exact integer or ONE IEEE division of two
+    * (the ln() ban). NULL coverage for sub-bigram docs (nullif-guard
+    * class, identical CASE in both engines). Honesty note: on THIS
+    * synthetic corpus every source draws from one generator vocabulary,
+    * so measured coverage compresses to 0.91–1.0 — the mechanism is
+    * gated end-to-end, the discriminative power arrives with a real
+    * heterogeneous corpus (where junk sources fall well below the
+    * curated reference).
+    *
+    * Scale: the reference vocabulary is one distinct-shuffle over the
+    * CURATED slice only (≪ corpus; at 100 TB it is a broadcast or Bloom
+    * dictionary built once and reused per batch); scoring is one
+    * doc-keyed explode + a gram-keyed semi-join where only (doc_id,
+    * gram) pairs move — raw text never shuffles. */
+  def bigramCoverage(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    val bg = array_distinct(shingles(tokens(col("text")), 2))
+    val base = docs.select(col("doc_id"), col("source"), bg.as("bgs"))
+    val refVocab = docs
+      .filter(col("source").isin((0 to 4).map("src" + _): _*))
+      .select(explode(bg).as("bg")).distinct()
+    val hits = base.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .join(refVocab, Seq("bg"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(size(col("bgs")) === 0, lit(null).cast("double"))
+          .otherwise(coalesce(col("n_covered"), lit(0L)).cast("double")
+            / size(col("bgs")))
+          .as("coverage"))
+  }
+
   /** 32-bit SimHash per document (majority vote over token-hash bits).
     *
     * Same typed-mapPartitions shape as [[minhashSignatures]] and for the
@@ -2062,6 +2104,7 @@ object TextOps extends QueryModule {
     "q_length_gate"        -> lengthPercentileGate _,
     "q_lang_id_confusion"  -> langIdConfusion _,
     "q_lexical_diversity"  -> lexicalDiversity _,
+    "q_bigram_coverage"    -> bigramCoverage _,
     "q_source_datasheet"   -> sourceDatasheet _,
     "q_doc_fingerprint"    -> docFingerprint _,
     "q_exact_dedup_groups" -> exactDedupGroups _,
@@ -2329,6 +2372,22 @@ object TextOps extends QueryModule {
         |      AS DOUBLE) /
         |    CAST(SUM(d.len) AS DOUBLE) AS chars_kept_ratio
         |FROM d JOIN thr USING (source) GROUP BY 1""".stripMargin,
+    "q_bigram_coverage" ->
+      s"""WITH tl AS (SELECT doc_id, source, $dToks AS t FROM documents),
+         |bgs AS (SELECT doc_id, source,
+         |          list_distinct(${dShinglesN(2)}) AS bgs FROM tl),
+         |refv AS (SELECT DISTINCT UNNEST(bgs) AS bg FROM bgs
+         |         WHERE source IN ('src0','src1','src2','src3','src4')),
+         |ex AS (SELECT doc_id, UNNEST(bgs) AS bg FROM bgs),
+         |hits AS (SELECT ex.doc_id AS doc_id, COUNT(*) AS n_covered
+         |         FROM ex JOIN refv USING (bg) GROUP BY 1)
+         |SELECT bgs.doc_id AS doc_id, source,
+         |  CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
+         |  CASE WHEN len(bgs) = 0 THEN NULL
+         |       ELSE CAST(COALESCE(n_covered, 0) AS DOUBLE) / len(bgs)
+         |  END AS coverage
+         |FROM bgs LEFT JOIN hits ON bgs.doc_id = hits.doc_id""".stripMargin,
     "q_doc_quality" ->
       s"""WITH base AS (
          |  SELECT doc_id, len(t) AS n_tok,

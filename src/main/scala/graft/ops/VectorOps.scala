@@ -400,6 +400,7 @@ object VectorOps extends QueryModule {
     "q_ann_ivfpq_recall" -> annIvfPqRecall _,
     "q_ann_sq"         -> annSq _,
     "q_semdedup"       -> semDedup _,
+    "q_cluster_mix"    -> clusterMix _,
   )
 
   // ---- DuckDB oracle fragments ----
@@ -595,7 +596,10 @@ object VectorOps extends QueryModule {
     * can never drift from the audited query. Probes pick their OWN stored
     * assignment (`pick` = klist at vec_id < 8), exactly what the Spark
     * side probes from the store. */
-  private lazy val dIvfPqChain: String =
+  /** [[dCoarseTrain]] + every corpus vector's final inverted-list
+    * assignment (`klist`) — shared verbatim by the IVFADC pair and the
+    * cluster-mix oracle. */
+  private lazy val dKlist: String =
     s"""$dCoarseTrain,
        |klist AS (
        |  SELECT vec_id, j AS list
@@ -603,7 +607,10 @@ object VectorOps extends QueryModule {
        |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |            ORDER BY ${dL2sq("embedding", "cw", 64)} ASC, j ASC) AS rk
        |        FROM embeddings e CROSS JOIN kcwt)
-       |  WHERE rk = 1),
+       |  WHERE rk = 1)""".stripMargin
+
+  private lazy val dIvfPqChain: String =
+    s"""$dKlist,
        |pick AS (SELECT vec_id AS probe_id, list FROM klist
        |         WHERE vec_id < 8),
        |cand AS (
@@ -789,6 +796,32 @@ object VectorOps extends QueryModule {
     s.read.parquet(s"${pqStore(s, d)}/lists")
   private def storedCoarse(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${pqStore(s, d)}/coarse")
+
+  /** Cluster-balanced sampling (the D4/cluster-aware data-selection
+    * class): flatten the SEMANTIC cluster histogram the way
+    * `q_temperature_mix` flattens the source histogram — per-cluster keep
+    * rate sqrt(c_min/c_cluster) (sqrt is IEEE-correctly-rounded, so the
+    * rate is hash-exact cross-engine), keep decision by the RNG-free
+    * md5-threshold device on the vector id. Clusters come from the
+    * STORED trained quantizer ([[storedLists]]) — selection composes with
+    * the index, it does not recompute geometry. Per-cluster exact counts
+    * out. Scale: one cluster-keyed count (16..sqrt(N) rows), rates
+    * broadcast back over one id-keyed pass; embeddings never shuffle. */
+  def clusterMix(s: SparkSession, d: String): DataFrame = {
+    val lists = storedLists(s, d)
+    val counts = lists.groupBy(col("list")).agg(count(lit(1)).as("c_vecs"))
+    val cMin = counts.agg(min(col("c_vecs")).as("c_min"))
+    val rates = counts.crossJoin(broadcast(cMin))
+      .withColumn("keep_rate",
+        sqrt(col("c_min").cast("double") / col("c_vecs")))
+      .select(col("list"), col("c_vecs"), col("keep_rate"))
+    lists.join(broadcast(rates), Seq("list"))
+      .filter(graft.functions.TextFunctions.hash32(
+        col("vec_id").cast("string"), 11) <
+        col("keep_rate") * lit(4294967296.0))
+      .groupBy(col("list"), col("c_vecs"), col("keep_rate"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
 
   /** The STREAMING face of the PQ/IVFADC index: codebooks train ONCE
     * ([[pqIndexInit]] — the expensive, corpus-wide stage), then every
@@ -1386,6 +1419,19 @@ object VectorOps extends QueryModule {
          |$dIvfPqChain,
          |$dRerankCtes,
          |$dRecallTail""".stripMargin,
+    "q_cluster_mix" ->
+      s"""WITH $dKlist,
+         |c AS (SELECT list, COUNT(*) AS c_vecs FROM klist GROUP BY list),
+         |m AS (SELECT MIN(c_vecs) AS c_min FROM c),
+         |r AS (SELECT list, c_vecs,
+         |        sqrt(CAST(c_min AS DOUBLE) / c_vecs) AS keep_rate
+         |      FROM c, m),
+         |k AS (SELECT klist.list AS list, r.c_vecs, r.keep_rate
+         |      FROM klist JOIN r ON klist.list = r.list
+         |      WHERE ('0x'||substr(md5('11|'||(CAST(klist.vec_id AS VARCHAR))),1,8))::BIGINT
+         |            < keep_rate * 4294967296.0)
+         |SELECT list, c_vecs, keep_rate, COUNT(*) AS n_kept
+         |FROM k GROUP BY list, c_vecs, keep_rate""".stripMargin,
     "q_semdedup" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
          |copies AS (
