@@ -1291,6 +1291,261 @@ object Relational extends QueryModule {
         pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
   }
 
+  /** Exact median absolute deviation + robust outlier count per event
+    * type — the robust-statistics member of the [[valueQuantiles]]
+    * histogram-cumulate family. Variance/z-score needs sqrt (banned by
+    * the bit-exact gate: transcendental), but MAD is pure order
+    * statistics: median of |cents − median(cents)|, then outliers =
+    * values beyond 3×MAD — integer end-to-end, so the whole robust
+    * detector is hash-exact cross-engine. Both medians come from the
+    * cents HISTOGRAM (shuffle ∝ distinct values, never a row sort); the
+    * deviation re-histogram is histogram-sized, and the per-type medians
+    * travel back as a broadcast. At 100 TB: one map-side-combinable
+    * histogram pass over the rows, everything after is value-domain
+    * sized. */
+  def valueMad(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("ct"))
+    def median(h: DataFrame, vc: String, cc: String, out: String) = {
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      h.withColumn("cum", sum(col(cc)).over(wCum))
+        .withColumn("n", sum(col(cc)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= floor((col("n") - 1) * lit(0.5)) + 1,
+            col(vc))).as(out))
+    }
+    val med = median(hist, "cents", "ct", "med_cents")
+    val dev = hist
+      .join(broadcast(med.select(col("event_type"), col("med_cents"))),
+        "event_type")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+      .groupBy(col("event_type"), col("dev"))
+      .agg(sum(col("ct")).as("dct"))
+    val mad = median(dev, "dev", "dct", "mad_cents")
+      .select(col("event_type"), col("mad_cents"))
+    val outc = dev.join(broadcast(mad), "event_type")
+      .filter(col("dev") > lit(3) * col("mad_cents"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("dct")).as("out_cnt"))
+    med.join(broadcast(mad), "event_type")
+      .join(outc, Seq("event_type"), "left")
+      .na.fill(0L, Seq("out_cnt"))
+      .select(col("event_type"), col("n"), col("med_cents"),
+        col("mad_cents"), col("out_cnt"))
+  }
+
+  /** Per-type daily-volume trend: ordinary-least-squares slope of daily
+    * event counts over the day index. The regression moments (Σx, Σy,
+    * Σxy, Σx², n) are EXACT integer aggregates — x is the day offset
+    * from each type's own first day (centering keeps the moments inside
+    * int64 at any horizon), y the daily count — and the slope is the ONE
+    * sanctioned IEEE division of two exactly-equal integers, so the
+    * fitted trend is hash-exact cross-engine with no linear-algebra
+    * library in sight. Scale: a day-grain rollup (map-side combinable)
+    * then a types-sized moment table; nothing beyond the first pass ever
+    * sees row volume. */
+  def trendSlope(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .withColumn("day", floor(unix_timestamp(col("ts")) / lit(86400L)))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val base = daily.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+    val m = daily.join(broadcast(base), "event_type")
+      .withColumn("x", col("day") - col("d0"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    m.withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n_days"),
+        when(col("den") =!= 0,
+          col("num").cast("double") / col("den").cast("double"))
+          .as("slope"))
+  }
+
+  /** Distribution-drift monitor — the train/serve skew ledger a
+    * training-data pipeline runs between corpus snapshots: the event
+    * value distribution of the LATER half of the time range compared
+    * bucket-by-bucket against the EARLIER half, per event type. The
+    * chi-square / PSI statistics both sum per-bucket float terms (an
+    * engine-dependent float SUM — banned) and PSI needs ln (banned), so
+    * the gated frame IS the per-bucket ledger: counts are exact
+    * integers, each rate is one sanctioned IEEE division, and the gap is
+    * a single elementwise subtraction of two deterministic doubles —
+    * summing/flagging is the monitoring system's (trivial) job. The
+    * half split avoids the midpoint division entirely: `2·sec ≥ t0+t1`
+    * is an exact int64 comparison. Scale: one scan; the time+value
+    * extent is a 1-row aggregate broadcast back (never a global window);
+    * bucket counts are map-side combinable; everything after is
+    * (types × 10 buckets)-sized. */
+  def distDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("sec"))
+    val ext = e.agg(min(col("sec")).as("t0"), max(col("sec")).as("t1"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val counts = e.crossJoin(broadcast(ext))
+      .withColumn("half",
+        (col("sec") * 2 >= col("t0") + col("t1")).cast("int"))
+      .withColumn("bucket",
+        least(floor((col("value") - col("vmin")) * lit(10)
+          / (col("vmax") - col("vmin"))), lit(9L)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+    val tots = counts.groupBy(col("event_type"))
+      .agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    counts.join(broadcast(tots), "event_type")
+      .withColumn("rate_a",
+        col("n_a").cast("double") / col("tot_a").cast("double"))
+      .withColumn("rate_b",
+        col("n_b").cast("double") / col("tot_b").cast("double"))
+      .select(col("event_type"), col("bucket"), col("n_a"), col("n_b"),
+        col("rate_a"), col("rate_b"),
+        abs(col("rate_a") - col("rate_b")).as("gap"))
+  }
+
+  /** WEIGHTED quantiles — the [[valueQuantiles]] histogram-cumulate
+    * device with a weight column: revenue-mass percentiles of the price
+    * distribution, where each price point counts `l_quantity` times
+    * ("what price covers half the shipped units", the inventory/pricing
+    * analyst's weighted median). The histogram aggregates the integer
+    * weight instead of a row count — still map-side combinable, shuffle
+    * still ∝ distinct price points — and the rank walk picks the first
+    * cents value whose cumulative weight crosses floor((W−1)p)+1.
+    * Quantities round to exact integers, so the whole frame is integer
+    * end-to-end. */
+  def weightedQuantiles(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("w"))
+      .groupBy(col("flag"), col("cents"))
+      .agg(sum(col("w")).as("wt"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("flag"))
+    val cum = hist.withColumn("cum", sum(col("wt")).over(wCum))
+      .withColumn("tw", sum(col("wt")).over(wAll))
+    def pick(p: Double, name: String) =
+      min(when(col("cum") >= floor((col("tw") - 1) * lit(p)) + 1,
+        col("cents"))).as(name)
+    cum.groupBy(col("flag"))
+      .agg(max(col("tw")).as("total_weight"),
+        pick(0.25, "wp25"), pick(0.5, "wp50"),
+        pick(0.75, "wp75"), pick(0.9, "wp90"))
+  }
+
+  /** Trailing 7-day distinct users per day — the sliding-window DISTINCT
+    * that a tumbling rollup cannot re-aggregate into (distincts don't
+    * sum across days). The classic expansion: reduce to distinct
+    * (user, day) pairs first, then each pair contributes to the 7
+    * windows it falls in (`sequence(day, day+6)` + explode — bounded
+    * 7× replication of the PAIR stream, never of raw events) and each
+    * window counts its distinct users. At 100 TB the expansion input is
+    * daily-actives-sized, the exchange is window-keyed, and `u7` /
+    * `n_user_days` (Σ of daily actives over the window) come from the
+    * same pass. */
+  def rollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .distinct()
+    val span = ud.agg(max(col("day")).as("d1"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .crossJoin(broadcast(span))
+      .filter(col("wday") <= col("d1"))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("u7"),
+        count(lit(1)).as("n_user_days"))
+  }
+
+  /** MODE per group — the most frequent order priority of each market
+    * segment (the categorical "typical value" surface, `MODE()` in
+    * warehouse SQL). Two-level: count per (segment, priority) — one
+    * map-side-combinable shuffle over a cells-sized frame — then
+    * `row_number = 1` over (count DESC, priority ASC), which compiles to
+    * WindowGroupLimit: each task keeps one candidate row per segment
+    * before the exchange. The tie-break on the category value makes the
+    * mode deterministic in both engines. */
+  def modePerGroup(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("n").desc, col("o_orderpriority").asc)
+    g.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("c_mktsegment"),
+        col("o_orderpriority").as("mode_priority"), col("n").as("mode_n"))
+  }
+
+  /** Exact Gini concentration per market segment — the inequality
+    * report over customer spend, computed from the VALUE HISTOGRAM
+    * instead of the textbook per-row sort. The classic formula needs
+    * every customer ranked by spend (a per-segment row sort at 100 TB);
+    * but ranks of tied values are consecutive, so a value v with count c
+    * after cumulative count C contributes v·c·(2C + c + 1) to twice the
+    * rank-weighted sum — histogram-sized arithmetic, shuffle ∝ distinct
+    * spend values. All moments are exact int64 (cents · rank products;
+    * DECIMAL(38) at scales where n² · cents crosses 2⁶³) and the Gini is
+    * the one sanctioned IEEE division (2Σi·xᵢ − (n+1)Σx) / (n·Σx). The
+    * tied-block contribution is order-invariant, so the statistic is
+    * deterministic without any tie-break. */
+  def giniSegment(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val hist = spend.groupBy(col("c_mktsegment"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = hist
+      .withColumn("cprev", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("cents") * col("c")).as("sx"),
+        // Σ cents·c·(2·cprev + c + 1) = 2·Σ rank·value over the sorted rows
+        sum(col("cents") * col("c")
+          * (lit(2) * col("cprev") + col("c") + 1)).as("six2"))
+    m.select(col("c_mktsegment"), col("n"), col("sx"),
+      ((col("six2") - (col("n") + 1) * col("sx")).cast("double")
+        / (col("n") * col("sx")).cast("double")).as("gini"))
+  }
+
+  /** Market-basket pair mining — co-purchased part pairs by support
+    * (the apriori/FP-growth k=2 stage, the "customers also bought"
+    * statistic). The self-join is keyed on the ORDER — both sides
+    * shuffle on `l_orderkey`, so the expansion is per-basket items², a
+    * small constant per order, never corpus × corpus — and the pair
+    * counts aggregate map-side. Top-20 by (support DESC, p1, p2) is
+    * `orderBy.limit` = TakeOrderedAndProject: each partition keeps 20
+    * rows, no global sort. */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p1").asc, col("p2").asc)
+      .limit(20)
+  }
+
   /** Approx quantiles — the unbounded-cardinality escape hatch
     * [[valueQuantiles]]'s scale note names: `percentile_approx`'s summary
     * is mergeable map-side and its memory is bounded by the accuracy
@@ -1589,6 +1844,14 @@ object Relational extends QueryModule {
     "q_cust_totals"       -> custTotals _,
     "q_cust_totals_incr"  -> custTotalsIncremental _,
     "q_value_quantiles"   -> valueQuantiles _,
+    "q_value_mad"         -> valueMad _,
+    "q_trend_slope"       -> trendSlope _,
+    "q_dist_drift"        -> distDrift _,
+    "q_weighted_quantiles" -> weightedQuantiles _,
+    "q_rolling_distinct"  -> rollingDistinct _,
+    "q_mode_per_group"    -> modePerGroup _,
+    "q_gini_segment"      -> giniSegment _,
+    "q_basket_pairs"      -> basketPairs _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
     "q_skew_profile"      -> skewProfile _,
@@ -1911,6 +2174,175 @@ object Relational extends QueryModule {
         |  MIN(CASE WHEN cum >= CAST(FLOOR((n-1)*0.9) AS BIGINT)+1 THEN cents END) AS p90,
         |  MIN(CASE WHEN cum >= CAST(FLOOR((n-1)*0.99) AS BIGINT)+1 THEN cents END) AS p99
         |FROM cum GROUP BY event_type""".stripMargin,
+    // mirrors the Spark decomposition exactly: lower-median rank
+    // floor((n-1)*0.5)+1 over the cents histogram, re-histogram of
+    // absolute deviations, same rank for MAD, outliers beyond 3*MAD
+    "q_value_mad" ->
+      """WITH hist AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
+        |    COUNT(*) AS ct
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |    MIN(CASE WHEN cum >= CAST(FLOOR((n-1)*0.5) AS BIGINT)+1
+        |      THEN cents END) AS med_cents
+        |  FROM (SELECT event_type, cents, ct,
+        |      SUM(ct) OVER (PARTITION BY event_type ORDER BY cents
+        |        ROWS UNBOUNDED PRECEDING) AS cum,
+        |      SUM(ct) OVER (PARTITION BY event_type) AS n
+        |    FROM hist) GROUP BY 1),
+        |dev AS (
+        |  SELECT h.event_type, ABS(cents - med_cents) AS dev,
+        |    CAST(SUM(ct) AS BIGINT) AS dct
+        |  FROM hist h JOIN med m ON h.event_type = m.event_type
+        |  GROUP BY 1, 2),
+        |mad AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum >= CAST(FLOOR((n-1)*0.5) AS BIGINT)+1
+        |      THEN dev END) AS mad_cents
+        |  FROM (SELECT event_type, dev, dct,
+        |      SUM(dct) OVER (PARTITION BY event_type ORDER BY dev
+        |        ROWS UNBOUNDED PRECEDING) AS cum,
+        |      SUM(dct) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) GROUP BY 1),
+        |outc AS (
+        |  SELECT d.event_type, CAST(SUM(dct) AS BIGINT) AS out_cnt
+        |  FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |  WHERE dev > 3 * mad_cents GROUP BY 1)
+        |SELECT m.event_type, n, med_cents, mad_cents,
+        |  COALESCE(out_cnt, 0) AS out_cnt
+        |FROM med m JOIN mad a ON m.event_type = a.event_type
+        |LEFT JOIN outc o ON m.event_type = o.event_type""".stripMargin,
+    // moments are exact integer sums (x centered on each type's own first
+    // day); the slope is the one sanctioned IEEE division of two
+    // exactly-equal integers
+    "q_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(FLOOR(epoch(ts)/86400) AS BIGINT) AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY 1),
+        |m AS (
+        |  SELECT d.event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(day - d0) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM((day - d0) * y) AS BIGINT) AS sxy,
+        |    CAST(SUM((day - d0) * (day - d0)) AS BIGINT) AS sxx
+        |  FROM daily d JOIN base b ON d.event_type = b.event_type
+        |  GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+        |    CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |  END AS slope
+        |FROM m""".stripMargin,
+    // 2*sec >= t0+t1 is the exact-integer half split (no midpoint
+    // division); rates are single IEEE divisions, gap one subtraction
+    "q_dist_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE value IS NOT NULL),
+        |ext AS (SELECT MIN(sec) AS t0, MAX(sec) AS t1,
+        |    MIN(value) AS vmin, MAX(value) AS vmax FROM e),
+        |counts AS (
+        |  SELECT event_type,
+        |    CAST(LEAST(FLOOR((value - vmin) * 10 / (vmax - vmin)), 9)
+        |      AS BIGINT) AS bucket,
+        |    CAST(SUM(CASE WHEN sec * 2 >= t0 + t1 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN sec * 2 >= t0 + t1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM e CROSS JOIN ext GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS tot_a,
+        |    CAST(SUM(n_b) AS BIGINT) AS tot_b
+        |  FROM counts GROUP BY 1)
+        |SELECT c.event_type, bucket, n_a, n_b,
+        |  CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS rate_a,
+        |  CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS rate_b,
+        |  ABS(CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+        |    - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) AS gap
+        |FROM counts c JOIN tots t ON c.event_type = t.event_type""".stripMargin,
+    "q_weighted_quantiles" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT flag, cents, wt,
+        |    SUM(wt) OVER (PARTITION BY flag ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(wt) OVER (PARTITION BY flag) AS tw
+        |  FROM hist)
+        |SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+        |  MIN(CASE WHEN cum >= CAST(FLOOR((tw-1)*0.25) AS BIGINT)+1
+        |    THEN cents END) AS wp25,
+        |  MIN(CASE WHEN cum >= CAST(FLOOR((tw-1)*0.5) AS BIGINT)+1
+        |    THEN cents END) AS wp50,
+        |  MIN(CASE WHEN cum >= CAST(FLOOR((tw-1)*0.75) AS BIGINT)+1
+        |    THEN cents END) AS wp75,
+        |  MIN(CASE WHEN cum >= CAST(FLOOR((tw-1)*0.9) AS BIGINT)+1
+        |    THEN cents END) AS wp90
+        |FROM cum GROUP BY flag""".stripMargin,
+    "q_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch(ts)/86400) AS BIGINT) AS day
+        |  FROM events),
+        |span AS (SELECT MAX(day) AS d1 FROM ud),
+        |contrib AS (
+        |  SELECT user_id, day + CAST(i AS BIGINT) AS wday
+        |  FROM ud, UNNEST(range(7)) AS u(i))
+        |SELECT wday, COUNT(DISTINCT user_id) AS u7,
+        |  COUNT(*) AS n_user_days
+        |FROM contrib CROSS JOIN span WHERE wday <= d1
+        |GROUP BY 1""".stripMargin,
+    "q_mode_per_group" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, o_orderpriority AS mode_priority,
+        |  n AS mode_n
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |        ORDER BY n DESC, o_orderpriority) AS rk FROM g)
+        |WHERE rk = 1""".stripMargin,
+    // tied-rank block identity: value v, count c after cumulative C
+    // contributes v*c*(2C+c+1) to 2*sum(rank*value) — histogram-sized
+    "q_gini_segment" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT c_mktsegment, cents, COUNT(*) AS c
+        |  FROM spend GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_mktsegment, cents, c,
+        |    COALESCE(SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cprev
+        |  FROM hist),
+        |m AS (
+        |  SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(cents * c) AS BIGINT) AS sx,
+        |    CAST(SUM(cents * c * (2 * cprev + c + 1)) AS BIGINT) AS six2
+        |  FROM r GROUP BY 1)
+        |SELECT c_mktsegment, n, sx,
+        |  CAST(six2 - (n + 1) * sx AS DOUBLE)
+        |    / CAST(n * sx AS DOUBLE) AS gini
+        |FROM m""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2
+        |ORDER BY support DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.buy_s, p.buy_s - v.view_s AS gap_s
         |FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS buy_s

@@ -1959,6 +1959,122 @@ object TextOps extends QueryModule {
           .as("jaccard"))
   }
 
+  /** Union-sketch window for the KMV source-similarity matrix: 256 keeps
+    * the standard error of the Jaccard estimate near 1/√256 ≈ 6 % while
+    * the per-source state stays 256 longs regardless of corpus size. */
+  private val SrcKmvK = 256
+
+  /** KMV-sketched source-similarity matrix — the BOUNDED-STATE scale
+    * path of [[sourceOverlap]]'s exact pairwise 8-gram Jaccard, with the
+    * accuracy audit in the same gated frame. The exact matrix's
+    * per-source gram sets grow with the corpus (its pairwise join
+    * shuffles every distinct gram); the sketch caps each source at its
+    * bottom-k distinct 60-bit gram hashes, so at 100 TB the pairwise
+    * stage touches sources² × k longs — kilobytes — however large the
+    * text is. The estimator is the classic KMV union trick: for a pair,
+    * take the bottom-k of the MERGED sketches and count members present
+    * in both sides; because the sketch is an order statistic of the
+    * shared md5 hash (the [[graft.ops.Relational.kmvDistinct]] device),
+    * the ESTIMATE itself is deterministic and hash-exact cross-engine —
+    * full oracle, no bracket — and `jaccard_exact`/`within_010` audit it
+    * against the exact arm inside the same result. Sketch extraction is
+    * the declarative `dense_rank ≤ k` that Spark compiles to map-side
+    * WindowGroupLimit: each task pre-truncates to its local bottom-k
+    * before the one exchange. */
+  def sourceKmvJaccard(s: SparkSession, d: String): DataFrame = {
+    val gs = gramRowsBy(s, docsParallel(s, d), col("source"), 8)
+      .select(col("k").as("source"), fingerprint60(col("g")).as("gh"))
+      .distinct()
+      .localCheckpoint() // reused by the sketch arm AND the exact audit arm
+    val w = Window.partitionBy(col("source")).orderBy(col("gh"))
+    val sk = gs.withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= SrcKmvK)
+      .select(col("source"), col("gh"))
+    val srcs = sk.select(col("source")).distinct()
+    val pairs = srcs.as("x")
+      .join(srcs.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+    // each sketch row fans out to its pairs: sources² × k rows — sketch-
+    // sized, never corpus-sized (the broadcast OR-join is a BNLJ over a
+    // pairs table of sources²/2 rows)
+    val contrib = sk.join(broadcast(pairs),
+        col("source") === col("source_a") || col("source") === col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("gh"))
+      .agg(count(lit(1)).as("nsrc"))
+    val uW = Window.partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("gh"))
+    val est = contrib.withColumn("rk", row_number().over(uW))
+      .filter(col("rk") <= SrcKmvK)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("u_size"),
+        sum((col("nsrc") === 2).cast("long")).as("inter_k"))
+      .withColumn("jaccard_kmv",
+        col("inter_k").cast("double") / col("u_size").cast("double"))
+    val tot = gs.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val shared = gs.as("a")
+      .join(gs.as("b"),
+        col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    val exact = shared
+      .join(broadcast(tot).withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_grams", "grams_a"), Seq("source_a"))
+      .join(broadcast(tot).withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_grams", "grams_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (col("shared_grams").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared_grams")))
+          .as("jaccard_exact"))
+    est.join(exact, Seq("source_a", "source_b"), "left")
+      .na.fill(0.0, Seq("jaccard_exact"))
+      .withColumn("within_010",
+        (abs(col("jaccard_kmv") - col("jaccard_exact")) <= 0.10)
+          .cast("long"))
+      .select(col("source_a"), col("source_b"), col("u_size"),
+        col("inter_k"), col("jaccard_kmv"), col("jaccard_exact"),
+        col("within_010"))
+  }
+
+  /** Collocation mining — the top-20 bigrams by LIFT (log-free PMI):
+    * lift = P(w1w2) / (P(w1)·P(w2)) = n_bg·N² / (B·n_w1·n_w2), the
+    * "how much more often than chance do these words co-occur"
+    * statistic ("new york"-style phrase discovery, a tokenizer-merge /
+    * stopword-phrase curation staple). PMI itself is ln(lift) — banned
+    * transcendental — but ln is monotone, so ranking by lift IS ranking
+    * by PMI and the gate hashes the lift directly: all four moments are
+    * exact integer counts and the lift is the one sanctioned IEEE
+    * division (int64 here; at 100 TB the n_bg·N² product promotes to
+    * DECIMAL(38,0) before the same single division). The `n_bg ≥ 5`
+    * count floor is the classic low-frequency PMI-inflation guard.
+    * Scale: two map-side-combinable count passes, two term-keyed hash
+    * joins (vocabulary-sized, never corpus-sized), and the final top-20
+    * is `orderBy.limit` = TakeOrderedAndProject — every partition keeps
+    * 20 rows, no global sort. Ties pinned on the bigram string. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    val toks = docs.select(explode(tokens(col("text"))).as("w"))
+    val bgs = docs.select(
+      explode(shingles(tokens(col("text")), 2)).as("bg"))
+    val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bgc = bgs.groupBy(col("bg")).agg(count(lit(1)).as("n_bg"))
+      .filter(col("n_bg") >= 5)
+    val tot = toks.agg(count(lit(1)).as("n_tok"))
+      .crossJoin(bgs.agg(count(lit(1)).as("b_tot")))
+    bgc
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(wc.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(wc.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (col("n_bg") * col("n_tok") * col("n_tok")).cast("double")
+          / (col("b_tot") * col("n_w1") * col("n_w2")).cast("double"))
+      .select(col("bg"), col("n_bg"), col("n_w1"), col("n_w2"), col("lift"))
+      .orderBy(col("lift").desc, col("bg").asc)
+      .limit(20)
+  }
+
   /** Length-bucketed batching audit — the padding-efficiency ledger of a
     * training pipeline that batches by length instead of packing: docs
     * group into a power-ladder of max-length buckets (16/24/32/48/64/96/
@@ -2135,6 +2251,8 @@ object TextOps extends QueryModule {
     "q_corpus_mix"         -> corpusMix _,
     "q_temperature_mix"    -> temperatureMix _,
     "q_source_overlap"     -> sourceOverlap _,
+    "q_source_kmv_jaccard" -> sourceKmvJaccard _,
+    "q_collocations"       -> collocations _,
     "q_doc_scrub"          -> docScrub _,
     "q_pii_scrub"          -> piiScrub _,
     "q_containment_dedup"  -> containmentPairs _,
@@ -2859,6 +2977,72 @@ object TextOps extends QueryModule {
          |    / (ta.n_grams + tb.n_grams - shared_grams) AS jaccard
          |FROM p JOIN tot ta ON ta.source = p.source_a
          |       JOIN tot tb ON tb.source = p.source_b""".stripMargin,
+    // mirrors the Spark decomposition: per-source bottom-k (dense_rank)
+    // of the shared 60-bit gram hash, pair-union bottom-k (row_number),
+    // nsrc=2 intersection count, and the exact arm for the in-frame audit
+    "q_source_kmv_jaccard" ->
+      s"""WITH gs AS (
+         |  SELECT DISTINCT source, ('0x'||substr(md5(g),1,15))::BIGINT AS gh
+         |  FROM (SELECT source, UNNEST(list_distinct(${dShinglesN(8)})) AS g
+         |        FROM (SELECT source, $dToks AS t FROM documents))),
+         |sk AS (
+         |  SELECT source, gh FROM (
+         |    SELECT source, gh,
+         |      DENSE_RANK() OVER (PARTITION BY source ORDER BY gh) AS dr
+         |    FROM gs) WHERE dr <= 256),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |pairs AS (SELECT x.source AS source_a, y.source AS source_b
+         |          FROM srcs x JOIN srcs y ON x.source < y.source),
+         |contrib AS (
+         |  SELECT source_a, source_b, gh, COUNT(*) AS nsrc
+         |  FROM sk JOIN pairs ON source = source_a OR source = source_b
+         |  GROUP BY 1, 2, 3),
+         |est AS (
+         |  SELECT source_a, source_b, COUNT(*) AS u_size,
+         |    CAST(SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS inter_k
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a,
+         |          source_b ORDER BY gh) AS rk FROM contrib)
+         |  WHERE rk <= 256 GROUP BY 1, 2),
+         |tot AS (SELECT source, COUNT(*) AS n_grams FROM gs GROUP BY 1),
+         |ex AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS shared
+         |  FROM gs a JOIN gs b ON a.gh = b.gh AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT e.source_a, e.source_b, u_size, inter_k,
+         |    CAST(inter_k AS DOUBLE) / CAST(u_size AS DOUBLE)
+         |      AS jaccard_kmv,
+         |    COALESCE(CAST(shared AS DOUBLE)
+         |      / (ta.n_grams + tb.n_grams - shared), 0.0) AS jaccard_exact
+         |  FROM est e
+         |  JOIN tot ta ON ta.source = e.source_a
+         |  JOIN tot tb ON tb.source = e.source_b
+         |  LEFT JOIN ex ON ex.source_a = e.source_a
+         |              AND ex.source_b = e.source_b)
+         |SELECT source_a, source_b, u_size, inter_k, jaccard_kmv,
+         |  jaccard_exact,
+         |  CAST(ABS(jaccard_kmv - jaccard_exact) <= 0.10 AS BIGINT)
+         |    AS within_010
+         |FROM j""".stripMargin,
+    "q_collocations" ->
+      s"""WITH d AS (SELECT $dToks AS t FROM documents),
+         |toks AS (SELECT UNNEST(t) AS w FROM d),
+         |bgs AS (SELECT UNNEST(${dShinglesN(2)}) AS bg FROM d),
+         |wc AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY 1),
+         |bgc AS (SELECT bg, COUNT(*) AS n_bg FROM bgs GROUP BY 1
+         |        HAVING COUNT(*) >= 5),
+         |tot AS (SELECT (SELECT COUNT(*) FROM toks) AS n_tok,
+         |               (SELECT COUNT(*) FROM bgs) AS b_tot)
+         |SELECT bg, n_bg, w1.n_w AS n_w1, w2.n_w AS n_w2,
+         |  CAST(n_bg * n_tok * n_tok AS DOUBLE)
+         |    / CAST(b_tot * w1.n_w * w2.n_w AS DOUBLE) AS lift
+         |FROM bgc
+         |JOIN wc w1 ON string_split(bg, ' ')[1] = w1.w
+         |JOIN wc w2 ON string_split(bg, ' ')[2] = w2.w
+         |CROSS JOIN tot
+         |ORDER BY lift DESC, bg ASC LIMIT 20""".stripMargin,
     "q_repetition_ratio" ->
       s"""SELECT doc_id, len(sh) AS n_sh, len(list_distinct(sh)) AS n_uniq,
          |  CASE WHEN len(sh) > 0
