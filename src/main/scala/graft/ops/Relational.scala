@@ -1403,6 +1403,36 @@ object Relational extends QueryModule {
       .groupBy(col("event_type"), col("bucket"))
       .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+    finalizeDriftPartials(counts)
+  }
+
+  /** Per-batch bucket counts for the STREAMING face of [[distDrift]]:
+    * in production the drift monitor pins its bucket edges and the
+    * reference/current boundary from the training snapshot, and the
+    * serving stream folds counts against those FIXED edges — which makes
+    * the partials purely ADDITIVE (no extent recomputation, no
+    * retraction), the property DriftStreamSpec proves under arbitrary
+    * batch slicing. Input rows carry (event_type, value, sec). */
+  private[graft] def driftPartials(batch: DataFrame,
+      t0: Long, t1: Long, vmin: Double, vmax: Double): DataFrame =
+    batch.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        least(floor((col("value") - lit(vmin)) * lit(10)
+          / lit(vmax - vmin)), lit(9L)).as("bucket"),
+        (col("sec") * 2 >= lit(t0 + t1)).cast("int").as("half"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+
+  /** Additive merge of drift partials — counts sum, nothing retracts. */
+  private[graft] def mergeDriftPartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
+
+  /** Rates + gap ledger over drift bucket counts — shared verbatim by the
+    * batch query and the stream-maintained store so the two faces are the
+    * same arithmetic by construction. */
+  private[graft] def finalizeDriftPartials(counts: DataFrame): DataFrame = {
     val tots = counts.groupBy(col("event_type"))
       .agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
     counts.join(broadcast(tots), "event_type")

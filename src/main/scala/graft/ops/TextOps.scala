@@ -1280,21 +1280,34 @@ object TextOps extends QueryModule {
     * gram) pairs move — raw text never shuffles. */
   def bigramCoverage(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d)
-    val bg = array_distinct(shingles(tokens(col("text")), 2))
-    val base = docs.select(col("doc_id"), col("source"), bg.as("bgs"))
-    val refVocab = docs
-      .filter(col("source").isin((0 to 4).map("src" + _): _*))
-      .select(explode(bg).as("bg")).distinct()
-    val hits = base.select(col("doc_id"), explode(col("bgs")).as("bg"))
-      .join(refVocab, Seq("bg"), "left_semi")
+    // per-doc DISTINCT bigrams via the typed mapPartitions device —
+    // the declarative `shingles` HOF is CodegenFallback (the measured
+    // 100×-class trap this module's hot per-row loops all avoid)
+    val grams = gramRowsBy(s, docs, col("doc_id").cast("string"), 2)
+      .select(col("k").cast("long").as("doc_id"), col("g").as("bg"))
+      .localCheckpoint() // two consumers: per-doc totals + the semi-join
+    val refVocab = gramRowsBy(s,
+        docs.filter(col("source").isin((0 to 4).map("src" + _): _*)),
+        col("source"), 2)
+      .select(col("g").as("bg")).distinct()
+    val nBg = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"))
+    val hits = grams
+      // curated-slice vocab is corpus-independent-sized → broadcast the
+      // build side so the full-corpus probe stream never exchanges
+      // (the Bloom variant takes over when even the vocab outgrows RAM)
+      .join(broadcast(refVocab), Seq("bg"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
-    base.join(hits, Seq("doc_id"), "left")
+    docs.select(col("doc_id"), col("source"))
+      .join(nBg, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
-        size(col("bgs")).cast("long").as("n_bigrams"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
-        when(size(col("bgs")) === 0, lit(null).cast("double"))
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0,
+          lit(null).cast("double"))
           .otherwise(coalesce(col("n_covered"), lit(0L)).cast("double")
-            / size(col("bgs")))
+            / coalesce(col("n_bigrams"), lit(0L)))
           .as("coverage"))
   }
 
