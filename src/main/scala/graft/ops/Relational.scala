@@ -1576,6 +1576,78 @@ object Relational extends QueryModule {
       .limit(20)
   }
 
+  /** Cohort LTV curve — cumulative revenue per acquisition cohort by
+    * customer age in months, the subscription/e-commerce lifetime-value
+    * report. Cohort = integer month index (y·12 + m − 1, exact) of each
+    * customer's FIRST order; ages accumulate along a per-cohort window
+    * whose frame is the cohort's own month count — bounded, partition-
+    * parallel. The customer→cohort join is keyed on the customer (both
+    * sides hash the same key; the cohort table is one row per customer);
+    * revenue is exact cents; `ltv_cents_per_cust` divides by the cohort
+    * size read off the age-0 row via `first_value` (every cohort member
+    * orders in its own month 0 by construction) — one IEEE division. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val om = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+    val cohort = om.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    val cells = om.join(cohort, "o_custkey")
+      .withColumn("age", col("m") - col("m0"))
+      .groupBy(col("m0").as("cohort_month"), col("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    val wCum = Window.partitionBy(col("cohort_month")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .withColumn("cohort_size",
+        first(col("n_cust")).over(
+          Window.partitionBy(col("cohort_month")).orderBy(col("age"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("cohort_month"), col("age"), col("n_cust"),
+        col("n_orders"), col("rev_cents"), col("cum_rev_cents"),
+        (col("cum_rev_cents").cast("double")
+          / col("cohort_size").cast("double")).as("ltv_cents_per_cust"))
+  }
+
+  /** Inter-order gap distribution per market segment — purchase-
+    * frequency analytics: day gaps between each customer's consecutive
+    * orders, then exact median and p90 of the gap distribution per
+    * segment via the [[valueQuantiles]] histogram-cumulate device.
+    * The lag window is customer-keyed (partition-parallel, frame = one
+    * customer's orders, ties pinned on the order key); gaps are exact
+    * epoch-day integers; the per-segment order statistics walk the GAP
+    * HISTOGRAM — shuffle ∝ distinct gap values (≤ a few thousand days),
+    * never a per-segment row sort. */
+  def orderGapStats(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(unix_timestamp(col("o_orderdate")) / lit(86400L)).as("day"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = o.withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), (col("day") - col("prev")).as("gap_d"))
+    val hist = gaps
+      .join(Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("gap_d"))
+      .agg(count(lit(1)).as("ct"))
+    val wCum = Window.partitionBy(col("c_mktsegment")).orderBy(col("gap_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("c_mktsegment"))
+    def kth(p: Double) =
+      floor((col("n") - 1) * lit(p)) + 1
+    hist.withColumn("cum", sum(col("ct")).over(wCum))
+      .withColumn("n", sum(col("ct")).over(wAll))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).as("n_gaps"),
+        min(when(col("cum") >= kth(0.5), col("gap_d"))).as("med_gap_d"),
+        min(when(col("cum") >= kth(0.9), col("gap_d"))).as("p90_gap_d"))
+  }
+
   /** Approx quantiles — the unbounded-cardinality escape hatch
     * [[valueQuantiles]]'s scale note names: `percentile_approx`'s summary
     * is mergeable map-side and its memory is bounded by the accuracy
@@ -1882,6 +1954,8 @@ object Relational extends QueryModule {
     "q_mode_per_group"    -> modePerGroup _,
     "q_gini_segment"      -> giniSegment _,
     "q_basket_pairs"      -> basketPairs _,
+    "q_cohort_ltv"        -> cohortLtv _,
+    "q_order_gap_stats"   -> orderGapStats _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
     "q_skew_profile"      -> skewProfile _,
@@ -2373,6 +2447,56 @@ object Relational extends QueryModule {
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY 1, 2
         |ORDER BY support DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH om AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS BIGINT)
+        |      AS m
+        |  FROM orders),
+        |cohort AS (SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY 1),
+        |cells AS (
+        |  SELECT m0 AS cohort_month, m - m0 AS age,
+        |    COUNT(DISTINCT om.o_custkey) AS n_cust, COUNT(*) AS n_orders,
+        |    CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |  FROM om JOIN cohort ON om.o_custkey = cohort.o_custkey
+        |  GROUP BY 1, 2),
+        |wnd AS (
+        |  SELECT cohort_month, age, n_cust, n_orders, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents,
+        |    FIRST_VALUE(n_cust) OVER (PARTITION BY cohort_month ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING) AS cohort_size
+        |  FROM cells)
+        |SELECT cohort_month, age, n_cust, n_orders, rev_cents,
+        |  cum_rev_cents,
+        |  CAST(cum_rev_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+        |    AS ltv_cents_per_cust
+        |FROM wnd""".stripMargin,
+    "q_order_gap_stats" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(FLOOR(epoch(o_orderdate)/86400) AS BIGINT) AS day
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, day - LAG(day) OVER (PARTITION BY o_custkey
+        |    ORDER BY day, o_orderkey) AS gap_d
+        |  FROM o),
+        |hist AS (
+        |  SELECT c_mktsegment, gap_d, COUNT(*) AS ct
+        |  FROM g JOIN customer ON o_custkey = c_custkey
+        |  WHERE gap_d IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT c_mktsegment, gap_d, ct,
+        |    SUM(ct) OVER (PARTITION BY c_mktsegment ORDER BY gap_d
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(ct) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM hist)
+        |SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  MIN(CASE WHEN cum >= CAST(FLOOR((n-1)*0.5) AS BIGINT)+1
+        |    THEN gap_d END) AS med_gap_d,
+        |  MIN(CASE WHEN cum >= CAST(FLOOR((n-1)*0.9) AS BIGINT)+1
+        |    THEN gap_d END) AS p90_gap_d
+        |FROM cum GROUP BY 1""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.buy_s, p.buy_s - v.view_s AS gap_s
         |FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS buy_s
