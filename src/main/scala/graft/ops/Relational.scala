@@ -1648,6 +1648,63 @@ object Relational extends QueryModule {
         min(when(col("cum") >= kth(0.9), col("gap_d"))).as("p90_gap_d"))
   }
 
+  /** Pareto 80/20 concentration — per segment, the smallest number of
+    * top customers whose spend covers 80 % of segment revenue
+    * ([[giniSegment]]'s companion, the actionable form of the same
+    * inequality question). Walks the spend HISTOGRAM descending: the
+    * crossing test `5·cumRev ≥ 4·totRev` is an exact int64 comparison
+    * (no 0.8 float anywhere), cumulative counts ride the same window,
+    * and the crossing row is the unique first one because cumRev is
+    * monotone along the walk — deterministic in both engines with ties
+    * collapsed into histogram rows. Shuffle ∝ distinct spend values;
+    * the only division is the final customer-share ratio. */
+  def pareto8020(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val hist = spend.groupBy(col("c_mktsegment"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val wDesc = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("c_mktsegment"))
+    hist
+      .withColumn("cum_n", sum(col("c")).over(wDesc))
+      .withColumn("cum_rev", sum(col("cents") * col("c")).over(wDesc))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("tot_rev", sum(col("cents") * col("c")).over(wAll))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).as("n_cust"),
+        min(when(col("cum_rev") * 5 >= col("tot_rev") * 4, col("cum_n")))
+          .as("n_top80"))
+      .withColumn("top80_share",
+        col("n_top80").cast("double") / col("n_cust").cast("double"))
+  }
+
+  /** Monthly new-vs-returning customer mix — the acquisition dashboard
+    * staple, derived from the same cohort table as [[cohortLtv]]: a
+    * customer is NEW in the month of their first order and RETURNING in
+    * any later active month. Active months come from a distinct
+    * (customer, month) reduction (map-side combinable); the cohort join
+    * is customer-keyed; everything downstream is months-sized. The
+    * returning share is the one sanctioned division. */
+  def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    val om = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+      .distinct()
+    val cohort = om.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    om.join(cohort, "o_custkey")
+      .groupBy(col("m").as("month_idx"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("m") === col("m0"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("returning_share",
+        col("n_returning").cast("double") / col("n_active").cast("double"))
+  }
+
   /** Approx quantiles — the unbounded-cardinality escape hatch
     * [[valueQuantiles]]'s scale note names: `percentile_approx`'s summary
     * is mergeable map-side and its memory is bounded by the accuracy
@@ -1956,6 +2013,8 @@ object Relational extends QueryModule {
     "q_basket_pairs"      -> basketPairs _,
     "q_cohort_ltv"        -> cohortLtv _,
     "q_order_gap_stats"   -> orderGapStats _,
+    "q_pareto_8020"       -> pareto8020 _,
+    "q_new_vs_returning"  -> newVsReturning _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
     "q_skew_profile"      -> skewProfile _,
@@ -2497,6 +2556,52 @@ object Relational extends QueryModule {
         |  MIN(CASE WHEN cum >= CAST(FLOOR((n-1)*0.9) AS BIGINT)+1
         |    THEN gap_d END) AS p90_gap_d
         |FROM cum GROUP BY 1""".stripMargin,
+    // 5*cumRev >= 4*totRev is the exact-integer 80% crossing — no float
+    "q_pareto_8020" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT c_mktsegment, cents, COUNT(*) AS c
+        |  FROM spend GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT c_mktsegment, cents, c,
+        |    SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY cents DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cum_n,
+        |    SUM(cents * c) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents DESC ROWS UNBOUNDED PRECEDING) AS cum_rev,
+        |    SUM(c) OVER (PARTITION BY c_mktsegment) AS n,
+        |    SUM(cents * c) OVER (PARTITION BY c_mktsegment) AS tot_rev
+        |  FROM hist),
+        |agg AS (
+        |  SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_cust,
+        |    CAST(MIN(CASE WHEN cum_rev * 5 >= tot_rev * 4 THEN cum_n END)
+        |      AS BIGINT) AS n_top80
+        |  FROM cum GROUP BY 1)
+        |SELECT c_mktsegment, n_cust, n_top80,
+        |  CAST(n_top80 AS DOUBLE) / CAST(n_cust AS DOUBLE) AS top80_share
+        |FROM agg""".stripMargin,
+    "q_new_vs_returning" ->
+      """WITH om AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS BIGINT)
+        |      AS m
+        |  FROM orders),
+        |cohort AS (SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY 1),
+        |g AS (
+        |  SELECT m AS month_idx, COUNT(*) AS n_active,
+        |    CAST(SUM(CASE WHEN m = m0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new
+        |  FROM om JOIN cohort ON om.o_custkey = cohort.o_custkey
+        |  GROUP BY 1)
+        |SELECT month_idx, n_active, n_new,
+        |  n_active - n_new AS n_returning,
+        |  CAST(n_active - n_new AS DOUBLE) / CAST(n_active AS DOUBLE)
+        |    AS returning_share
+        |FROM g""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.buy_s, p.buy_s - v.view_s AS gap_s
         |FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS buy_s
