@@ -1705,6 +1705,59 @@ object Relational extends QueryModule {
         col("n_returning").cast("double") / col("n_active").cast("double"))
   }
 
+  /** RFM segmentation — the CRM staple: every customer scored into
+    * quintiles of Recency (days since last order, vs the corpus's last
+    * day), Frequency (order count) and Monetary (lifetime cents), then
+    * the 125-cell segment grid with per-cell averages. All three base
+    * metrics are exact integers (recency via epoch-day floor against a
+    * 1-row broadcast anchor — no per-row `current_date`, which would be
+    * nondeterministic); quintiles are NTILE(5) with the tie order pinned
+    * on the customer key (same device the gated [[ntileCustbal]]
+    * proves); the cell average is one division of exact aggregates. The
+    * global NTILE windows are customer-cardinality sorts — at 100 TB the
+    * [[valueQuantiles]] histogram-rank device replaces them with
+    * value-domain walks (same output by the tie-pin), kept declarative
+    * here because the segment grid, not the sort, is the contract. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val day = floor(unix_timestamp(col("o_orderdate")) / lit(86400L))
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(day).as("last_day"), count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary"))
+    val anchor = per.agg(max(col("last_day")).as("dmax"))
+    val scored = per.crossJoin(broadcast(anchor))
+      .withColumn("recency", col("dmax") - col("last_day"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency").asc, col("o_custkey").asc)))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq").desc, col("o_custkey").asc)))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary").desc, col("o_custkey").asc)))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("monetary")).as("cell_cents"))
+      .withColumn("avg_cents",
+        col("cell_cents").cast("double") / col("n_cust").cast("double"))
+  }
+
+  /** Month-of-year seasonality index — each calendar month's revenue
+    * against the uniform expectation: idx = rev_m · 12 / Σrev, the
+    * product exact int64 BEFORE the one IEEE division (never a ratio of
+    * two divisions — chained float ops are where cross-engine bit-parity
+    * dies). One map-side-combinable rollup to 12 cells; the total rides
+    * a 12-row broadcast. */
+  def seasonalityIndex(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(month(col("o_orderdate")).cast("long").as("moy"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    val tot = per.agg(sum(col("rev_cents")).as("tot_cents"))
+    per.crossJoin(broadcast(tot))
+      .select(col("moy"), col("n_orders"), col("rev_cents"),
+        ((col("rev_cents") * 12).cast("double")
+          / col("tot_cents").cast("double")).as("season_idx"))
+  }
+
   /** Approx quantiles — the unbounded-cardinality escape hatch
     * [[valueQuantiles]]'s scale note names: `percentile_approx`'s summary
     * is mergeable map-side and its memory is bounded by the accuracy
@@ -2015,6 +2068,8 @@ object Relational extends QueryModule {
     "q_order_gap_stats"   -> orderGapStats _,
     "q_pareto_8020"       -> pareto8020 _,
     "q_new_vs_returning"  -> newVsReturning _,
+    "q_rfm_segments"      -> rfmSegments _,
+    "q_seasonality_index" -> seasonalityIndex _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
     "q_skew_profile"      -> skewProfile _,
@@ -2602,6 +2657,42 @@ object Relational extends QueryModule {
         |  CAST(n_active - n_new AS DOUBLE) / CAST(n_active AS DOUBLE)
         |    AS returning_share
         |FROM g""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    MAX(CAST(FLOOR(epoch(o_orderdate)/86400) AS BIGINT))
+        |      AS last_day,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |anchor AS (SELECT MAX(last_day) AS dmax FROM per),
+        |scored AS (
+        |  SELECT o_custkey, freq, monetary, dmax - last_day AS recency,
+        |    NTILE(5) OVER (ORDER BY dmax - last_day ASC, o_custkey ASC)
+        |      AS r_score,
+        |    NTILE(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_score,
+        |    NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
+        |      AS m_score
+        |  FROM per CROSS JOIN anchor)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_cust,
+        |  CAST(SUM(monetary) AS BIGINT) AS cell_cents,
+        |  CAST(SUM(monetary) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS avg_cents
+        |FROM scored GROUP BY 1, 2, 3""".stripMargin,
+    // rev_m * 12 is exact int64 BEFORE the one IEEE division
+    "q_seasonality_index" ->
+      """WITH per AS (
+        |  SELECT CAST(month(o_orderdate) AS BIGINT) AS moy,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot_cents FROM per)
+        |SELECT moy, n_orders, rev_cents,
+        |  CAST(rev_cents * 12 AS DOUBLE) / CAST(tot_cents AS DOUBLE)
+        |    AS season_idx
+        |FROM per CROSS JOIN tot""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.buy_s, p.buy_s - v.view_s AS gap_s
         |FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS buy_s
