@@ -1758,6 +1758,36 @@ object Relational extends QueryModule {
           / col("tot_cents").cast("double")).as("season_idx"))
   }
 
+  /** Herfindahl–Hirschman supplier concentration per part brand — the
+    * antitrust/market-structure statistic, third member of the
+    * concentration shelf ([[giniSegment]], [[pareto8020]]). HHI is
+    * Σ shareᵢ² — a float SUM of squared ratios, exactly the chained-
+    * float shape the bit-exact gate bans — so the computation is
+    * re-associated: Σ sᵢ² and (Σ sᵢ)² are both EXACT int64 aggregates of
+    * whole-dollar revenue, and hhi = Σsᵢ² / S² is ONE IEEE division of
+    * two exactly-equal integers (algebraically identical to Σ shareᵢ²).
+    * Supplier revenue rolls up map-side; the part dim join is
+    * brand-lookup-sized (broadcast here; shuffle-keyed at 100 TB);
+    * everything after the (brand, supplier) rollup is cells-sized.
+    * `n_eff = 1/hhi` (the effective-competitor count) stays to the
+    * consumer — a second division would chain floats. */
+  def supplierHhi(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice")).cast("long")).as("dollars"))
+    rev.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("dollars")).as("brand_dollars"),
+        sum(col("dollars") * col("dollars")).as("sq_sum"))
+      .select(col("p_brand"), col("n_suppliers"), col("brand_dollars"),
+        (col("sq_sum").cast("double")
+          / (col("brand_dollars") * col("brand_dollars")).cast("double"))
+          .as("hhi"))
+  }
+
   /** Approx quantiles — the unbounded-cardinality escape hatch
     * [[valueQuantiles]]'s scale note names: `percentile_approx`'s summary
     * is mergeable map-side and its memory is bounded by the accuracy
@@ -2070,6 +2100,7 @@ object Relational extends QueryModule {
     "q_new_vs_returning"  -> newVsReturning _,
     "q_rfm_segments"      -> rfmSegments _,
     "q_seasonality_index" -> seasonalityIndex _,
+    "q_supplier_hhi"      -> supplierHhi _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
     "q_skew_profile"      -> skewProfile _,
@@ -2693,6 +2724,19 @@ object Relational extends QueryModule {
         |  CAST(rev_cents * 12 AS DOUBLE) / CAST(tot_cents AS DOUBLE)
         |    AS season_idx
         |FROM per CROSS JOIN tot""".stripMargin,
+    // sum(s_i^2) and (sum s_i)^2 are exact int64; hhi is the ONE division
+    "q_supplier_hhi" ->
+      """WITH rev AS (
+        |  SELECT p_brand, l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |      AS dollars
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_brand, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(dollars) AS BIGINT) AS brand_dollars,
+        |  CAST(SUM(dollars * dollars) AS DOUBLE)
+        |    / CAST(SUM(dollars) * SUM(dollars) AS DOUBLE) AS hhi
+        |FROM rev GROUP BY 1""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.buy_s, p.buy_s - v.view_s AS gap_s
         |FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS buy_s
