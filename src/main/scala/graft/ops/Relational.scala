@@ -1501,6 +1501,31 @@ object Relational extends QueryModule {
         count(lit(1)).as("n_user_days"))
   }
 
+  /** DAU/WAU stickiness — the growth-dashboard ratio of daily to
+    * trailing-7-day active users, per day. Both counts ride the same
+    * distinct (user, day) pair stream [[rollingDistinct]] builds: DAU is
+    * the pair count per day (pairs are already distinct), WAU the
+    * windowed distinct via the bounded 7× expansion, and stickiness is
+    * the one IEEE division of the two exact counts. DAU ⊆ WAU by
+    * construction so the ratio is a true 0–1 engagement measure. */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .distinct()
+      .localCheckpoint() // consumed by the DAU rollup AND the expansion
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
+
   /** MODE per group — the most frequent order priority of each market
     * segment (the categorical "typical value" surface, `MODE()` in
     * warehouse SQL). Two-level: count per (segment, priority) — one
@@ -2101,6 +2126,7 @@ object Relational extends QueryModule {
     "q_rfm_segments"      -> rfmSegments _,
     "q_seasonality_index" -> seasonalityIndex _,
     "q_supplier_hhi"      -> supplierHhi _,
+    "q_stickiness"        -> stickiness _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
     "q_skew_profile"      -> skewProfile _,
@@ -2737,6 +2763,20 @@ object Relational extends QueryModule {
         |  CAST(SUM(dollars * dollars) AS DOUBLE)
         |    / CAST(SUM(dollars) * SUM(dollars) AS DOUBLE) AS hhi
         |FROM rev GROUP BY 1""".stripMargin,
+    "q_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch(ts)/86400) AS BIGINT) AS day
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT wday, COUNT(DISTINCT user_id) AS wau
+        |  FROM (SELECT user_id, day + CAST(i AS BIGINT) AS wday
+        |        FROM ud, UNNEST(range(7)) AS u(i))
+        |  GROUP BY 1)
+        |SELECT day, dau, wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON day = wday""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.buy_s, p.buy_s - v.view_s AS gap_s
         |FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS buy_s
