@@ -1739,19 +1739,12 @@ object Relational extends QueryModule {
     * nondeterministic); quintiles are NTILE(5) with the tie order pinned
     * on the customer key (same device the gated [[ntileCustbal]]
     * proves); the cell average is one division of exact aggregates. The
-    * global NTILE windows are customer-cardinality sorts — at 100 TB the
-    * [[valueQuantiles]] histogram-rank device replaces them with
-    * value-domain walks (same output by the tie-pin), kept declarative
-    * here because the segment grid, not the sort, is the contract. */
+    * global NTILE windows are customer-cardinality sorts — the 100 TB
+    * path is [[rfmSegmentsHist]], which replaces them with partitioned
+    * histogram-rank walks and shares THIS query's oracle verbatim so the
+    * gate proves the rewrite emits the identical grid. */
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
-    val day = floor(unix_timestamp(col("o_orderdate")) / lit(86400L))
-    val per = Tables.orders(s, d)
-      .groupBy(col("o_custkey"))
-      .agg(max(day).as("last_day"), count(lit(1)).as("freq"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary"))
-    val anchor = per.agg(max(col("last_day")).as("dmax"))
-    val scored = per.crossJoin(broadcast(anchor))
-      .withColumn("recency", col("dmax") - col("last_day"))
+    val scored = rfmBase(s, d)
       .withColumn("r_score", ntile(5).over(
         Window.orderBy(col("recency").asc, col("o_custkey").asc)))
       .withColumn("f_score", ntile(5).over(
@@ -1759,6 +1752,124 @@ object Relational extends QueryModule {
       .withColumn("m_score", ntile(5).over(
         Window.orderBy(col("monetary").desc, col("o_custkey").asc)))
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("monetary")).as("cell_cents"))
+      .withColumn("avg_cents",
+        col("cell_cents").cast("double") / col("n_cust").cast("double"))
+  }
+
+  /** Per-customer RFM metrics + the corpus recency anchor — shared by the
+    * declarative [[rfmSegments]] and the scale-path [[rfmSegmentsHist]],
+    * so both score IDENTICAL inputs. */
+  private def rfmBase(s: SparkSession, d: String): DataFrame = {
+    val day = floor(unix_timestamp(col("o_orderdate")) / lit(86400L))
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(day).as("last_day"), count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary"))
+    val anchor = per.agg(max(col("last_day")).as("dmax"))
+    per.crossJoin(broadcast(anchor))
+      .withColumn("recency", col("dmax") - col("last_day"))
+  }
+
+  /** Exact integer floor division (both operands non-negative): the
+    * subtract-remainder form keeps the double division exact, so floor
+    * boundaries can never flip on rounding. */
+  private def idiv(x: Column, y: Column): Column =
+    ((x - pmod(x, y)) / y).cast("long")
+
+  /** Exact NTILE(5) over the total order (metric ASC, o_custkey ASC)
+    * WITHOUT a global sort — the [[valueQuantiles]] histogram-rank device
+    * extended to a full per-row rank via a 4-level prefix-sum tree:
+    *
+    *   rank = Σc(coarse cells < cv)        — triangular join over the
+    *                                         COARSE histogram (bounded,
+    *                                         broadcast-sized)
+    *        + Σc(values < v within cv)     — window PARTITIONED by cv
+    *                                         (≤ coarseW values per cell)
+    *        + Σc(custkey sub-buckets < sb  — window PARTITIONED by v
+    *             within the v tie group)     (tie-group sub-bucket list)
+    *        + row_number within (v, sb)    — window PARTITIONED by
+    *                                         (v, sb), ≤ 1024 keys
+    *
+    * NTILE(5) is then a closed-form function of (rank, n): the first
+    * n%5 buckets take ⌈n/5⌉ rows, the rest ⌊n/5⌋. Every window is
+    * partitioned with bounded partitions — no task ever sorts the world
+    * and no no-partition WindowExec appears; deeper trees follow the
+    * same recursion if a level's partition outgrows a task. Descending
+    * metrics enter negated (order-preserving; tie-break unchanged). */
+  private def ntileByRank(base: DataFrame, metric: Column, coarseW: Long,
+      out: String): DataFrame = {
+    val df = base.select(col("o_custkey"), metric.as("v"))
+    // negated metrics are negative: shift into non-negative space so the
+    // exact idiv/pmod coarse bucketing stays order-preserving
+    val vn = df.agg(min(col("v")).as("vmin"))
+    val rows = df.crossJoin(broadcast(vn))
+      .select(col("o_custkey"), (col("v") - col("vmin")).as("v"))
+    val hist = rows.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cv", idiv(col("v"), lit(coarseW)))
+    // level 1: coarse-cell prefix counts, window-free (triangular join
+    // over the bounded coarse histogram)
+    val chist = hist.groupBy(col("cv")).agg(sum(col("c")).as("cc"))
+    val cprev = chist.select(col("cv"), col("cc"))
+      .join(broadcast(chist.select(col("cv").as("cv2"), col("cc").as("cc2"))),
+        col("cv2") < col("cv"), "left")
+      .groupBy(col("cv"))
+      .agg(coalesce(sum(col("cc2")), lit(0L)).as("cv_prev"))
+    // level 2: value prefix within its coarse cell
+    val wV = Window.partitionBy(col("cv")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vinfo = hist
+      .join(broadcast(cprev), "cv")
+      .withColumn("v_prev", coalesce(sum(col("c")).over(wV), lit(0L)))
+      .select(col("v"), (col("cv_prev") + col("v_prev")).as("prev_all"))
+    // levels 3+4: custkey sub-bucket prefix within the tie group, then
+    // local row_number within the (v, sub-bucket) cell
+    val sbc = idiv(col("o_custkey"), lit(1024L))
+    val shist = rows.groupBy(col("v"), sbc.as("sb"))
+      .agg(count(lit(1)).as("sc"))
+    val wSb = Window.partitionBy(col("v")).orderBy(col("sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scum = shist.select(col("v"), col("sb"),
+      coalesce(sum(col("sc")).over(wSb), lit(0L)).as("sb_prev"))
+    val wCell = Window.partitionBy(col("v"), col("sb"))
+      .orderBy(col("o_custkey"))
+    val nRow = hist.agg(sum(col("c")).as("n"))
+    val ranked = rows.withColumn("sb", sbc)
+      .join(scum, Seq("v", "sb"))
+      .join(vinfo, Seq("v"))
+      .withColumn("lr", row_number().over(wCell).cast("long"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("r", col("prev_all") + col("sb_prev") + col("lr"))
+    val q = idiv(col("n"), lit(5L))
+    val rem = col("n") % lit(5L)
+    val cutoff = rem * (q + lit(1L))
+    val bucket = when(col("r") <= cutoff,
+        idiv(col("r") - 1, q + lit(1L)) + lit(1L))
+      .otherwise(rem + idiv(col("r") - cutoff - 1, q) + lit(1L))
+    ranked.select(col("o_custkey"), bucket.cast("int").as(out))
+  }
+
+  /** Scale-path rewrite of [[rfmSegments]]: the three global NTILE(5)
+    * sorts (each a single task sorting every customer, three times) are
+    * replaced by [[ntileByRank]]'s partitioned prefix-sum rank — the
+    * quintile of each metric is a closed-form function of the exact rank,
+    * and the rank is assembled from histogram prefix counts whose every
+    * window is partitioned and bounded. Descending metrics (freq,
+    * monetary) enter negated. Registers with [[rfmSegments]]' oracle
+    * VERBATIM, so the hash gate proves quintile-invariance of the rewrite
+    * at every gated run (the repo's scale-rewrite discipline). Coarse
+    * widths: recency is day-granular (W=64 days/cell), freq is a count
+    * (W=8), monetary is cents (W=2^20 ≈ $10k/cell) — each keeps the
+    * coarse histogram broadcast-sized at any SF. */
+  def rfmSegmentsHist(s: SparkSession, d: String): DataFrame = {
+    val base = rfmBase(s, d).localCheckpoint()
+    val r = ntileByRank(base, col("recency"), 64L, "r_score")
+    val f = ntileByRank(base, -col("freq"), 8L, "f_score")
+    val m = ntileByRank(base, -col("monetary"), 1L << 20, "m_score")
+    base.select(col("o_custkey"), col("monetary"))
+      .join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_cust"),
         sum(col("monetary")).as("cell_cents"))
       .withColumn("avg_cents",
@@ -2124,6 +2235,7 @@ object Relational extends QueryModule {
     "q_pareto_8020"       -> pareto8020 _,
     "q_new_vs_returning"  -> newVsReturning _,
     "q_rfm_segments"      -> rfmSegments _,
+    "q_rfm_segments_hist" -> rfmSegmentsHist _,
     "q_seasonality_index" -> seasonalityIndex _,
     "q_supplier_hhi"      -> supplierHhi _,
     "q_stickiness"        -> stickiness _,
@@ -2166,6 +2278,33 @@ object Relational extends QueryModule {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS revenue
       |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Shared by `q_rfm_segments` and its histogram-rank scale rewrite
+    * `q_rfm_segments_hist` — the hash gate proves quintile-invariance of
+    * the partitioned prefix-sum rank vs the global NTILE sorts. */
+  private val rfmSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    MAX(CAST(FLOOR(epoch(o_orderdate)/86400) AS BIGINT))
+      |      AS last_day,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS monetary
+      |  FROM orders GROUP BY 1),
+      |anchor AS (SELECT MAX(last_day) AS dmax FROM per),
+      |scored AS (
+      |  SELECT o_custkey, freq, monetary, dmax - last_day AS recency,
+      |    NTILE(5) OVER (ORDER BY dmax - last_day ASC, o_custkey ASC)
+      |      AS r_score,
+      |    NTILE(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_score,
+      |    NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
+      |      AS m_score
+      |  FROM per CROSS JOIN anchor)
+      |SELECT r_score, f_score, m_score, COUNT(*) AS n_cust,
+      |  CAST(SUM(monetary) AS BIGINT) AS cell_cents,
+      |  CAST(SUM(monetary) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS avg_cents
+      |FROM scored GROUP BY 1, 2, 3""".stripMargin
 
   private val fuzzyBrandSql: String =
     """WITH b AS (SELECT DISTINCT p_brand FROM part)
@@ -2714,29 +2853,10 @@ object Relational extends QueryModule {
         |  CAST(n_active - n_new AS DOUBLE) / CAST(n_active AS DOUBLE)
         |    AS returning_share
         |FROM g""".stripMargin,
-    "q_rfm_segments" ->
-      """WITH per AS (
-        |  SELECT o_custkey,
-        |    MAX(CAST(FLOOR(epoch(o_orderdate)/86400) AS BIGINT))
-        |      AS last_day,
-        |    COUNT(*) AS freq,
-        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
-        |      AS monetary
-        |  FROM orders GROUP BY 1),
-        |anchor AS (SELECT MAX(last_day) AS dmax FROM per),
-        |scored AS (
-        |  SELECT o_custkey, freq, monetary, dmax - last_day AS recency,
-        |    NTILE(5) OVER (ORDER BY dmax - last_day ASC, o_custkey ASC)
-        |      AS r_score,
-        |    NTILE(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_score,
-        |    NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
-        |      AS m_score
-        |  FROM per CROSS JOIN anchor)
-        |SELECT r_score, f_score, m_score, COUNT(*) AS n_cust,
-        |  CAST(SUM(monetary) AS BIGINT) AS cell_cents,
-        |  CAST(SUM(monetary) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-        |    AS avg_cents
-        |FROM scored GROUP BY 1, 2, 3""".stripMargin,
+    "q_rfm_segments"      -> rfmSql,
+    // VERBATIM rfm oracle: the hash gate proves the histogram-rank
+    // rewrite emits the identical quintile grid
+    "q_rfm_segments_hist" -> rfmSql,
     // rev_m * 12 is exact int64 BEFORE the one IEEE division
     "q_seasonality_index" ->
       """WITH per AS (

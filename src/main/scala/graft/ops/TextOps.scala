@@ -1989,11 +1989,19 @@ object TextOps extends QueryModule {
     * in both sides; because the sketch is an order statistic of the
     * shared md5 hash (the [[graft.ops.Relational.kmvDistinct]] device),
     * the ESTIMATE itself is deterministic and hash-exact cross-engine —
-    * full oracle, no bracket — and `jaccard_exact`/`within_010` audit it
-    * against the exact arm inside the same result. Sketch extraction is
-    * the declarative `dense_rank ≤ k` that Spark compiles to map-side
-    * WindowGroupLimit: each task pre-truncates to its local bottom-k
-    * before the one exchange. */
+    * full oracle, no bracket — and `jaccard_sample`/`within_010` audit it
+    * inside the same result against the exact Jaccard of a DETERMINISTIC
+    * 1/16 md5-subsample of the gram universe (pmod(gh,16)=0, the repo's
+    * standard sampling device; a uniform hash-sample of the universe
+    * estimates the same Jaccard unbiasedly). The r9 audit arm recomputed
+    * the FULL exact Jaccard — a corpus-gram self-join, the very cost the
+    * sketch exists to avoid; the subsample keeps the audit contract while
+    * cutting the audit join 16× and keeping it tunable to any rate (the
+    * untouched full-exact matrix remains [[sourceOverlap]], which the
+    * spec cross-checks). Sketch extraction is the declarative
+    * `dense_rank ≤ k` that Spark compiles to map-side WindowGroupLimit:
+    * each task pre-truncates to its local bottom-k before the one
+    * exchange. */
   def sourceKmvJaccard(s: SparkSession, d: String): DataFrame = {
     val gs = gramRowsBy(s, docsParallel(s, d), col("source"), 8)
       .select(col("k").as("source"), fingerprint60(col("g")).as("gh"))
@@ -2023,9 +2031,12 @@ object TextOps extends QueryModule {
         sum((col("nsrc") === 2).cast("long")).as("inter_k"))
       .withColumn("jaccard_kmv",
         col("inter_k").cast("double") / col("u_size").cast("double"))
-    val tot = gs.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    val shared = gs.as("a")
-      .join(gs.as("b"),
+    // audit arm on the 1/16 md5-subsampled universe — every stage below
+    // is sample-sized, never corpus-gram-sized
+    val gsS = gs.filter(pmod(col("gh"), lit(16L)) === 0)
+    val tot = gsS.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val shared = gsS.as("a")
+      .join(gsS.as("b"),
         col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
@@ -2038,14 +2049,14 @@ object TextOps extends QueryModule {
       .select(col("source_a"), col("source_b"),
         (col("shared_grams").cast("double") /
           (col("grams_a") + col("grams_b") - col("shared_grams")))
-          .as("jaccard_exact"))
+          .as("jaccard_sample"))
     est.join(exact, Seq("source_a", "source_b"), "left")
-      .na.fill(0.0, Seq("jaccard_exact"))
+      .na.fill(0.0, Seq("jaccard_sample"))
       .withColumn("within_010",
-        (abs(col("jaccard_kmv") - col("jaccard_exact")) <= 0.10)
+        (abs(col("jaccard_kmv") - col("jaccard_sample")) <= 0.10)
           .cast("long"))
       .select(col("source_a"), col("source_b"), col("u_size"),
-        col("inter_k"), col("jaccard_kmv"), col("jaccard_exact"),
+        col("inter_k"), col("jaccard_kmv"), col("jaccard_sample"),
         col("within_010"))
   }
 
@@ -2184,16 +2195,24 @@ object TextOps extends QueryModule {
     * the vocab broadcast (the repo's HOF-trap discipline); the DuckDB
     * oracle re-derives the identical tokenization via a recursive CTE
     * with a correlated longest-prefix probe, so the gate proves training
-    * AND inference end-to-end cross-engine. Vocab collect is bounded by
-    * construction (SubwordVocabSize + alphabet — the gated-collect class
-    * the CC hybrid documents). */
+    * AND inference end-to-end cross-engine. Both driver collects are
+    * bounded by construction: the trained vocab is SubwordVocabSize rows,
+    * and the alphabet is derived distributively (explode chars → distinct)
+    * so only the charset-sized result ever reaches the driver. */
   def subwordTokenize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val wc = wordCounts(s, d).localCheckpoint()
     val wdict = wc.groupBy(col("word")).agg(sum(col("cnt")).as("w"))
     val trained = subwordVocab(s, wdict).select(col("g")).as[String].collect()
-    val alphabet = wdict.select(col("word")).as[String].collect()
-      .flatMap(_.toCharArray.map(_.toString)).distinct
+    // Alphabet derived DISTRIBUTIVELY: explode chars → distinct → collect
+    // the CHARSET-sized result (≤ a few thousand strings at web scale),
+    // never the dictionary itself. The r9 form collected every distinct
+    // corpus word to the driver — 10^8+ strings at 100 TB.
+    val alphabet = wdict
+      .select(explode(split(col("word"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct()
+      .as[String].collect()
     val vocab = s.sparkContext.broadcast((trained ++ alphabet).toSet)
 
     val fert = wdict.select(col("word")).as[String]
@@ -3017,26 +3036,27 @@ object TextOps extends QueryModule {
          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a,
          |          source_b ORDER BY gh) AS rk FROM contrib)
          |  WHERE rk <= 256 GROUP BY 1, 2),
-         |tot AS (SELECT source, COUNT(*) AS n_grams FROM gs GROUP BY 1),
+         |gss AS (SELECT * FROM gs WHERE gh % 16 = 0),
+         |tot AS (SELECT source, COUNT(*) AS n_grams FROM gss GROUP BY 1),
          |ex AS (
          |  SELECT a.source AS source_a, b.source AS source_b,
          |    COUNT(*) AS shared
-         |  FROM gs a JOIN gs b ON a.gh = b.gh AND a.source < b.source
+         |  FROM gss a JOIN gss b ON a.gh = b.gh AND a.source < b.source
          |  GROUP BY 1, 2),
          |j AS (
          |  SELECT e.source_a, e.source_b, u_size, inter_k,
          |    CAST(inter_k AS DOUBLE) / CAST(u_size AS DOUBLE)
          |      AS jaccard_kmv,
          |    COALESCE(CAST(shared AS DOUBLE)
-         |      / (ta.n_grams + tb.n_grams - shared), 0.0) AS jaccard_exact
+         |      / (ta.n_grams + tb.n_grams - shared), 0.0) AS jaccard_sample
          |  FROM est e
          |  JOIN tot ta ON ta.source = e.source_a
          |  JOIN tot tb ON tb.source = e.source_b
          |  LEFT JOIN ex ON ex.source_a = e.source_a
          |              AND ex.source_b = e.source_b)
          |SELECT source_a, source_b, u_size, inter_k, jaccard_kmv,
-         |  jaccard_exact,
-         |  CAST(ABS(jaccard_kmv - jaccard_exact) <= 0.10 AS BIGINT)
+         |  jaccard_sample,
+         |  CAST(ABS(jaccard_kmv - jaccard_sample) <= 0.10 AS BIGINT)
          |    AS within_010
          |FROM j""".stripMargin,
     "q_collocations" ->
