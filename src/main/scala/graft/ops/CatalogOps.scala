@@ -141,7 +141,20 @@ object CatalogOps extends QueryModule {
     * scan `q_seq_packing_sharded` parallelizes, so the planner itself
     * shards at scale). Emits one row per planned output file with its
     * merge range and fill ratio. */
-  def compactionPlan(s: SparkSession, d: String): DataFrame = {
+  def compactionPlan(s: SparkSession, d: String): DataFrame =
+    partBins(s, d)
+      .groupBy(col("event_type"), col("bin_id"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("n_rows")).as("n_rows"),
+        sum(col("bytes")).as("bytes"),
+        min(col("day")).as("day_from"), max(col("day")).as("day_to"))
+      .withColumn("fill",
+        col("bytes").cast("double") / lit(CompactTargetBytes.toDouble))
+
+  /** The planning grain: per-(event_type, day) partition stats + the
+    * planned bin assignment — shared by [[compactionPlan]] (the rollup)
+    * and [[compactionExec]] (the rewrite), so the executor can never
+    * compact against a different plan than the one the planner emits. */
+  private def partBins(s: SparkSession, d: String): DataFrame = {
     val parts = Tables.events(s, d)
       .groupBy(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
@@ -154,12 +167,90 @@ object CatalogOps extends QueryModule {
       .withColumn("cum", sum(col("bytes")).over(w))
       .withColumn("bin_id",
         expr(s"(cum - bytes) div $CompactTargetBytes"))
+  }
+
+  private val compactBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The OPTIMIZE executor's store, built once per input fingerprint
+    * (the [[DwdStore]] memo pattern): (1) `frag` — the FRAGMENTED input
+    * layout, one physical directory per (event_type, day) partition (the
+    * small-file problem made real on disk, one file each via the
+    * combo-keyed repartition); (2) `compacted` — the rewrite: the frag
+    * store read back, each day-partition tagged with its planned bin via
+    * a broadcast of the metastore-sized [[partBins]] assignment, and
+    * rewritten ONE file per (event_type, bin). This is Delta/Iceberg
+    * OPTIMIZE's bin-packing rewrite on plain parquet: at 100 TB the
+    * rewrite reads exactly the planned groups (partition pruning over
+    * the frag layout), each output task streams one bin (≈ the target
+    * size by construction), and nothing else is touched. */
+  private def compactStore(s: SparkSession, d: String): String =
+    compactBuilt.computeIfAbsent(StoreDirs.freshKey(d), k =>
+      StoreDirs.ensureBuilt("compact", k) { base =>
+        Tables.events(s, d)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .repartition(col("event_type"), col("day"))
+          .write.mode("overwrite").partitionBy("event_type", "day")
+          .parquet(s"$base/frag")
+        val assign = partBins(s, d)
+          .select(col("event_type"), col("day"), col("bin_id"))
+        s.read.parquet(s"$base/frag")
+          .withColumn("day", col("day").cast("string"))
+          .join(broadcast(assign), Seq("event_type", "day"))
+          .repartition(col("event_type"), col("bin_id"))
+          .write.mode("overwrite").partitionBy("event_type", "bin_id")
+          .parquet(s"$base/compacted")
+      })
+
+  /** The compacted store's rows (day re-cast to string), for
+    * CompactionSpec's full-column multiset-equality check. */
+  private[graft] def compactedStoreForTest(s: SparkSession,
+      d: String): DataFrame =
+    s.read.parquet(s"${compactStore(s, d)}/compacted")
+      .withColumn("day", col("day").cast("string"))
+      .drop("bin_id")
+
+  /** Compaction EXECUTION audit — the gated proof that the rewrite
+    * [[compactStore]] actually performed matches the plan: per planned
+    * bin, the file count before (real files of the fragmented store,
+    * counted from `_metadata.file_path`) vs after (must be 1 — the
+    * oracle asserts the literal), and planned vs WRITTEN row counts
+    * (read back from the compacted store; `rows_match` is pinned to 1 by
+    * the oracle, so a rewrite that drops or duplicates a single row
+    * breaks the hash, not just a spec). Closes the OPTIMIZE loop next to
+    * `q_zorder_layout`: plan → execute → audit, all three gated.
+    *
+    * Scale: both file listings are metadata-grain (distinct (partition,
+    * file) pairs — never row-sized after the map stage), the assignment
+    * broadcast is partition-count-sized, and the row counts are
+    * partial-aggregable scans of exactly the two stores the executor
+    * touched. */
+  def compactionExec(s: SparkSession, d: String): DataFrame = {
+    val base = compactStore(s, d)
+    val assign = partBins(s, d)
+      .select(col("event_type"), col("day"), col("bin_id"))
+    val beforeFiles = s.read.parquet(s"$base/frag")
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("_metadata.file_path").as("f"))
+      .distinct()
+      .join(broadcast(assign), Seq("event_type", "day"))
       .groupBy(col("event_type"), col("bin_id"))
-      .agg(count(lit(1)).as("n_parts"), sum(col("n_rows")).as("n_rows"),
-        sum(col("bytes")).as("bytes"),
-        min(col("day")).as("day_from"), max(col("day")).as("day_to"))
-      .withColumn("fill",
-        col("bytes").cast("double") / lit(CompactTargetBytes.toDouble))
+      .agg(countDistinct(col("f")).as("files_before"))
+    val after = s.read.parquet(s"$base/compacted")
+      .select(col("event_type"), col("bin_id").cast("long").as("bin_id"),
+        col("_metadata.file_path").as("f"))
+      .groupBy(col("event_type"), col("bin_id"))
+      .agg(count(lit(1)).as("rows_written"),
+        countDistinct(col("f")).as("files_after"))
+    compactionPlan(s, d)
+      .join(beforeFiles, Seq("event_type", "bin_id"))
+      .join(after, Seq("event_type", "bin_id"))
+      .select(col("event_type"), col("bin_id"), col("n_parts"),
+        col("files_before"), col("files_after"),
+        col("n_rows").as("rows_planned"), col("rows_written"),
+        (col("rows_written") === col("n_rows")).cast("long")
+          .as("rows_match"),
+        col("bytes"), col("day_from"), col("day_to"))
   }
 
   /** Erasure-request registry: every key ≡ [[GdprResidue]] (mod
@@ -230,6 +321,7 @@ object CatalogOps extends QueryModule {
     Map(
       "q_column_stats" -> (columnStats _),
       "q_compaction_plan" -> (compactionPlan _),
+      "q_compaction_exec" -> (compactionExec _),
       "q_gdpr_purge" -> (gdprPurge _),
     )
 
@@ -311,6 +403,33 @@ object CatalogOps extends QueryModule {
          |UNION ALL
          |${leg("customer", "c_custkey", "customer")}""".stripMargin
     },
+    // The oracle pins the executor's CONTRACT as literals: one output
+    // file per bin, written rows = planned rows, files_before = the
+    // plan's partition count. Spark reports the MEASURED values from the
+    // stores it actually wrote — any divergence (fragmented output, lost
+    // rows, a partition compacted into the wrong bin) breaks the hash.
+    "q_compaction_exec" ->
+      s"""WITH parts AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |    COUNT(*) AS n_rows,
+         |    CAST(SUM(length(props)) + COUNT(*) * $RowOverheadBytes
+         |      AS BIGINT) AS bytes
+         |  FROM events GROUP BY 1, 2),
+         |c AS (SELECT event_type, day, n_rows, bytes,
+         |        SUM(bytes) OVER (PARTITION BY event_type ORDER BY day
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM parts)
+         |SELECT event_type,
+         |  CAST((cum - bytes) // $CompactTargetBytes AS BIGINT) AS bin_id,
+         |  COUNT(*) AS n_parts,
+         |  COUNT(*) AS files_before,
+         |  CAST(1 AS BIGINT) AS files_after,
+         |  CAST(SUM(n_rows) AS BIGINT) AS rows_planned,
+         |  CAST(SUM(n_rows) AS BIGINT) AS rows_written,
+         |  CAST(1 AS BIGINT) AS rows_match,
+         |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  MIN(day) AS day_from, MAX(day) AS day_to
+         |FROM c GROUP BY 1, 2""".stripMargin,
     "q_compaction_plan" ->
       s"""WITH parts AS (
          |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

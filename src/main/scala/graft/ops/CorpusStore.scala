@@ -76,16 +76,36 @@ object CorpusStore {
     * union-of-batches ≡ the whole-corpus rebuild under uneven boundaries
     * + a replayed batch.
     *
+    * TRANSACTIONAL fold protocol (foreachBatch retry semantics): each
+    * fold writes its four outputs into BATCH-SCOPED directories
+    * (`<dir>/batch=<id>`, mode overwrite) and records a commit marker
+    * (`commits/<id>`) only AFTER the survivor append — the last write.
+    * State reads union COMMITTED batch dirs only. So a crash anywhere
+    * mid-fold leaves partial dirs that are (a) invisible to every
+    * subsequent read and (b) cleanly overwritten when the batch replays —
+    * the half-committed-index data loss of plain appends (a replayed
+    * batch anti-joining out against its own partial dedup append and
+    * vanishing from the manifest) cannot occur. A replay of a COMMITTED
+    * id is skipped outright; content-level redelivery under a NEW id is
+    * still absorbed by the fp anti-join. CorpusStreamSpec exercises both
+    * the replay and the crash-mid-fold path.
+    *
     * Scale: per batch the index contributes ONE scan of its fp column
     * (anti-join, hash-keyed) and one scan of its signature store (band
     * probe, batch bands broadcast) — raw text never re-reads, the index
     * never self-joins; verification touches candidate ids only. Cost ∝
     * batch + collisions, independent of corpus × batch pairing. */
-  def refreshBatch(s: SparkSession, base: String, batch: DataFrame): Unit = {
+  def refreshBatch(s: SparkSession, base: String, batchId: Long,
+      batch: DataFrame): Unit = {
+    val marker = new java.io.File(s"$base/commits", batchId.toString)
+    if (marker.exists()) return // committed fold replayed: a no-op
     val dedupDir = s"$base/dedup"; val sigDir = s"$base/sig"
     val shDir = s"$base/shset"; val survDir = s"$base/surv"
-    def existing(p: String): Option[DataFrame] =
-      if (new java.io.File(p).exists()) Some(s.read.parquet(p)) else None
+    def existing(p: String): Option[DataFrame] = committedDirs(base, p)
+      match {
+        case Seq() => None
+        case dirs => Some(s.read.parquet(dirs: _*))
+      }
 
     val withFp = TextOps.corpusGate(batch)
       .withColumn("fp", fingerprint(col("text")))
@@ -124,15 +144,35 @@ object CorpusStore {
     val drops = TextOps.verifySimPairs(cand, shAll)
       .select(col("d2").as("doc_id")).distinct().localCheckpoint()
 
-    // all state reads are materialized (checkpoints) before any append
+    // all state reads are materialized (checkpoints) before any write;
+    // batch-scoped overwrites, commit marker LAST (see the protocol note)
     fresh.select(col("doc_id"), col("source"), col("n_tok"),
         col("char_sum"), col("fp"))
-      .write.mode("append").parquet(dedupDir)
-    sigNew.write.mode("append").parquet(sigDir)
-    shNew.write.mode("append").parquet(shDir)
+      .write.mode("overwrite").parquet(s"$dedupDir/batch=$batchId")
+    sigNew.write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+    shNew.write.mode("overwrite").parquet(s"$shDir/batch=$batchId")
     fresh.join(drops, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_tok"), col("char_sum"))
-      .write.mode("append").parquet(survDir)
+      .write.mode("overwrite").parquet(s"$survDir/batch=$batchId")
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(marker.toPath, "ok"): Unit
     Seq(fresh, sigNew, cand, drops).foreach(Relational.unpersistCheckpoint)
+  }
+
+  /** The COMMITTED batch dirs of one state surface (uncommitted partial
+    * folds are invisible by construction). */
+  private def committedDirs(base: String, dir: String): Seq[String] =
+    Option(new java.io.File(s"$base/commits").list())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(id => s"$dir/batch=$id")
+      .filter(p => new java.io.File(p).exists())
+      .sorted
+
+  /** Read one state surface of an incrementally-maintained manifest —
+    * the union of committed folds (`surv`, `dedup`, `sig`, `shset`). */
+  def state(s: SparkSession, base: String, surface: String): DataFrame = {
+    val dirs = committedDirs(base, s"$base/$surface")
+    require(dirs.nonEmpty, s"no committed folds under $base/$surface")
+    s.read.parquet(dirs: _*)
   }
 }

@@ -87,6 +87,32 @@ private[graft] object StoreDirs {
     base
   }
 
+  /** Crash-durable overwrite of a parquet store dir (the read→merge→
+    * overwrite refresh paths' write side): the merged frame is FULLY
+    * written to a sibling staging dir first, then swapped in by two
+    * renames (live → `.old`, staging → live) and the old copy deleted.
+    * A direct `mode("overwrite")` of the same dir deletes the store
+    * before rewriting it from a truncated-lineage localCheckpoint, so a
+    * crash or executor-block loss mid-write destroys the store
+    * unrecoverably (ADVICE r9); with the staged swap, every crash window
+    * leaves at least one COMPLETE copy on disk — `.staging` before the
+    * first rename, `.old` until the final delete — so recovery is a
+    * rename, never a rebuild. (On a real lakehouse this is the table
+    * format's atomic commit; plain parquet gets the two-rename
+    * approximation.) */
+  def durableOverwrite(df: org.apache.spark.sql.DataFrame,
+      dir: String): Unit = {
+    val staging = new java.io.File(dir + ".staging")
+    val old = new java.io.File(dir + ".old")
+    delete(staging); delete(old)
+    df.write.mode("overwrite").parquet(staging.getPath)
+    val live = new java.io.File(dir)
+    if (live.exists())
+      require(live.renameTo(old), s"swap failed: $dir -> .old")
+    require(staging.renameTo(live), s"swap failed: .staging -> $dir")
+    delete(old)
+  }
+
   /** Input-freshness cache key: the sfDir path plus a digest of every
     * file's (path, mtime, length) under it. The driver can REGENERATE the
     * input parquet mid-round (CLAUDE.md: the events timestamp precision

@@ -240,7 +240,73 @@ object MultimodalOps extends QueryModule {
       .select(col("rank"), col("doc_id"), col("boundary"), col("diff"))
   }
 
+  /** 60-bit perceptual difference-hash (dHash) over the DECODED pixel
+    * stream: 61 pixels sampled at the evenly-spaced positions
+    * pos_i = ⌊i·(n−1)/60⌋, bit i set iff px[pos_i] > px[pos_{i+1}] — the
+    * classic gradient-sign fingerprint, robust to small local edits
+    * because one changed pixel flips at most the bits that sample it.
+    * 60 bits (not 64) keeps the value in signed-long range in both
+    * engines — the [[TextOps.simhashWideDocs]] fp60 device. Decode is the
+    * same per-partition batch shape as [[mmDecodeFeatures]]: payload
+    * bytes never leave the map stage; only (doc_id, long) pairs shuffle. */
+  private def mmDhash(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val px = GrfCodec.decode(bytes).pixels
+          val n = px.length
+          var h = 0L
+          if (n >= 2) {
+            var i = 0
+            while (i < 60) {
+              val p0 = (i.toLong * (n - 1) / 60).toInt
+              val p1 = ((i + 1).toLong * (n - 1) / 60).toInt
+              if ((px(p0) & 0xff) > (px(p1) & 0xff)) h |= 1L << i
+              i += 1
+            }
+          }
+          (id, h)
+        }
+      }.toDF("doc_id", "dhash60")
+  }
+
+  /** Multimodal PERCEPTUAL near-duplicate detection — the stage
+    * [[mmDedup]]'s exact payload-md5 cannot cover: re-encoded or slightly
+    * retouched copies of the same image hash to different bytes but
+    * nearly identical dHashes. Candidates come from the
+    * [[TextOps.bandedDups]] device (4×15-bit bands over [[mmDhash]];
+    * hamming ≤ 3 pairs are GUARANTEED to share a band, 4–6 best-effort —
+    * banded recall, the LSH tradeoff), verified by popcount of the XOR
+    * ≤ 6. Liveness is proven with PLANTED near-copies: every 25th media
+    * row re-issued at doc_id+[[TextOps.PlantOffset]] with its FIRST
+    * DECODED PIXEL overwritten (0x7e) — a ≤ 1-bit dHash perturbation, so
+    * banding must catch every plant (GrfCodecSpec asserts it; the
+    * corpus itself is dup-free).
+    *
+    * Scale: payload bytes never shuffle (dHash is map-side behind the
+    * batch decode); the self-join cost is band collisions, never
+    * all-pairs, with per-band keyspace 2^15 widening with the hash-width
+    * dial exactly as [[TextOps.simhashWideDups]] documents. Degenerate
+    * tiny images (n < 2 ⇒ dhash 0) would pile into one bucket — at 100 TB
+    * the upstream length gate (or a min-resolution filter) keeps the
+    * bucket bounded; sf-corpus texts are all ≥ the sampling span. */
+  def mmNearDup(s: SparkSession, d: String): DataFrame = {
+    val m = mediaTable(s, d).select(col("doc_id"), col("payload"))
+    val plants = m.filter(col("doc_id") % 25 === 0).select(
+      (col("doc_id") + TextOps.PlantOffset).as("doc_id"),
+      concat(
+        substring(col("payload"), 1, GrfCodec.HeaderLen),
+        encode(lit("~"), "UTF-8"),
+        substring(col("payload"), lit(GrfCodec.HeaderLen + 2),
+          length(col("payload")) - GrfCodec.HeaderLen - 1)).as("payload"))
+    TextOps.bandedDups(mmDhash(s, m.unionAll(plants)), "dhash60",
+      nBands = 4, bandBits = 15, maxHamming = 6)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_neardup"  -> mmNearDup _,
     "q_mm_scenecut" -> mmSceneCut _,
     "q_mm_histogram" -> mmHistogram _,
     "q_mm_resize"   -> mmResize _,
@@ -255,6 +321,38 @@ object MultimodalOps extends QueryModule {
   // never re-parses the container; Spark does, and the hash gate compares
   // the two derivations cell-for-cell).
   override val oracles: Map[String, String] = Map(
+    // byte-level mirror: the pixel plane IS encode(text), so the plant's
+    // first-pixel overwrite is '7E' spliced into the hex stream (never a
+    // character edit — multibyte chars would diverge from Spark's byte op)
+    "q_mm_neardup" ->
+      s"""WITH base AS (SELECT doc_id, hex(encode(text)) AS hx
+        |              FROM documents),
+        |aug AS (
+        |  SELECT doc_id, hx FROM base
+        |  UNION ALL
+        |  SELECT doc_id + ${TextOps.PlantOffset}, '7E' || substring(hx, 3)
+        |  FROM base WHERE doc_id % 25 = 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(hx) >= 4 THEN
+        |      CAST(list_sum(list_transform(range(0, 60), i ->
+        |        CASE WHEN
+        |          ('0x'||substring(hx,
+        |             2*((i*(length(hx)//2 - 1))//60)+1, 2))::BIGINT >
+        |          ('0x'||substring(hx,
+        |             2*(((i+1)*(length(hx)//2 - 1))//60)+1, 2))::BIGINT
+        |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
+        |    ELSE 0 END AS dhash60
+        |  FROM aug),
+        |b AS (SELECT doc_id, dhash60,
+        |        (dhash60 >> (15*band)) & 32767 AS bval, band
+        |      FROM sig CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        |    CAST(bit_count(xor(x.dhash60, y.dhash60)) AS INT) AS hamming
+        |  FROM b x JOIN b y
+        |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+        |SELECT d1, d2, hamming FROM cand WHERE hamming <= 6""".stripMargin,
     "q_mm_scenecut" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
         |             octet_length(encode(text)) // 256 AS n_full

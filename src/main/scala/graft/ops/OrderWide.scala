@@ -311,7 +311,9 @@ object OrderWide extends QueryModule {
       else
         Scd2.fromLog(batch, "detail_id", "op_ts", chainOrder)
           .localCheckpoint()
-    h.write.mode("overwrite").parquet(histDir)
+    // staged swap, not in-place overwrite: a crash mid-write must leave
+    // a complete history copy on disk ([[StoreDirs.durableOverwrite]])
+    StoreDirs.durableOverwrite(h, histDir)
     Relational.unpersistCheckpoint(h)
   }
 

@@ -86,8 +86,10 @@ object PostingStore {
           .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
           .localCheckpoint()
       else freshD.localCheckpoint()
-    mergedP.write.mode("overwrite").parquet(pDir)
-    mergedD.write.mode("overwrite").parquet(dDir)
+    // staged swap, not in-place overwrite: a crash mid-write must leave
+    // a complete store copy on disk ([[StoreDirs.durableOverwrite]])
+    StoreDirs.durableOverwrite(mergedP, pDir)
+    StoreDirs.durableOverwrite(mergedD, dDir)
     // the checkpoints are consumed by the writes above — release their
     // blocks instead of pinning one store copy per micro-batch
     Relational.unpersistCheckpoint(mergedP)

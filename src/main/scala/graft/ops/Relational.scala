@@ -1553,8 +1553,9 @@ object Relational extends QueryModule {
     * but ranks of tied values are consecutive, so a value v with count c
     * after cumulative count C contributes v·c·(2C + c + 1) to twice the
     * rank-weighted sum — histogram-sized arithmetic, shuffle ∝ distinct
-    * spend values. All moments are exact int64 (cents · rank products;
-    * DECIMAL(38) at scales where n² · cents crosses 2⁶³) and the Gini is
+    * spend values. The rank moment is exact DECIMAL(38,0) — ENFORCED,
+    * since n²·cents crosses 2⁶³ at large SFs where non-ANSI Spark would
+    * wrap silently while DuckDB raises — and the Gini is
     * the one sanctioned IEEE division (2Σi·xᵢ − (n+1)Σx) / (n·Σx). The
     * tied-block contribution is order-invariant, so the statistic is
     * deterministic without any tie-break. */
@@ -1572,12 +1573,18 @@ object Relational extends QueryModule {
       .groupBy(col("c_mktsegment"))
       .agg(sum(col("c")).as("n"),
         sum(col("cents") * col("c")).as("sx"),
-        // Σ cents·c·(2·cprev + c + 1) = 2·Σ rank·value over the sorted rows
-        sum(col("cents") * col("c")
+        // Σ cents·c·(2·cprev + c + 1) = 2·Σ rank·value over the sorted
+        // rows. DECIMAL(38,0) BEFORE the product: n²·cents crosses 2⁶³
+        // at large SFs, where Spark (non-ANSI) would wrap silently while
+        // DuckDB raises — divergent failure modes instead of a clean
+        // gate break. Enforced, not just documented (ADVICE r9).
+        sum(col("cents").cast("decimal(38,0)") * col("c")
           * (lit(2) * col("cprev") + col("c") + 1)).as("six2"))
     m.select(col("c_mktsegment"), col("n"), col("sx"),
-      ((col("six2") - (col("n") + 1) * col("sx")).cast("double")
-        / (col("n") * col("sx")).cast("double")).as("gini"))
+      ((col("six2") - (col("n") + 1) * col("sx").cast("decimal(38,0)"))
+        .cast("double")
+        / (col("n").cast("decimal(38,0)") * col("sx")).cast("double"))
+        .as("gini"))
   }
 
   /** Market-basket pair mining — co-purchased part pairs by support
@@ -2744,11 +2751,12 @@ object Relational extends QueryModule {
         |m AS (
         |  SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS n,
         |    CAST(SUM(cents * c) AS BIGINT) AS sx,
-        |    CAST(SUM(cents * c * (2 * cprev + c + 1)) AS BIGINT) AS six2
+        |    SUM(CAST(cents AS DECIMAL(38,0)) * c * (2 * cprev + c + 1))
+        |      AS six2
         |  FROM r GROUP BY 1)
         |SELECT c_mktsegment, n, sx,
-        |  CAST(six2 - (n + 1) * sx AS DOUBLE)
-        |    / CAST(n * sx AS DOUBLE) AS gini
+        |  CAST(six2 - (n + 1) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE) AS gini
         |FROM m""".stripMargin,
     "q_basket_pairs" ->
       """WITH li AS (

@@ -715,6 +715,15 @@ object TextOps extends QueryModule {
         col("jaccard"))
   }
 
+  /** Verify-stage entry for [[graft.ProfileNgb]] (stage timing only). */
+  private[graft] def verifyJaccardForProfile(cand: DataFrame,
+      byDoc: DataFrame): Long =
+    sharedCounts(cand, byDoc)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .count()
+
   /** Shared verification core: join candidate (d1, d2) pairs to their two
     * shingle sets and count the true intersection in a typed partition
     * loop. Returns (d1, d2, common, n1, n2). */
@@ -1370,7 +1379,7 @@ object TextOps extends QueryModule {
     * self-join on the key, verify by popcount of the XOR ≤ `maxHamming`.
     * Cost ∝ band collisions, never all-pairs; per-band keyspace =
     * 2^bandBits scales with the hash-width dial. */
-  private def bandedDups(sig: DataFrame, hashCol: String, nBands: Int,
+  private[ops] def bandedDups(sig: DataFrame, hashCol: String, nBands: Int,
       bandBits: Int, maxHamming: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
     val bands = sig.select(col("doc_id"), col(hashCol), explode(array(

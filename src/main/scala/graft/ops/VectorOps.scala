@@ -396,8 +396,10 @@ object VectorOps extends QueryModule {
     "q_ivf_multiprobe" -> ivfMultiprobe _,
     "q_ann_pq"         -> annPq _,
     "q_ann_ivfpq"      -> annIvfPq _,
+    "q_ann_ivfpq_mp"   -> annIvfPqMp _,
     "q_ann_pq_recall"  -> annPqRecall _,
     "q_ann_ivfpq_recall" -> annIvfPqRecall _,
+    "q_ann_ivfpq_mp_recall" -> annIvfPqMpRecall _,
     "q_ann_sq"         -> annSq _,
     "q_semdedup"       -> semDedup _,
     "q_cluster_mix"    -> clusterMix _,
@@ -613,6 +615,43 @@ object VectorOps extends QueryModule {
     s"""$dKlist,
        |pick AS (SELECT vec_id AS probe_id, list FROM klist
        |         WHERE vec_id < 8),
+       |cand AS (
+       |  SELECT probe_id, klist.vec_id AS vec_id
+       |  FROM klist JOIN pick USING (list)),
+       |ad AS (
+       |  SELECT cand.probe_id AS probe_id, cand.vec_id AS neighbor_id,
+       |    list_sum(list_transform(
+       |      list_sort(list(struct_pack(m := codes.m, pdist := pdist))),
+       |      s -> s.pdist)) AS adist
+       |  FROM cand
+       |  JOIN codes ON cand.vec_id = codes.vec_id
+       |  JOIN pt ON pt.probe_id = cand.probe_id AND codes.m = pt.m
+       |         AND codes.code = pt.j
+       |  WHERE cand.vec_id <> cand.probe_id
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT probe_id, neighbor_id
+       |  FROM (SELECT probe_id, neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY probe_id
+       |            ORDER BY adist ASC, neighbor_id ASC) AS srank
+       |        FROM ad)
+       |  WHERE srank <= $Shortlist)""".stripMargin
+
+  /** [[dKlist]] + the nprobe=2 pick (each probe's TWO nearest TRAINED
+    * centroids, the [[dIvfPqChain]] ranking at rk ≤ 2) → list-restricted
+    * ADC → top-[[Shortlist]] — shared VERBATIM by `q_ann_ivfpq_mp` and
+    * its recall audit. The ad/shortlist text is identical to
+    * [[dIvfPqChain]]'s; only `pick` widens. */
+  private lazy val dIvfPqMpChain: String =
+    s"""$dKlist,
+       |pick AS (
+       |  SELECT vec_id AS probe_id, j AS list
+       |  FROM (SELECT e.vec_id, j,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${dL2sq("embedding", "cw", 64)} ASC, j ASC) AS rk
+       |        FROM embeddings e CROSS JOIN kcwt
+       |        WHERE e.vec_id < 8)
+       |  WHERE rk <= 2),
        |cand AS (
        |  SELECT probe_id, klist.vec_id AS vec_id
        |  FROM klist JOIN pick USING (list)),
@@ -1123,6 +1162,56 @@ object VectorOps extends QueryModule {
     rerank(shortlist, probes, e)
   }
 
+  /** Multi-probe dial for the TRAINED IVFADC — [[annIvfPq]] at nprobe=2:
+    * each probe scans its TWO nearest trained coarse lists instead of its
+    * stored one (the r9 audit's residual misses are exactly the probes
+    * whose true neighbors sit across a list boundary; widening nprobe is
+    * the standard recall dial, Jégou et al. §V-C — the trained analog of
+    * [[ivfMultiprobe]]). The nearest-list ranking runs over probes ×
+    * [[CoarseK]] rows against the BROADCAST stored centroid table (the
+    * l2sq HOF fold is interpreter-priced but the frame is probe-sized,
+    * never data-sized); rank 1 reproduces the stored ingest assignment by
+    * construction (same metric, same smaller-id tie-break), so nprobe=1
+    * of this query IS [[annIvfPq]]. Lists are disjoint, so the candidate
+    * union needs no dedup; everything downstream (ADC join, shortlist,
+    * re-rank) is shared with [[annIvfPq]] verbatim. Candidate count is
+    * ~2N/[[CoarseK]] — the dial trades a ×2 scan for the boundary recall,
+    * still sublinear in N with CoarseK ≈ √N. */
+  def annIvfPqMp(s: SparkSession, d: String): DataFrame = {
+    val e = embParallel(s, d)
+    val cw = storedCodebook(s, d)
+    val codes = storedCodes(s, d)
+    val lists = storedLists(s, d)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cdist").asc, col("j").asc)
+    val pick = probes.crossJoin(broadcast(storedCoarse(s, d)))
+      .select(col("probe_id"), col("j"),
+        l2sq(col("pvec"), col("cw")).as("cdist"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= 2)
+      .select(col("probe_id"), col("j").as("list"))
+    val cand = lists.join(broadcast(pick), Seq("list"))
+      .select(col("probe_id"), col("vec_id"))
+    val pt = pqDistTable(probes, cw)
+    val ad = adcSum(
+      cand.join(codes, Seq("vec_id"))
+        .join(broadcast(pt), Seq("probe_id", "m"))
+        .filter(col("code") === col("j"))
+        .select(col("probe_id"), col("vec_id"), col("m"), col("pdist")))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val shortlist = topKPerProbe(ad.select(col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        (lit(0.0) - col("adist")).as("sim")), Shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    rerank(shortlist, probes, e)
+  }
+
+  /** See [[annPqRecall]] — the nprobe=2 arm of the same audit. */
+  def annIvfPqMpRecall(s: SparkSession, d: String): DataFrame =
+    recallVsExactL2(s, d, annIvfPqMp(s, d))
+
   /** QUANTIZATION RECALL AUDITS, hash-gated like [[annRecall]]: recall@5
     * of a composed quantization path against the exact squared-L2 top-5
     * over the WHOLE corpus. VectorSpec pins [[annPq]]'s ≥ 0.85 floor
@@ -1417,6 +1506,19 @@ object VectorOps extends QueryModule {
          |           FROM embeddings WHERE vec_id < 8),
          |$dPq,
          |$dIvfPqChain,
+         |$dRerankCtes,
+         |$dRecallTail""".stripMargin,
+    "q_ann_ivfpq_mp" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |$dPq,
+         |$dIvfPqMpChain,
+         |$dRerank""".stripMargin,
+    "q_ann_ivfpq_mp_recall" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |$dPq,
+         |$dIvfPqMpChain,
          |$dRerankCtes,
          |$dRecallTail""".stripMargin,
     "q_cluster_mix" ->

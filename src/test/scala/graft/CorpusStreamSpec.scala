@@ -62,28 +62,51 @@ class CorpusStreamSpec extends AnyFunSuite {
 
     val store = java.nio.file.Files.createTempDirectory("corpusinc").toString
     val in = MemoryStream[CorpusDoc]
+    var lastId = -1L
     val q = in.toDS().toDF().writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        CorpusStore.refreshBatch(spark, store, batch)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // crash-mid-fold simulation (the ADVICE scenario): before the
+        // LAST batch folds, fake a prior crashed attempt of the SAME
+        // batch id — a partial, uncommitted dedup dir (stale bytes copied
+        // from an earlier fold). The transactional protocol must (a) not
+        // read it as state and (b) overwrite it cleanly on this "replay".
+        if (id == 4) {
+          val crashed = new java.io.File(s"$store/dedup/batch=$id")
+          crashed.mkdirs()
+          val donor = new java.io.File(s"$store/dedup/batch=0")
+          donor.listFiles().foreach { f =>
+            java.nio.file.Files.copy(f.toPath,
+              new java.io.File(crashed, f.getName).toPath): Unit
+          }
+        }
+        lastId = id
+        CorpusStore.refreshBatch(spark, store, id, batch)
+        // committed-fold replay is a no-op (foreachBatch retry of the
+        // same id): state must be byte-stable across the second call
+        val before = CorpusStore.state(spark, store, "surv").count()
+        CorpusStore.refreshBatch(spark, store, id, batch)
+        assert(CorpusStore.state(spark, store, "surv").count() === before)
+        ()
       }
       .start()
     slices.foreach { chunk => in.addData(chunk); q.processAllAvailable() }
     q.stop()
+    assert(lastId === 4L) // the crash simulation actually ran
 
     def sorted(df: DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
-    val maintained = sorted(spark.read.parquet(s"$store/surv"))
+    val maintained = sorted(CorpusStore.state(spark, store, "surv"))
     val rebuilt = sorted(TextOps.filteredCorpusOf(spark, aug))
     assert(maintained === rebuilt,
       "incremental survivor manifest diverged from the one-shot rebuild")
 
-    val dedupIds = spark.read.parquet(s"$store/dedup")
+    val dedupIds = CorpusStore.state(spark, store, "dedup")
       .select("doc_id").as[Long].collect().toSet
-    val survIds = spark.read.parquet(s"$store/surv")
+    val survIds = CorpusStore.state(spark, store, "surv")
       .select("doc_id").as[Long].collect().toSet
     // replay idempotence: the index holds each doc at most once
     assert(dedupIds.size ===
-      spark.read.parquet(s"$store/dedup").count().toInt)
+      CorpusStore.state(spark, store, "dedup").count().toInt)
     // cross-batch exact dedup live: every %40 plant (byte-copy of an
     // earlier-batch original) died at the fp anti-join — none reached
     // the dedup index, none survived

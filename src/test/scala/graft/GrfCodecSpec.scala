@@ -34,6 +34,25 @@ class GrfCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { GrfCodec.decode(wrongMagic) }
   }
 
+  test("perceptual near-dup liveness: every planted near-copy pairs with " +
+      "its original at hamming <= 1") {
+    // plants overwrite ONE decoded pixel — a <= 1-bit dHash perturbation,
+    // so the banded join is GUARANTEED to surface every plant; a silent
+    // zero here would mean the operator never fires on real data
+    val pairs = MultimodalOps.mmNearDup(spark, TestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = MultimodalOps.mediaTable(spark, TestSession.sf)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(expected.nonEmpty)
+    expected.foreach { id =>
+      val po = 1L << 62 // TextOps.PlantOffset (private[ops])
+      val hit = pairs.find(p => p._1 === id && p._2 === id + po)
+      assert(hit.nonEmpty, s"plant for doc $id not surfaced")
+      assert(hit.get._3 <= 1, s"plant for doc $id at hamming ${hit.get._3}")
+    }
+  }
+
   test("the dims the decoder parses from payload headers equal the " +
       "metadata columns on every generated row") {
     // the decode query re-derives width/height from bytes alone; the

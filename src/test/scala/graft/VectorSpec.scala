@@ -120,6 +120,18 @@ class VectorSpec extends AnyFunSuite {
     val ivfpqRecall = (ivfpqPairs & truth).size.toDouble / truth.size
     assert(ivfpqRecall >= 0.5,
       s"IVFADC recall@5 = $ivfpqRecall — trained coarse quantizer dead?")
+    // nprobe=2 widens the boundary recall (measured 0.925 vs 0.875 at
+    // sf0.001): the 0.8 floor is the operating point the multi-probe
+    // dial exists to guarantee — and it must never fall below the
+    // single-list path (its rank-1 list IS the stored assignment, so the
+    // candidate set only grows)
+    val mp = ops.VectorOps.annIvfPqMp(spark, TestSession.sf).collect()
+    val mpPairs = mp.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mpRecall = (mpPairs & truth).size.toDouble / truth.size
+    assert(mpRecall >= 0.8,
+      s"IVFADC nprobe=2 recall@5 = $mpRecall — multi-probe dial broken?")
+    assert(mpRecall >= ivfpqRecall,
+      s"nprobe=2 recall $mpRecall below nprobe=1 $ivfpqRecall")
   }
 
   test("two-level topKPerProbe equals the single global window, " +
