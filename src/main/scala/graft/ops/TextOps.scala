@@ -715,6 +715,111 @@ object TextOps extends QueryModule {
         col("jaccard"))
   }
 
+  /** [[ngramJaccardBlocked]] with the pipeline run on fp60-HASHED
+    * shingles — the constant-factor lever the round-10 stage profile
+    * (PLANS.md, `graft.ProfileNgb`) identified: VERIFY dominates the
+    * blocked query (4.9 s of 8.4 staged at sf0.1) because every candidate
+    * row ships both docs' full shingle-STRING arrays (~20 B each) through
+    * the verify join's exchange. Here each distinct 3-shingle maps to the
+    * 60-bit md5 device (`fp60`) at roll time — the [[containmentPairsOf]]
+    * discipline — so every downstream join, array, and exchange carries
+    * 8-byte longs: prefix build, candidate join, and the dominant verify
+    * exchange all shrink ~3×. Registered with its OWN oracle that hashes
+    * identically in DuckDB, so both engines operate on the same hashed
+    * universe by construction and the gate stays exact even in the
+    * astronomically-unlikely collision case (a collision merges the same
+    * two shingles on both sides). DedupPropertySpec-style parity: the
+    * TextSpec bit-parity test asserts the hashed pair set equals
+    * [[ngramJaccardBlocked]]'s on the live corpus. */
+  def ngramJaccardHashed(s: SparkSession, d: String): DataFrame =
+    ngramJaccardHashedOf(docsParallel(s, d))
+
+  /** fp60 twin of [[shingleSetsOf]]: one typed pass rolling each doc to
+    * its distinct 3-shingle set, each shingle hashed to 60 bits (first
+    * 15 md5 hex chars — bit-identical to DuckDB's
+    * `('0x'||substr(md5(sh),1,15))::BIGINT`). */
+  private[graft] def hashedShingleSetsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var i = 0
+          while (i + 2 < toks.length) {
+            md.reset()
+            val b = md.digest(
+              (toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+                .getBytes("UTF-8"))
+            var h = 0L
+            var j = 0
+            while (j < 8) { h = (h << 8) | (b(j) & 0xffL); j += 1 }
+            seen += (h >>> 4)
+            i += 1
+          }
+          (id, seen.toArray)
+        }
+      }.toDF("doc_id", "shs")
+      .withColumn("n", size(col("shs")).cast("long"))
+      .localCheckpoint()
+  }
+
+  private[graft] def ngramJaccardHashedOf(docs: DataFrame): DataFrame = {
+    val byDoc = hashedShingleSetsOf(docs)
+    val sh = byDoc.select(col("doc_id"), col("n"),
+      explode(col("shs")).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // identical prefix-filter mechanics to [[ngramJaccardBlockedOf]] —
+    // the canonical order is (df, hashed-shingle), a total order both
+    // engines share since both hash with the same md5 device
+    val prefix = sh.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("arr"),
+        max(col("n")).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("arr"), lit(1),
+          (col("n") - floor((col("n") * 3 + lit(4)) / lit(5)) + 1)
+            .cast("int"))).as("p"))
+      .select(col("doc_id"), col("p.sh").as("sh"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    sharedCountsLong(cand, byDoc)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
+        col("jaccard"))
+  }
+
+  /** [[sharedCounts]] over hashed (Array[Long]) shingle sets — the typed
+    * intersection loop on primitive longs, no string hashing or equality
+    * in the hot path. */
+  private def sharedCountsLong(cand: DataFrame, byDoc: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand
+      .join(byDoc.select(col("doc_id").as("d1"), col("shs").as("s1"),
+        col("n").as("n1")), "d1")
+      .join(byDoc.select(col("doc_id").as("d2"), col("shs").as("s2"),
+        col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("s1"), col("n1"), col("s2"), col("n2"))
+      .as[(Long, Long, Array[Long], Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        it.map { case (d1, d2, s1, n1, s2, n2) =>
+          val set = new java.util.HashSet[Long](s2.length * 2)
+          s2.foreach(x => set.add(x): Unit)
+          var common = 0L
+          s1.foreach(x => if (set.contains(x)) common += 1)
+          (d1, d2, common, n1, n2)
+        }
+      }.toDF("d1", "d2", "common", "n1", "n2")
+  }
+
   /** Verify-stage entry for [[graft.ProfileNgb]] (stage timing only). */
   private[graft] def verifyJaccardForProfile(cand: DataFrame,
       byDoc: DataFrame): Long =
@@ -1412,8 +1517,81 @@ object TextOps extends QueryModule {
     * Pick band width ≈ log2(corpus / target-bucket-size) so the expected
     * bucket stays O(1) and the within-bucket pairing never goes quadratic. */
   def simhashDups(s: SparkSession, d: String): DataFrame =
-    bandedDups(simhashDocs(s, d), "simhash32",
-      nBands = 2, bandBits = 16, maxHamming = 2)
+    simhashDupsOf(s, docsParallel(s, d))
+
+  /** [[simhashDups]] over an explicit docs frame — the same band geometry,
+    * reused by [[splitLeakage]] to pair-scan its plant-augmented corpus. */
+  private[graft] def simhashDupsOf(s: SparkSession, docs: DataFrame): DataFrame =
+    bandedDups(simhashOf(s, docs, bits = 32, colName = "simhash32"),
+      "simhash32", nBands = 2, bandBits = 16, maxHamming = 2)
+
+  /** Near-dup-AWARE train/val/test split with a gated LEAKAGE audit — the
+    * dup-class upgrade of [[stratifiedSample]]. A per-doc hash split (the
+    * standard device, and exactly what [[stratifiedSample]] computes) puts
+    * the two halves of a near-duplicate pair in different splits with
+    * probability ≈ 2·p·(1−p): eval contamination by construction, invisible
+    * until someone measures it. The fix is to split at the DUP-FAMILY
+    * grain: connected components over the near-dup pair graph
+    * ([[simhashDupsOf]] → [[connectedComponents]], the `q_neardup_components`
+    * machinery), every doc inheriting its component's split via the same
+    * md5-percent device — whole families move together, so cross-split
+    * leakage is structurally zero.
+    *
+    * The output carries BOTH numbers as gated columns: `leaked_pairs`
+    * (component-grain; the oracle independently recomputes components and
+    * the hash gate pins it to the true 0) and `naive_leaked_pairs` (what
+    * the per-doc split WOULD have leaked on the same pair graph — provably
+    * positive on the plant families). Liveness: the synthetic corpus is
+    * dup-free (CLAUDE.md), so every %30 doc is re-issued byte-identical at
+    * +[[PlantOffset]] — identical text ⇒ identical simhash ⇒ a guaranteed
+    * hamming-0 pair per plant; DedupPlantSpec asserts naive > 0 = leaked.
+    *
+    * Scale: the pair graph and its component labels are collision-sized
+    * (≈ dup families), so BOTH leak counters aggregate a tiny frame, the
+    * label table broadcasts into the corpus-sized split assignment, and
+    * the final rollup is a 3-key agg. Nothing corpus-sized shuffles except
+    * the one simhash band join the pair scan already costs. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val aug = base.unionAll(
+        Tables.documents(s, d).filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"),
+            col("n_chars")))
+      .repartition(s.sparkContext.defaultParallelism)
+    val pairs = simhashDupsOf(s, aug).select(col("d1"), col("d2"))
+      .localCheckpoint()
+    // (id, comp) for every node of the pair graph — collision-sized
+    val labels = connectedComponents(pairs)
+    def pct(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    def splitOf(h: Column): Column =
+      when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    // leak counters live entirely on the label-sized frame
+    val labSplits = labels.select(col("id"),
+      splitOf(pct(col("comp"))).as("sp"), splitOf(pct(col("id"))).as("ns"))
+    val leaks = pairs
+      .join(labSplits.select(col("id").as("d1"), col("sp").as("sp1"),
+        col("ns").as("ns1")), "d1")
+      .join(labSplits.select(col("id").as("d2"), col("sp").as("sp2"),
+        col("ns").as("ns2")), "d2")
+      .agg(
+        coalesce(sum(when(col("sp1") =!= col("sp2"), 1L).otherwise(0L)),
+          lit(0L)).as("leaked_pairs"),
+        coalesce(sum(when(col("ns1") =!= col("ns2"), 1L).otherwise(0L)),
+          lit(0L)).as("naive_leaked_pairs"))
+    aug
+      .join(broadcast(labels.withColumnRenamed("id", "doc_id")),
+        Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split", splitOf(pct(col("comp"))))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("comp")).as("n_families"),
+        sum(col("n_chars")).as("total_chars"))
+      .crossJoin(leaks)
+  }
 
   /** Deterministic stratified train/val/test split — the corpus-assembly
     * primitive every training run needs: assignment is a pure function of
@@ -2273,6 +2451,8 @@ object TextOps extends QueryModule {
     "q_delta_neardup"      -> deltaNearDup _,
     "q_ngram_jaccard"      -> ngramJaccardPairs _,
     "q_ngram_jaccard_blocked" -> ngramJaccardBlocked _,
+    "q_ngram_jaccard_hashed" -> ngramJaccardHashed _,
+    "q_split_leakage"      -> splitLeakage _,
     "q_heavy_hitters"      -> heavyHitters _,
     "q_minhash_sig"        -> minhashSignatures _,
     "q_minhash_lsh_pairs"  -> minhashLshPairs _,
@@ -2771,6 +2951,81 @@ object TextOps extends QueryModule {
          |           THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
          |FROM inc GROUP BY source""".stripMargin,
     "q_ngram_jaccard"         -> ngramJaccardSql,
+    // OWN oracle, hashing identically: both engines roll distinct
+    // 3-shingles to the fp60 device before any pair logic, so the gate
+    // compares the same hashed universe (collision-proof by construction)
+    "q_ngram_jaccard_hashed" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    ('0x'||substr(md5(sh0),1,15))::BIGINT AS sh
+         |  FROM (SELECT doc_id, UNNEST($dShingles3) AS sh0
+         |        FROM (SELECT doc_id, $dToks AS t FROM documents))),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, common, sa.n AS n1, sb.n AS n2,
+         |  CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
+         |FROM pairs JOIN sizes sa ON d1 = sa.doc_id
+         |JOIN sizes sb ON d2 = sb.doc_id
+         |WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) >= 0.6"""
+        .stripMargin,
+    // recomputes components over the plant-augmented pair graph from
+    // scratch (the q_neardup_components reachability device), splits at
+    // BOTH grains, and pins leaked_pairs to the true 0 while
+    // naive_leaked_pairs counts the per-doc split's crossings — the
+    // number the component grain exists to kill
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE
+         |aug AS (SELECT doc_id, text, n_chars FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + $PlantOffset, text, n_chars
+         |        FROM documents WHERE doc_id % 30 = 0),
+         |s AS (SELECT doc_id, $simhashExpr AS sh
+         |      FROM (SELECT doc_id, $dToks AS t FROM aug)),
+         |b AS (SELECT doc_id, sh, 0 AS band, sh & 65535 AS bval FROM s
+         |      UNION ALL
+         |      SELECT doc_id, sh, 1 AS band, sh >> 16 AS bval FROM s),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM b x JOIN b y
+         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.sh, y.sh)) <= 2),
+         |e AS (SELECT d1, d2 FROM cand UNION SELECT d2, d1 FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT d1, d1 FROM e
+         |  UNION
+         |  SELECT r.src, e.d2 FROM reach r JOIN e ON r.dst = e.d1),
+         |lab AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src),
+         |alldocs AS (
+         |  SELECT a.doc_id, COALESCE(l.comp, a.doc_id) AS comp, a.n_chars
+         |  FROM aug a LEFT JOIN lab l ON a.doc_id = l.id),
+         |sp AS (
+         |  SELECT doc_id, comp, n_chars,
+         |    CASE WHEN ('0x'||substr(md5(CAST(comp AS VARCHAR)),1,8))::BIGINT
+         |           % 100 < 90 THEN 'train'
+         |         WHEN ('0x'||substr(md5(CAST(comp AS VARCHAR)),1,8))::BIGINT
+         |           % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+         |    CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+         |           % 100 < 90 THEN 'train'
+         |         WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+         |           % 100 < 95 THEN 'val' ELSE 'test' END AS naive_split
+         |  FROM alldocs),
+         |leaks AS (
+         |  SELECT
+         |    CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_pairs,
+         |    CAST(COALESCE(SUM(CASE WHEN sa.naive_split <> sb.naive_split
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leaked_pairs
+         |  FROM cand JOIN sp sa ON cand.d1 = sa.doc_id
+         |  JOIN sp sb ON cand.d2 = sb.doc_id)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT comp) AS n_families,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  leaked_pairs, naive_leaked_pairs
+         |FROM sp CROSS JOIN leaks
+         |GROUP BY 1, 5, 6""".stripMargin,
     // the blocked rewrite shares the oracle VERBATIM: hash match ⟹ the
     // prefix+size filters changed nothing but the work done
     "q_ngram_jaccard_blocked" -> ngramJaccardSql,

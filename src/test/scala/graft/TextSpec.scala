@@ -441,4 +441,34 @@ class TextSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") < po1 && col("n_dropped") > 0).count() > 0,
       "degenerate: no base-side segment collisions — base leg untested")
   }
+
+  test("fp60-hashed blocked jaccard is bit-parity with the string-verify " +
+      "blocked form on the live corpus") {
+    // the hashed pipeline only changes the shingle REPRESENTATION; pair
+    // set, counts, and jaccard values must all survive the hashing
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val blocked = key(TextOps.queries("q_ngram_jaccard_blocked")(spark, dir))
+    val hashed = key(TextOps.queries("q_ngram_jaccard_hashed")(spark, dir))
+    assert(hashed === blocked)
+  }
+
+  test("split leakage: component-grain split leaks zero pairs while the " +
+      "per-doc split provably leaks on the plant families") {
+    val rows = TextOps.queries("q_split_leakage")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val leaked = rows.head.getAs[Long]("leaked_pairs")
+    val naive = rows.head.getAs[Long]("naive_leaked_pairs")
+    assert(leaked === 0L,
+      s"component-grain split leaked $leaked near-dup pairs across splits")
+    assert(naive > 0L,
+      "degenerate: the per-doc split leaked nothing — plants dead or " +
+        "pair graph empty, the audit proves nothing")
+    // the splits partition the plant-augmented corpus exactly
+    val docs = Tables.documents(spark, TestSession.sf).count()
+    val plants = Tables.documents(spark, TestSession.sf)
+      .filter(col("doc_id") % 30 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs + plants)
+  }
 }
