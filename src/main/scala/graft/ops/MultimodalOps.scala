@@ -305,8 +305,73 @@ object MultimodalOps extends QueryModule {
       nBands = 4, bandBits = 15, maxHamming = 6)
   }
 
+  /** "Silent" sample threshold for [[mmSilence]]: on the GRF1 pixel
+    * plane (utf8 bytes, measured range 32..116) anything below 'e'
+    * (101) plays the role a real audio gate gives low-amplitude
+    * samples — low enough that runs are nontrivial, high enough they
+    * exist. A real pipeline tunes this against its own amplitude
+    * distribution; the RLE mechanism is what's gated. */
+  val SilenceThreshold = 101
+  /** Minimum run length counted as a trim-able silence segment. */
+  val SilenceMinRun = 3
+
+  /** Silence/run-length profile — the AUDIO-pipeline analysis shape
+    * (silence trimming, voice-activity segmentation) over the decoded
+    * sample stream: per payload, the count of "silent" samples (below
+    * [[SilenceThreshold]]), the number of maximal silent RUNS of length
+    * ≥ [[SilenceMinRun]] (the segments a trimmer would cut), the longest
+    * run, and the silent share (one IEEE division). The per-doc walk is
+    * a single typed pass over the decoded bytes — the
+    * [[mmDecodeFeatures]] batch shape, hot loop in mapPartitions per the
+    * module's codegen-fallback discipline; the DuckDB oracle re-derives
+    * the identical runs declaratively (gaps-and-islands over the hex
+    * stream), so the imperative RLE is hash-proven against the
+    * relational formulation. Payload bytes never shuffle; only the
+    * 6-column profile row leaves the map stage. */
+  def mmSilence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val px = GrfCodec.decode(bytes).pixels
+          var nSilent = 0L; var nRuns = 0L; var longest = 0L; var cur = 0L
+          var i = 0
+          while (i < px.length) {
+            if ((px(i) & 0xff) < SilenceThreshold) {
+              cur += 1; nSilent += 1
+              if (cur == SilenceMinRun) nRuns += 1
+              if (cur > longest) longest = cur
+            } else cur = 0
+            i += 1
+          }
+          (id, px.length.toLong, nSilent, nRuns, longest)
+        }
+      }.toDF("doc_id", "n_samples", "n_silent", "n_runs", "longest_run")
+      .withColumn("silent_share",
+        when(col("n_samples") === 0, lit(null).cast("double"))
+          .otherwise(col("n_silent").cast("double")
+            / col("n_samples").cast("double")))
+  }
+
+  /** Perceptual near-dup FAMILIES — [[mmNearDup]]'s pair graph folded to
+    * connected components (the modality-agnostic
+    * [[TextOps.connectedComponents]] O(log diameter) loop, third member
+    * after the text and embedding CC queries): re-encoded copies of one
+    * image chain through intermediates, and dedup keeps one per FAMILY,
+    * not one per pair. Components are collision-sized (≈ dup families),
+    * so everything after the banded pair join is tiny. */
+  def mmNearDupComponents(s: SparkSession, d: String): DataFrame =
+    TextOps.connectedComponents(
+        mmNearDup(s, d).select(col("d1"), col("d2")))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_items"), max(col("id")).as("max_doc"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_neardup"  -> mmNearDup _,
+    "q_mm_neardup_components" -> mmNearDupComponents _,
+    "q_mm_silence"  -> mmSilence _,
     "q_mm_scenecut" -> mmSceneCut _,
     "q_mm_histogram" -> mmHistogram _,
     "q_mm_resize"   -> mmResize _,
@@ -320,39 +385,92 @@ object MultimodalOps extends QueryModule {
   // the doc_id formula — so DuckDB mirrors the DECODED view directly (it
   // never re-parses the container; Spark does, and the hash gate compares
   // the two derivations cell-for-cell).
+
+  /** dHash + band-join CTE chain (plant-augmented corpus → 60-bit dHash →
+    * 4×15-bit band candidates), shared VERBATIM by `q_mm_neardup` and
+    * `q_mm_neardup_components` so the signature definition can never
+    * drift between the pair query and its clustering. */
+  private val mmNearDupCtes: String =
+    s"""base AS (SELECT doc_id, hex(encode(text)) AS hx
+       |              FROM documents),
+       |aug AS (
+       |  SELECT doc_id, hx FROM base
+       |  UNION ALL
+       |  SELECT doc_id + ${TextOps.PlantOffset}, '7E' || substring(hx, 3)
+       |  FROM base WHERE doc_id % 25 = 0),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(hx) >= 4 THEN
+       |      CAST(list_sum(list_transform(range(0, 60), i ->
+       |        CASE WHEN
+       |          ('0x'||substring(hx,
+       |             2*((i*(length(hx)//2 - 1))//60)+1, 2))::BIGINT >
+       |          ('0x'||substring(hx,
+       |             2*(((i+1)*(length(hx)//2 - 1))//60)+1, 2))::BIGINT
+       |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
+       |    ELSE 0 END AS dhash60
+       |  FROM aug),
+       |b AS (SELECT doc_id, dhash60,
+       |        (dhash60 >> (15*band)) & 32767 AS bval, band
+       |      FROM sig CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       |    CAST(bit_count(xor(x.dhash60, y.dhash60)) AS INT) AS hamming
+       |  FROM b x JOIN b y
+       |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     // byte-level mirror: the pixel plane IS encode(text), so the plant's
     // first-pixel overwrite is '7E' spliced into the hex stream (never a
     // character edit — multibyte chars would diverge from Spark's byte op)
     "q_mm_neardup" ->
-      s"""WITH base AS (SELECT doc_id, hex(encode(text)) AS hx
-        |              FROM documents),
-        |aug AS (
-        |  SELECT doc_id, hx FROM base
-        |  UNION ALL
-        |  SELECT doc_id + ${TextOps.PlantOffset}, '7E' || substring(hx, 3)
-        |  FROM base WHERE doc_id % 25 = 0),
-        |sig AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(hx) >= 4 THEN
-        |      CAST(list_sum(list_transform(range(0, 60), i ->
-        |        CASE WHEN
-        |          ('0x'||substring(hx,
-        |             2*((i*(length(hx)//2 - 1))//60)+1, 2))::BIGINT >
-        |          ('0x'||substring(hx,
-        |             2*(((i+1)*(length(hx)//2 - 1))//60)+1, 2))::BIGINT
-        |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
-        |    ELSE 0 END AS dhash60
-        |  FROM aug),
-        |b AS (SELECT doc_id, dhash60,
-        |        (dhash60 >> (15*band)) & 32767 AS bval, band
-        |      FROM sig CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-        |    CAST(bit_count(xor(x.dhash60, y.dhash60)) AS INT) AS hamming
-        |  FROM b x JOIN b y
-        |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+      s"""WITH $mmNearDupCtes
         |SELECT d1, d2, hamming FROM cand WHERE hamming <= 6""".stripMargin,
+    // shares the dHash/band CTEs VERBATIM with q_mm_neardup; the CC tail
+    // is the q_neardup_components reachability device (UNION arms are
+    // disjoint by d1 < d2, so the WITH RECURSIVE union trap cannot bite)
+    "q_mm_neardup_components" ->
+      s"""WITH RECURSIVE $mmNearDupCtes,
+        |p AS (SELECT d1, d2 FROM cand WHERE hamming <= 6),
+        |e AS (SELECT d1, d2 FROM p UNION SELECT d2, d1 FROM p),
+        |reach(src, dst) AS (
+        |  SELECT d1, d1 FROM e
+        |  UNION
+        |  SELECT r.src, e.d2 FROM reach r JOIN e ON r.dst = e.d1),
+        |lab AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
+        |SELECT comp, COUNT(*) AS n_items, MAX(id) AS max_doc
+        |FROM lab GROUP BY comp""".stripMargin,
+    // gaps-and-islands over the hex byte stream — the declarative twin of
+    // the typed RLE walk; run groups key on i − row_number() among the
+    // silent positions (the classic island id, deterministic per doc)
+    "q_mm_silence" ->
+      s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS n FROM documents),
+        |px AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+        |         CASE WHEN ('0x'||substring(hx, 2*CAST(i AS INT)+1, 2))
+        |                ::BIGINT < $SilenceThreshold
+        |              THEN 1 ELSE 0 END AS s
+        |       FROM m, UNNEST(range(n)) AS t(i)),
+        |sil AS (SELECT doc_id, i,
+        |          i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+        |            AS grp
+        |        FROM px WHERE s = 1),
+        |runs AS (SELECT doc_id, grp, COUNT(*) AS len
+        |         FROM sil GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id,
+        |          CAST(SUM(len) AS BIGINT) AS n_silent,
+        |          CAST(COUNT(CASE WHEN len >= $SilenceMinRun THEN 1 END)
+        |            AS BIGINT) AS n_runs,
+        |          CAST(MAX(len) AS BIGINT) AS longest_run
+        |        FROM runs GROUP BY doc_id)
+        |SELECT m.doc_id AS doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  COALESCE(n_silent, 0) AS n_silent,
+        |  COALESCE(n_runs, 0) AS n_runs,
+        |  COALESCE(longest_run, 0) AS longest_run,
+        |  CASE WHEN n = 0 THEN NULL
+        |       ELSE CAST(COALESCE(n_silent, 0) AS DOUBLE) / n
+        |  END AS silent_share
+        |FROM m LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_mm_scenecut" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
         |             octet_length(encode(text)) // 256 AS n_full

@@ -1526,6 +1526,58 @@ object Relational extends QueryModule {
           .as("stickiness"))
   }
 
+  /** Multi-touch revenue ATTRIBUTION — the marketing-warehouse staple:
+    * each purchase event's value is credited to the channel that
+    * "caused" it under two standard models, first-touch (the user's
+    * earliest preceding non-purchase event type) and last-touch (the
+    * latest one strictly before the purchase); purchases with no
+    * preceding touch credit 'direct'. Both touches come from ONE pass
+    * over the per-user ordered stream: `first/last(touch, ignoreNulls)`
+    * over the user window with a rows-frame ending at -1 (strictly
+    * before — a purchase never attributes to itself), ordering pinned on
+    * (epoch-micros, event_id) so ties are deterministic in both engines
+    * (the ASC-NULLS trap never fires: neither key is nullable). Revenue
+    * is exact cents (the module's round(value·100) device) and each
+    * share is the one sanctioned IEEE division against its model's
+    * 1-row total.
+    *
+    * Scale: the window pass is the module's standard per-user frame —
+    * partition-parallel, state bounded by each user's own history (at
+    * 100 TB with unbounded histories the frame would take a watermark /
+    * lookback bound, the [[sessionize]] note); the rollup is
+    * models × channels-sized, and the share window partitions BY MODEL
+    * over that tiny frame (never a no-partition global window). */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("t"), col("event_id"),
+      col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val purchases = e
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("first_touch"), lit("direct")).as("first_ch"),
+        coalesce(col("last_touch"), lit("direct")).as("last_ch"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L))
+          .as("cents"))
+      .localCheckpoint() // consumed by both model rollups
+    def roll(model: String, ch: Column): DataFrame = purchases
+      .groupBy(ch.as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .select(lit(model).as("model"), col("channel"),
+        col("n_purchases"), col("revenue_cents"))
+    val wm = Window.partitionBy(col("model"))
+    roll("first", col("first_ch")).unionAll(roll("last", col("last_ch")))
+      .withColumn("revenue_share",
+        col("revenue_cents").cast("double")
+          / sum(col("revenue_cents")).over(wm).cast("double"))
+  }
+
   /** MODE per group — the most frequent order priority of each market
     * segment (the categorical "typical value" surface, `MODE()` in
     * warehouse SQL). Two-level: count per (segment, priority) — one
@@ -2246,6 +2298,7 @@ object Relational extends QueryModule {
     "q_seasonality_index" -> seasonalityIndex _,
     "q_supplier_hhi"      -> supplierHhi _,
     "q_stickiness"        -> stickiness _,
+    "q_attribution"       -> attribution _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
     "q_skew_profile"      -> skewProfile _,
@@ -2905,6 +2958,36 @@ object Relational extends QueryModule {
         |SELECT day, dau, wau,
         |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau ON day = wday""".stripMargin,
+    // ordering pinned on (epoch-micros, event_id) in BOTH engines; the
+    // -1-preceding frame keeps a purchase from attributing to itself
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type, value
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |    COALESCE(first_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER w, 'direct')
+        |      AS first_ch,
+        |    COALESCE(last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER w, 'direct')
+        |      AS last_ch,
+        |    COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS cents
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |r AS (
+        |  SELECT 'first' AS model, first_ch AS channel,
+        |    COUNT(*) AS n_purchases, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |  FROM p WHERE event_type = 'purchase' GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'last', last_ch, COUNT(*), CAST(SUM(cents) AS BIGINT)
+        |  FROM p WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT model, channel, n_purchases, revenue_cents,
+        |  CAST(revenue_cents AS DOUBLE)
+        |    / CAST(SUM(revenue_cents) OVER (PARTITION BY model) AS DOUBLE)
+        |    AS revenue_share
+        |FROM r""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.buy_s, p.buy_s - v.view_s AS gap_s
         |FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS buy_s

@@ -351,6 +351,88 @@ object TextOps extends QueryModule {
         length(col("text_out")).cast("long").as("chars_out"))
   }
 
+  /** NEAR-duplicate passage detection — the fuzzy sibling of
+    * [[segmentDedup]] (MassiveText/RefinedWeb-class boilerplate
+    * removal): exact segment dedup misses the cookie banner whose date
+    * or session id differs per page; this pairs 16-token segments whose
+    * 32-bit SimHashes sit within hamming ≤ 2 (2×16-bit bands — the
+    * `q_simhash_dups` geometry applied at PASSAGE grain, the third
+    * grain of the near-dup dial after docs and spans). Segments are
+    * keyed by the COMPOSITE (doc_id, seg_id) — never packed into one
+    * long, since planted ids live at 2⁶² and any arithmetic packing
+    * would overflow; the band self-join orders pairs lexicographically
+    * on the composite. Intra-doc pairs are kept (they are the
+    * [[repetitionRatio]] signal at segment grain). Liveness rides the
+    * shared [[plantedAug]] builders: a partial plant's first segment is
+    * byte-identical to its host's ⇒ a guaranteed hamming-0 pair; full
+    * copies pair on every segment.
+    *
+    * Scale: text shuffles once, segment-sliced, to the hash pass (the
+    * [[segmentDedup]] plan); after that only (doc, seg, sh) triples
+    * move, and the self-join cost is band collisions — never segment
+    * all-pairs — with the per-band keyspace widening on the hash-width
+    * dial exactly as [[simhashDups]] documents. */
+  def segmentNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = docsParallel(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val segs = plantedAug(src)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("nseg",
+        expr(s"(size(toks) + ${SegW - 1}) div $SegW").cast("int"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, nseg - 1), g -> concat_ws(' ', slice(toks, g * $SegW + 1, $SegW)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_id"),
+        col("col").as("seg_text"))
+    // the [[simhashOf]] loop at (doc_id, seg_id) grain — bit-identical
+    // votes (seed "0|", first-4-md5-bytes token hash, >= 0 majority)
+    val sh = segs.as[(Long, Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, seg, text) =>
+          val toks = text.split(" ", -1)
+          val votes = new Array[Int](32)
+          var i = 0
+          while (i < toks.length) {
+            md.reset()
+            val dg = md.digest(("0|" + toks(i)).getBytes("UTF-8"))
+            var h = 0L
+            var k = 0
+            while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+            h = h >>> 32
+            var b = 0
+            while (b < 32) {
+              if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+            i += 1
+          }
+          var v = 0L
+          var b = 0
+          while (b < 32) { if (votes(b) >= 0) v |= (1L << b); b += 1 }
+          (id, seg, v)
+        }
+      }.toDF("doc_id", "seg_id", "sh")
+    val bands = sh.select(col("doc_id"), col("seg_id"), col("sh"),
+      explode(array(
+        struct(lit(0).as("band"),
+          col("sh").bitwiseAND(lit(65535L)).as("bval")),
+        struct(lit(1).as("band"),
+          shiftright(col("sh"), 16).as("bval")))).as("bk"))
+      .select(col("doc_id"), col("seg_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
+          && (col("x.doc_id") < col("y.doc_id")
+            || (col("x.doc_id") === col("y.doc_id")
+              && col("x.seg_id") < col("y.seg_id"))))
+      .select(col("x.doc_id").as("d1"), col("x.seg_id").as("s1"),
+        col("y.doc_id").as("d2"), col("y.seg_id").as("s2"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 2)
+  }
+
   /** Overlapping-SPAN exact dedup with removal — the Lee et al. (ACL'22)
     * substring-dedup class, completing the removal family at its finest
     * granularity: [[dedupKeepFirst]] removes whole docs, [[segmentDedup]]
@@ -1425,6 +1507,88 @@ object TextOps extends QueryModule {
           .as("coverage"))
   }
 
+  /** DSIR-class IMPORTANCE RESAMPLING (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") without the
+    * log-likelihood surface the bit-exact gate bans: every document is
+    * scored by how much its hashed-bigram feature mass looks like a
+    * CURATED target slice (src0–src4, the [[bigramCoverage]] reference)
+    * versus the raw corpus, and kept with probability ∝ that importance
+    * ratio. DSIR's per-doc weight is Π_g p(g)/q(g) — a log-sum in
+    * practice, transcendental, gate-unsafe — so this uses the pooled
+    * rational form: num = Σ_g target_count(bucket(g)),
+    * den = Σ_g raw_count(bucket(g)), importance ∝ (num·R)/(den·T) with
+    * T/R the feature-mass totals. The keep decision is the RNG-free
+    * md5-permille device CROSS-MULTIPLIED so it is pure integer
+    * arithmetic in both engines: keep ⇔ pct·den·T < 1000·num·R, all
+    * factors DECIMAL(38,0) (per-doc moments cross 2⁶³ at web scale — the
+    * [[Relational.giniSegment]] enforcement discipline); min(1,·) is
+    * implicit (pct < 1000). Features are 256 md5-bucketed DISTINCT
+    * per-doc bigrams — the hashed-n-gram feature space the paper uses.
+    *
+    * Scale: two typed gram passes (full corpus + the curated slice);
+    * both bucket-count tables are 256 rows → BROADCAST into the gram
+    * stream, so scoring never exchanges grams by content — the only
+    * corpus-sized shuffle is the doc-keyed moment combine; totals are
+    * 1-row broadcasts; the rollup is sources-sized. Honesty note
+    * (the [[bigramCoverage]] caveat): on THIS synthetic corpus all
+    * sources share one generator vocabulary, so importance compresses
+    * toward 1 and most docs are kept — the mechanism (feature hashing,
+    * pooled ratio, integer keep rule) is what is gated; discrimination
+    * arrives with a heterogeneous real corpus. */
+  def importanceResample(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    def bucket(g: Column): Column =
+      conv(substring(md5(g), 1, 4), 16, 10).cast("long") % 256
+    val grams = gramRowsBy(s, docs, col("doc_id").cast("string"), 2)
+      .select(col("k").cast("long").as("doc_id"), bucket(col("g")).as("b"))
+      .localCheckpoint() // consumed by the raw counts AND the scorer
+    val tb = gramRowsBy(s,
+        docs.filter(col("source").isin((0 to 4).map("src" + _): _*)),
+        col("doc_id").cast("string"), 2)
+      .select(bucket(col("g")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("t"))
+    val rb = grams.groupBy(col("b")).agg(count(lit(1)).as("r"))
+    val tTot = tb.agg(sum(col("t")).cast("decimal(38,0)").as("tt"))
+    val rTot = rb.agg(sum(col("r")).cast("decimal(38,0)").as("rt"))
+    val pd = grams
+      .join(broadcast(tb), Seq("b"), "left")
+      .join(broadcast(rb), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("t"), lit(0L))).as("num"),
+        sum(col("r")).as("den"))
+    val perDoc = docs.select(col("doc_id"), col("source"))
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("num"), lit(0L)).as("num"),
+        coalesce(col("den"), lit(0L)).as("den"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("pct",
+        conv(substring(md5(concat(lit("ir|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % 1000)
+      .withColumn("keep",
+        (col("pct").cast("decimal(38,0)") * col("den") * col("tt"))
+          < (lit(1000).cast("decimal(38,0)") * col("num") * col("rt")))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // exact decimal carriers internally; DOUBLE on the gated
+        // boundary (the module's salted-join discipline — exact to 2⁵³)
+        sum(col("num").cast("decimal(38,0)")).as("sum_num"),
+        sum(col("den").cast("decimal(38,0)")).as("sum_den"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("kept_share"),
+        col("sum_num").cast("double").as("sum_num"),
+        col("sum_den").cast("double").as("sum_den"),
+        when((col("sum_den") * col("tt")) === 0,
+          lit(null).cast("double"))
+          .otherwise((col("sum_num") * col("rt")).cast("double")
+            / (col("sum_den") * col("tt")).cast("double"))
+          .as("pooled_importance"))
+  }
+
   /** 32-bit SimHash per document (majority vote over token-hash bits).
     *
     * Same typed-mapPartitions shape as [[minhashSignatures]] and for the
@@ -2121,6 +2285,51 @@ object TextOps extends QueryModule {
         sum(col("n_chars")).as("chars_kept"))
   }
 
+  /** Token budget multiplier for [[epochPlan]]: the plan provisions a
+    * run of 4× the corpus's total tokens — the regime where √-temperature
+    * mixing forces small sources past 1 epoch (repeats) while capping
+    * large ones, i.e. where the planner has real decisions to make. */
+  val EpochBudgetX = 4L
+
+  /** EPOCH PLANNER — the training-mix arithmetic every run does after
+    * [[temperatureMix]] decides the SHAPE: given per-source token
+    * counts, √-temperature target shares, and a total token budget
+    * (here [[EpochBudgetX]]× the corpus), how many tokens does each
+    * source contribute and how many EPOCHS (repeats) of it does that
+    * imply (Muennighoff et al. 2023, "Scaling Data-Constrained LMs" —
+    * the repeat-factor table)? The whole plan is INTEGER-exact by
+    * construction, the module's answer to float normalization under the
+    * bit-exact gate: weights are integer sqrt w_s = ⌊√c_s⌋ (exact
+    * cross-engine for c < 2⁵²: √ is IEEE-correctly-rounded and perfect
+    * squares are representable, so the floor can never straddle the
+    * boundary), the normalizer W = Σw_s is an INTEGER sum — never a
+    * float sum of sqrts, which would reassociate — target tokens are
+    * the integer floor division B·w_s div W — computed by the long
+    * division DECOMPOSITION (B div W)·w + ((B mod W)·w) div W, the
+    * exact identity that keeps every intermediate under ~2⁶¹ at any
+    * corpus size (the naive B·w product crosses 2⁶³ at ~10¹⁴ tokens,
+    * and DuckDB's `//` silently degrades to float division on DECIMAL,
+    * so the decimal escape hatch is not available here) — and epochs
+    * the integer ceil (target + c_s − 1) div c_s. The one double is the
+    * share w_s/W. Scale: one token-count scan (map-side combinable),
+    * then a sources-sized frame with a 1-row broadcast normalizer. */
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    val counts = docsParallel(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tok"))
+      .withColumn("w", floor(sqrt(col("n_tok").cast("double"))).cast("long"))
+      .localCheckpoint() // sources-sized; consumed by the normalizer too
+    val norm = counts.agg(sum(col("w")).as("big_w"),
+      (sum(col("n_tok")) * EpochBudgetX).as("budget"))
+    counts.crossJoin(broadcast(norm))
+      .withColumn("target_tok", expr(
+        "(budget div big_w) * w + ((budget % big_w) * w) div big_w"))
+      .select(col("source"), col("n_tok"), col("w"),
+        (col("w").cast("double") / col("big_w").cast("double")).as("share"),
+        col("target_tok"),
+        expr("(target_tok + n_tok - 1) div n_tok").as("epochs"))
+  }
+
   /** Cross-source overlap matrix — which corpus sources share content
     * (the inter-source leg of the duplication audit; [[dupSpanProfile]]
     * is the intra-source leg). For every source pair: distinct shared
@@ -2453,6 +2662,9 @@ object TextOps extends QueryModule {
     "q_ngram_jaccard_blocked" -> ngramJaccardBlocked _,
     "q_ngram_jaccard_hashed" -> ngramJaccardHashed _,
     "q_split_leakage"      -> splitLeakage _,
+    "q_importance_resample" -> importanceResample _,
+    "q_segment_neardup"    -> segmentNearDup _,
+    "q_epoch_plan"         -> epochPlan _,
     "q_heavy_hitters"      -> heavyHitters _,
     "q_minhash_sig"        -> minhashSignatures _,
     "q_minhash_lsh_pairs"  -> minhashLshPairs _,
@@ -2727,6 +2939,48 @@ object TextOps extends QueryModule {
          |       ELSE CAST(COALESCE(n_covered, 0) AS DOUBLE) / len(bgs)
          |  END AS coverage
          |FROM bgs LEFT JOIN hits ON bgs.doc_id = hits.doc_id""".stripMargin,
+    // the keep rule is pure integer arithmetic (pct·den·T < 1000·num·R,
+    // DECIMAL(38,0) products) — no float threshold to diverge; the two
+    // divisions are the sanctioned single-IEEE-division endgame
+    "q_importance_resample" ->
+      s"""WITH tl AS (SELECT doc_id, source, $dToks AS t FROM documents),
+         |bgs AS (SELECT doc_id, source,
+         |          list_distinct(${dShinglesN(2)}) AS bgs FROM tl),
+         |ex AS (SELECT doc_id, source,
+         |         ('0x'||substr(md5(bg),1,4))::BIGINT % 256 AS b
+         |       FROM (SELECT doc_id, source, UNNEST(bgs) AS bg FROM bgs)),
+         |tb AS (SELECT b, COUNT(*) AS t FROM ex
+         |       WHERE source IN ('src0','src1','src2','src3','src4')
+         |       GROUP BY 1),
+         |rb AS (SELECT b, COUNT(*) AS r FROM ex GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(t) AS DECIMAL(38,0)) AS tt FROM tb),
+         |rt AS (SELECT CAST(SUM(r) AS DECIMAL(38,0)) AS rt FROM rb),
+         |pd AS (SELECT ex.doc_id AS doc_id,
+         |         CAST(SUM(COALESCE(tb.t, 0)) AS BIGINT) AS num,
+         |         CAST(SUM(rb.r) AS BIGINT) AS den
+         |       FROM ex LEFT JOIN tb USING (b) JOIN rb USING (b)
+         |       GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.source,
+         |         COALESCE(num, 0) AS num, COALESCE(den, 0) AS den,
+         |         ('0x'||substr(md5('ir|'||CAST(d.doc_id AS VARCHAR)),1,8))
+         |           ::BIGINT % 1000 AS pct
+         |       FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN CAST(pct AS DECIMAL(38,0)) * den * tt
+         |                   < CAST(1000 AS DECIMAL(38,0)) * num * rt
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(CAST(SUM(CASE WHEN CAST(pct AS DECIMAL(38,0)) * den * tt
+         |                   < CAST(1000 AS DECIMAL(38,0)) * num * rt
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS kept_share,
+         |  CAST(SUM(CAST(num AS DECIMAL(38,0))) AS DOUBLE) AS sum_num,
+         |  CAST(SUM(CAST(den AS DECIMAL(38,0))) AS DOUBLE) AS sum_den,
+         |  CASE WHEN SUM(CAST(den AS DECIMAL(38,0))) * tt = 0 THEN NULL
+         |    ELSE CAST(SUM(CAST(num AS DECIMAL(38,0))) * rt AS DOUBLE)
+         |      / CAST(SUM(CAST(den AS DECIMAL(38,0))) * tt AS DOUBLE)
+         |  END AS pooled_importance
+         |FROM sc CROSS JOIN tt CROSS JOIN rt
+         |GROUP BY source, tt, rt""".stripMargin,
     "q_doc_quality" ->
       s"""WITH base AS (
          |  SELECT doc_id, len(t) AS n_tok,
@@ -2825,6 +3079,39 @@ object TextOps extends QueryModule {
          |  md5(COALESCE(k.t, '')) AS out_fp,
          |  CAST(length(COALESCE(k.t, '')) AS BIGINT) AS chars_out
          |FROM sarr a LEFT JOIN ka k USING (doc_id)""".stripMargin,
+    // same plant + slicer CTEs as q_segment_dedup, simhash at segment
+    // grain via the shared simhashExpr device, 2×16-bit band pairing
+    "q_segment_neardup" ->
+      s"""$plantedAugSql,
+         |seg AS (SELECT doc_id, $dToks AS toks,
+         |        (len($dToks) + ${SegW - 1}) // $SegW AS nseg FROM aug),
+         |sarr AS (SELECT doc_id,
+         |  list_transform(range(0, nseg),
+         |    g -> array_to_string(
+         |      toks[CAST(g*$SegW+1 AS INT):CAST(g*$SegW+$SegW AS INT)],
+         |      ' ')) AS sarr
+         |  FROM seg),
+         |light AS (SELECT doc_id,
+         |          CAST(generate_subscripts(sarr, 1) - 1 AS BIGINT)
+         |            AS seg_id,
+         |          UNNEST(sarr) AS seg_text FROM sarr),
+         |sh AS (SELECT doc_id, seg_id, $simhashExpr AS sh
+         |       FROM (SELECT doc_id, seg_id,
+         |               string_split(seg_text, ' ') AS t FROM light)),
+         |b AS (SELECT doc_id, seg_id, sh, 0 AS band, sh & 65535 AS bval
+         |      FROM sh
+         |      UNION ALL
+         |      SELECT doc_id, seg_id, sh, 1 AS band, sh >> 16 FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, x.seg_id AS s1,
+         |    y.doc_id AS d2, y.seg_id AS s2,
+         |    CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+         |  FROM b x JOIN b y
+         |    ON x.band = y.band AND x.bval = y.bval
+         |    AND (x.doc_id < y.doc_id
+         |      OR (x.doc_id = y.doc_id AND x.seg_id < y.seg_id)))
+         |SELECT d1, s1, d2, s2, hamming FROM cand
+         |WHERE hamming <= 2""".stripMargin,
     "q_source_datasheet" ->
       s"""WITH perdoc AS (
          |  SELECT source, md5(text) AS fp, len(t) AS n_tok,
@@ -3243,6 +3530,27 @@ object TextOps extends QueryModule {
          |  1.0 - CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
          |    / (bucket * COUNT(*)) AS waste_ratio
          |FROM b GROUP BY bucket""".stripMargin,
+    // integer-exact end to end: ⌊√·⌋ weights, integer normalizer, the
+    // long-division decomposition for target_tok (see the scaladoc)
+    "q_epoch_plan" ->
+      s"""WITH c AS (SELECT source, CAST(SUM(len($dToks)) AS BIGINT)
+         |             AS n_tok
+         |           FROM documents GROUP BY 1),
+         |w AS (SELECT source, n_tok,
+         |        CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE))) AS BIGINT) AS w
+         |      FROM c),
+         |n AS (SELECT CAST(SUM(w) AS BIGINT) AS big_w,
+         |        CAST(SUM(n_tok) * $EpochBudgetX AS BIGINT) AS budget
+         |      FROM w),
+         |t AS (SELECT source, n_tok, w, big_w, budget,
+         |        (budget // big_w) * w + ((budget % big_w) * w) // big_w
+         |          AS target_tok
+         |      FROM w CROSS JOIN n)
+         |SELECT source, n_tok, w,
+         |  CAST(w AS DOUBLE) / CAST(big_w AS DOUBLE) AS share,
+         |  CAST(target_tok AS BIGINT) AS target_tok,
+         |  CAST((target_tok + n_tok - 1) // n_tok AS BIGINT) AS epochs
+         |FROM t""".stripMargin,
     "q_temperature_mix" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS c_docs
          |           FROM documents GROUP BY source),

@@ -403,6 +403,7 @@ object VectorOps extends QueryModule {
     "q_ann_sq"         -> annSq _,
     "q_semdedup"       -> semDedup _,
     "q_cluster_mix"    -> clusterMix _,
+    "q_embed_drift"    -> embedDrift _,
   )
 
   // ---- DuckDB oracle fragments ----
@@ -860,6 +861,50 @@ object VectorOps extends QueryModule {
         col("keep_rate") * lit(4294967296.0))
       .groupBy(col("list"), col("c_vecs"), col("keep_rate"))
       .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** EMBEDDING-SPACE drift monitor — the vector-side sibling of the
+    * relational `q_dist_drift`: did the distribution of the embedding
+    * space move between two corpus slices (here the deterministic
+    * even/odd vec_id halves; in production, two ingest windows or the
+    * train-vs-serve snapshot pair)? Geometry is NOT recomputed: both
+    * slices are read off the STORED trained coarse quantizer's list
+    * assignments ([[storedLists]]), so the monitor measures movement in
+    * the index's own coordinate system — exactly the signal that decides
+    * when the quantizer needs a retrain. Per list: exact counts per
+    * half, each share ONE IEEE division against its half's 1-row total;
+    * corpus-level total-variation distance assembled cross-multiplied —
+    * Σ|c0·n1 − c1·n0| in DECIMAL(38,0) (ENFORCED: per-list count
+    * products cross 2⁶³ at ~10¹⁰ vectors, the [[Relational.giniSegment]]
+    * overflow discipline) over 2·n0·n1, one division at the end. No
+    * float sums anywhere, so the whole monitor is hash-exact.
+    *
+    * Scale: ONE scan of the ingest-time list table (vec_id, list) —
+    * embeddings themselves are never read, never shuffled; everything
+    * after the first rollup is CoarseK-sized. The oracle retrains the
+    * identical quantizer via the shared [[dKlist]] CTEs, so a hash match
+    * also re-proves store ≡ retrain. */
+  def embedDrift(s: SparkSession, d: String): DataFrame = {
+    // CoarseK-sized after the one rollup — checkpoint so the three
+    // consumers (totals, drift moment, final projection) never rescan
+    // the vector-count-sized list table
+    val h = storedLists(s, d)
+      .groupBy(col("list"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("c1"))
+      .localCheckpoint()
+    val t = h.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    val ht = h.crossJoin(broadcast(t))
+    val drift = ht.agg(
+      sum(abs(col("c0").cast("decimal(38,0)") * col("n1")
+        - col("c1").cast("decimal(38,0)") * col("n0"))).as("dnum"))
+    ht.crossJoin(broadcast(drift))
+      .select(col("list"), col("c0"), col("c1"),
+        (col("c0").cast("double") / col("n0").cast("double")).as("share0"),
+        (col("c1").cast("double") / col("n1").cast("double")).as("share1"),
+        (col("dnum").cast("double")
+          / (lit(2) * col("n0").cast("decimal(38,0)") * col("n1"))
+            .cast("double")).as("tvd"))
   }
 
   /** The STREAMING face of the PQ/IVFADC index: codebooks train ONCE
@@ -1534,6 +1579,28 @@ object VectorOps extends QueryModule {
          |            < keep_rate * 4294967296.0)
          |SELECT list, c_vecs, keep_rate, COUNT(*) AS n_kept
          |FROM k GROUP BY list, c_vecs, keep_rate""".stripMargin,
+    // retrains the identical quantizer (shared dKlist CTEs) ⇒ a hash
+    // match re-proves stored assignments ≡ retrain; drift moments in
+    // DECIMAL(38,0) — the giniSegment overflow discipline
+    "q_embed_drift" ->
+      s"""WITH $dKlist,
+         |h AS (SELECT list,
+         |        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS c0,
+         |        CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS c1
+         |      FROM klist GROUP BY 1),
+         |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+         |        CAST(SUM(c1) AS BIGINT) AS n1 FROM h),
+         |d AS (SELECT SUM(ABS(CAST(c0 AS DECIMAL(38,0)) * n1
+         |        - CAST(c1 AS DECIMAL(38,0)) * n0)) AS dnum
+         |      FROM h CROSS JOIN t)
+         |SELECT list, c0, c1,
+         |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS share0,
+         |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS share1,
+         |  CAST(dnum AS DOUBLE)
+         |    / CAST(2 * CAST(n0 AS DECIMAL(38,0)) * n1 AS DOUBLE) AS tvd
+         |FROM h CROSS JOIN t CROSS JOIN d""".stripMargin,
     "q_semdedup" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
          |copies AS (

@@ -53,6 +53,33 @@ class GrfCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual near-dup components: every plant family closes into " +
+      "one component of size >= 2") {
+    val comps = MultimodalOps.mmNearDupComponents(spark, TestSession.sf)
+      .collect()
+    assert(comps.nonEmpty)
+    val plants = MultimodalOps.mediaTable(spark, TestSession.sf)
+      .filter(col("doc_id") % 25 === 0).count()
+    // every planted near-copy must be IN some component with its original
+    assert(comps.map(_.getAs[Long]("n_items")).sum >= 2 * plants)
+    assert(comps.forall(_.getAs[Long]("n_items") >= 2L),
+      "a singleton component: CC emitted a node with no partner")
+  }
+
+  test("silence profile liveness: runs exist and the counters are " +
+      "internally consistent") {
+    val rows = MultimodalOps.mmSilence(spark, TestSession.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("n_runs") > 0L),
+      "degenerate: no doc has a trimmable silent run — threshold dead")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("longest_run") <= r.getAs[Long]("n_silent"))
+      assert(r.getAs[Long]("n_silent") <= r.getAs[Long]("n_samples"))
+      val share = r.getAs[Double]("silent_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
   test("the dims the decoder parses from payload headers equal the " +
       "metadata columns on every generated row") {
     // the decode query re-derives width/height from bytes alone; the

@@ -215,6 +215,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getAs[Double]("sum_base") > 0.0)
     assert(row.getAs[Double]("sum_disc_price") > 0.0)
   }
+
+  test("attribution conserves revenue per model and never credits a " +
+      "purchase to itself") {
+    val rows = graft.ops.Relational.attribution(spark, TestSession.sf)
+      .collect()
+    val models = rows.groupBy(_.getAs[String]("model"))
+    assert(models.keySet === Set("first", "last"))
+    // every purchase is attributed exactly once per model ⇒ both models
+    // see the same purchase count and the same total cents
+    val totals = models.map { case (m, rs) =>
+      m -> ((rs.map(_.getAs[Long]("n_purchases")).sum,
+        rs.map(_.getAs[Long]("revenue_cents")).sum))
+    }
+    assert(totals("first") === totals("last"))
+    // the -1-preceding frame: a purchase can never be its own touch
+    assert(!rows.exists(_.getAs[String]("channel") == "purchase"))
+    // shares partition the model's revenue
+    models.values.foreach { rs =>
+      val s = rs.map(_.getAs[Double]("revenue_share")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"shares sum to $s")
+    }
+  }
 }
 
 /** Small helper so the spec reads naturally. */

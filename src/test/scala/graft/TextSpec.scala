@@ -454,6 +454,71 @@ class TextSpec extends AnyFunSuite {
     assert(hashed === blocked)
   }
 
+  test("epoch plan: targets exhaust the budget up to floor slack and " +
+      "repeats actually happen") {
+    val rows = TextOps.queries("q_epoch_plan")(spark, dir).collect()
+    assert(rows.length === 20)
+    val totalTok = rows.map(_.getAs[Long]("n_tok")).sum
+    val budget = totalTok * TextOps.EpochBudgetX
+    val targets = rows.map(_.getAs[Long]("target_tok"))
+    assert(targets.sum <= budget)
+    assert(targets.sum > budget - budget / 100,
+      "floor slack above 1% — the integer plan is leaving budget unused")
+    rows.foreach { r =>
+      val epochs = r.getAs[Long]("epochs")
+      val ceil = (r.getAs[Long]("target_tok") + r.getAs[Long]("n_tok") - 1) /
+        r.getAs[Long]("n_tok")
+      assert(epochs === ceil)
+      assert(epochs >= 1L)
+    }
+    assert(rows.exists(_.getAs[Long]("epochs") > 1L),
+      "degenerate: no source repeats under a 4x budget")
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
+
+  test("segment near-dup: every partial plant pairs with its host's " +
+      "first segment at hamming 0") {
+    val pairs = TextOps.queries("q_segment_neardup")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val po = 1L << 62 // PlantOffset (partial-plant id shift)
+    val hosts = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 41 === 3 &&
+        size(split(col("text"), " ")) >= 16)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(hosts.nonEmpty)
+    hosts.foreach { h =>
+      assert(pairs.exists(p =>
+          p._1 === h && p._2 === 0L && p._3 === h + po && p._4 === 0L &&
+            p._5 === 0),
+        s"partial plant of doc $h: first-segment hamming-0 pair missing")
+    }
+    // the detector must also fire beyond its own plants (natural
+    // passage-level near-dups under the shared generator vocabulary)
+    assert(pairs.exists(p => p._1 < po && p._3 < po),
+      "no natural (non-plant) near-dup passage pair — detector only " +
+        "sees what it planted")
+  }
+
+  test("importance resampling: the keep rule is live (rejects some docs, " +
+      "keeps some) and the pooled ratio is positive") {
+    val rows = TextOps.queries("q_importance_resample")(spark, dir).collect()
+    assert(rows.length === 20) // one row per source
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val docs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(kept > 0L, "degenerate: resampler kept nothing")
+    assert(kept < docs,
+      "degenerate: resampler kept everything — the md5-permille rule " +
+        "never fired, the integer keep inequality proves nothing")
+    rows.foreach { r =>
+      val share = r.getAs[Double]("kept_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("pooled_importance") > 0.0)
+    }
+  }
+
   test("split leakage: component-grain split leaks zero pairs while the " +
       "per-doc split provably leaks on the plant families") {
     val rows = TextOps.queries("q_split_leakage")(spark, dir).collect()

@@ -168,6 +168,23 @@ class VectorSpec extends AnyFunSuite {
     assert(first === again)
   }
 
+  test("embed drift: shares partition each half and tvd is a bounded " +
+      "constant across rows") {
+    val rows = ops.VectorOps.embedDrift(spark, TestSession.sf).collect()
+    assert(rows.nonEmpty)
+    val s0 = rows.map(_.getAs[Double]("share0")).sum
+    val s1 = rows.map(_.getAs[Double]("share1")).sum
+    assert(math.abs(s0 - 1.0) < 1e-9 && math.abs(s1 - 1.0) < 1e-9)
+    val tvds = rows.map(_.getAs[Double]("tvd")).distinct
+    assert(tvds.length === 1, "tvd must be one corpus-level constant")
+    assert(tvds.head >= 0.0 && tvds.head <= 1.0)
+    // exact-count cross-check: the halves partition the stored list table
+    val n = rows.map(r => r.getAs[Long]("c0") + r.getAs[Long]("c1")).sum
+    val emb = spark.read
+      .parquet(s"${TestSession.sf}/embeddings.parquet").count()
+    assert(n === emb)
+  }
+
   test("LSH ANN returns in-bucket candidates ranked consistently") {
     // The testdata embeddings are near-uniform on the sphere (within-label
     // mean cosine ≈ 0.02), so rank-1 LSH recall vs brute force is inherently
