@@ -414,4 +414,56 @@ object StatefulOps {
           buf.iterator.map { case (t, c) => (key, t, c) }
         })
   }
+
+  /** One event on the attribution stream (micros, id for the total
+    * order; cents already exact). */
+  case class TouchEvent(userId: Long, t: Long, eventId: Long,
+      eventType: String, cents: Long)
+  /** A purchase with both attribution verdicts attached. */
+  case class AttributedPurchase(userId: Long, t: Long, eventId: Long,
+      firstCh: String, lastCh: String, cents: Long)
+  /** Per-user attribution state: first touch ever, latest touch so far
+    * (null = no touch yet ⇒ 'direct'). */
+  case class TouchState(first: String, last: String)
+
+  private implicit val teEnc: Encoder[TouchEvent] = Encoders.product[TouchEvent]
+  private implicit val apEnc: Encoder[AttributedPurchase] =
+    Encoders.product[AttributedPurchase]
+  private implicit val tsEnc: Encoder[TouchState] = Encoders.product[TouchState]
+
+  /** STREAMING first/last-touch attribution — the stateful face of
+    * [[graft.ops.Relational.attribution]]: per user, state is exactly
+    * TWO strings (the first touch ever and the latest touch so far) —
+    * O(1) per user forever, never the history the batch window frame
+    * re-reads — and every purchase is emitted AT ARRIVAL with both
+    * verdicts attached, the shape a real-time marketing dashboard needs
+    * (the batch query can only answer after the fact). Within a
+    * micro-batch events fold in (t, eventId) order — the batch query's
+    * exact total order — so output is replay-deterministic; ACROSS
+    * batches correctness needs per-user event-time order (the
+    * [[dailyDedup]] monotonicity caveat: production fronts this with a
+    * watermark-buffered sort). AttributionStreamSpec proves the streamed
+    * emission equals an in-JVM replay of the batch semantics under
+    * uneven slicing, with cross-batch state carries exercised. */
+  def attributionStream(ds: Dataset[TouchEvent])
+      : Dataset[AttributedPurchase] =
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, events: Iterator[TouchEvent],
+            state: GroupState[TouchState]) => {
+          var st = state.getOption.getOrElse(TouchState(null, null))
+          val out = Vector.newBuilder[AttributedPurchase]
+          events.toSeq.sortBy(e => (e.t, e.eventId)).foreach { e =>
+            if (e.eventType == "purchase")
+              out += AttributedPurchase(uid, e.t, e.eventId,
+                Option(st.first).getOrElse("direct"),
+                Option(st.last).getOrElse("direct"), e.cents)
+            else
+              st = TouchState(
+                if (st.first == null) e.eventType else st.first,
+                e.eventType)
+          }
+          state.update(st)
+          out.result().iterator
+        })
 }
