@@ -344,8 +344,62 @@ object OrderWide extends QueryModule {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** SNAPSHOT DIFF between two as-of times — the lakehouse "table diff"
+    * shape (Delta CDF / Iceberg changelog queries): what changed between
+    * the T=1 and T=2 views of the same SCD2 history? One full-outer join
+    * of the two [[scd2Asof]]-predicate snapshots on the business key
+    * classifies every row added / removed / changed / unchanged, and the
+    * rollup keys on the (from_status → to_status) TRANSITION — the audit
+    * a migration or backfill reviews before sign-off. "Changed" compares
+    * status AND amount; the doubles are engine-internal equality of
+    * values derived identically from exact decimals, never a
+    * cross-engine float comparison. The two-wave changelog births every
+    * key at wave 1 and never deletes, so added/removed could never fire
+    * naturally — PLANTED births (every %97 key re-issued at
+    * +PlantOffset2, present only in the T=2 snapshot) and removals
+    * (every %89 key at +PlantOffset, only in T=1) keep both arms live,
+    * constructed identically in both engines (the dedup-plant
+    * discipline; Scd2Spec asserts all four classes fire). Scale: the
+    * history is read once (checkpointed, two snapshot consumers), both
+    * snapshots are key-partitioned by the same join key so the
+    * full-outer is one co-partitioned shuffle, and the output is
+    * transition-grid-sized. */
+  def scd2Diff(s: SparkSession, d: String): DataFrame = {
+    val h = scd2History(s, d)
+      .select(col("detail_id"), col("effective_from"), col("effective_to"),
+        col("order_status"), col("split_total_amount"))
+      .localCheckpoint()
+    def at(t: Long, st: String, m: String) = h
+      .filter(lit(t) >= col("effective_from") &&
+        (col("effective_to").isNull || lit(t) < col("effective_to")))
+      .select(col("detail_id"), col("order_status").as(st),
+        col("split_total_amount").as(m))
+    def plant(base: DataFrame, modulus: Int, offset: Long) = base
+      .filter(col("detail_id") % modulus === 0)
+      .select((col("detail_id") + offset).as("detail_id") +:
+        base.columns.drop(1).map(col): _*)
+    val s1base = at(1L, "st1", "m1")
+    val s2base = at(2L, "st2", "m2")
+    val s1 = s1base.unionAll(
+      plant(s1base, 89, graft.ops.TextOps.PlantOffset))
+    val s2 = s2base.unionAll(
+      plant(s2base, 97, graft.ops.TextOps.PlantOffset2))
+    s1.join(s2, Seq("detail_id"), "full_outer")
+      .select(
+        when(col("st1").isNull, "added")
+          .when(col("st2").isNull, "removed")
+          .when(col("st1") =!= col("st2") || col("m1") =!= col("m2"),
+            "changed")
+          .otherwise("unchanged").as("class"),
+        coalesce(col("st1"), lit("-")).as("from_status"),
+        coalesce(col("st2"), lit("-")).as("to_status"))
+      .groupBy(col("class"), col("from_status"), col("to_status"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q_scd2_diff"           -> scd2Diff _,
       "q_dwd_order_wide"      -> orderWide _,
       "q_dws_sku_order"       -> skuOrderWindow _,
       "q_dwd_changelog_stats" -> changelogStats _,
@@ -474,6 +528,34 @@ object OrderWide extends QueryModule {
         |FROM h JOIN probe ON ts >= op_ts
         |  AND (effective_to IS NULL OR ts < effective_to)
         |GROUP BY 1, 2""".stripMargin),
+    "q_scd2_diff" -> (scd2Sql +
+      """,
+        |s1b AS (SELECT detail_id, order_status AS st,
+        |         CAST(split_total_amount AS DOUBLE) AS m
+        |       FROM h WHERE 1 >= op_ts
+        |         AND (effective_to IS NULL OR 1 < effective_to)),
+        |s2b AS (SELECT detail_id, order_status AS st,
+        |         CAST(split_total_amount AS DOUBLE) AS m
+        |       FROM h WHERE 2 >= op_ts
+        |         AND (effective_to IS NULL OR 2 < effective_to)),
+        |s1 AS (SELECT * FROM s1b
+        |       UNION ALL
+        |       SELECT detail_id + 4611686018427387904, st, m
+        |       FROM s1b WHERE detail_id % 89 = 0),
+        |s2 AS (SELECT * FROM s2b
+        |       UNION ALL
+        |       SELECT detail_id + 6917529027641081856, st, m
+        |       FROM s2b WHERE detail_id % 97 = 0),
+        |j AS (SELECT s1.st AS st1, s2.st AS st2, s1.m AS m1, s2.m AS m2
+        |      FROM s1 FULL OUTER JOIN s2 ON s1.detail_id = s2.detail_id)
+        |SELECT CASE WHEN st1 IS NULL THEN 'added'
+        |            WHEN st2 IS NULL THEN 'removed'
+        |            WHEN st1 <> st2 OR m1 <> m2 THEN 'changed'
+        |            ELSE 'unchanged' END AS class,
+        |  COALESCE(st1, '-') AS from_status,
+        |  COALESCE(st2, '-') AS to_status,
+        |  COUNT(*) AS n
+        |FROM j GROUP BY 1, 2, 3""".stripMargin),
   )
 
   /** Shared by `q_scd2_history` and `q_scd2_incremental` — the fold must

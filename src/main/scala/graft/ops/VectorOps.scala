@@ -404,6 +404,7 @@ object VectorOps extends QueryModule {
     "q_semdedup"       -> semDedup _,
     "q_cluster_mix"    -> clusterMix _,
     "q_embed_drift"    -> embedDrift _,
+    "q_hard_negatives" -> hardNegatives _,
   )
 
   // ---- DuckDB oracle fragments ----
@@ -861,6 +862,53 @@ object VectorOps extends QueryModule {
         col("keep_rate") * lit(4294967296.0))
       .groupBy(col("list"), col("c_vecs"), col("keep_rate"))
       .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Contrastive TRIPLET MINING — the training-data op behind every
+    * embedding fine-tune (Schroff et al. 2015 FaceNet §3.2 semi-hard
+    * mining; SimCSE-class contrastive setups): for each anchor, the 3
+    * HARDEST NEGATIVES (highest cosine among DIFFERENT-label vectors —
+    * the confusable impostors a contrastive loss learns the most from)
+    * and the HARDEST POSITIVE (lowest cosine among same-label vectors —
+    * the stretched-out true match). One `kind`-tagged frame per anchor =
+    * the (a, p, n) triplets a training job reads directly. Ranking is
+    * deterministic (sim DESC / ASC with the neighbor-id tie-break);
+    * the gated columns are ranks and ids, the [[annBruteforce]] output
+    * discipline. Scale: anchors broadcast against one corpus scan; both
+    * arms run through [[topKPerProbe]]'s two-level bounded top-k (the
+    * hardest-positive arm enters sim-negated so the same max-heap keeps
+    * the minimum), so the shuffle is anchors × k rows — at full-corpus
+    * mining the anchor set shards and the scan is shared per shard. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embParallel(s, d)
+    val anchors = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("embedding").as("pvec"))
+    val scored = e
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        col("embedding").as("cvec"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("n_label"),
+        cosine(col("pvec"), col("cvec")).as("sim"))
+      .localCheckpoint() // consumed by both arms
+    val hardNeg = topKPerProbe(
+        scored.join(broadcast(anchors.select(col("probe_id"),
+          col("plabel"))), Seq("probe_id"))
+          .filter(col("n_label") =!= col("plabel"))
+          .select(col("probe_id"), col("neighbor_id"), col("n_label"),
+            col("sim")), 3)
+      .select(col("probe_id"), lit("hard_neg").as("kind"), col("rank"),
+        col("neighbor_id"), col("n_label"))
+    val hardPos = topKPerProbe(
+        scored.join(broadcast(anchors.select(col("probe_id"),
+          col("plabel"))), Seq("probe_id"))
+          .filter(col("n_label") === col("plabel"))
+          .select(col("probe_id"), col("neighbor_id"), col("n_label"),
+            (lit(0.0) - col("sim")).as("sim")), 1)
+      .select(col("probe_id"), lit("hard_pos").as("kind"), col("rank"),
+        col("neighbor_id"), col("n_label"))
+    hardNeg.unionAll(hardPos)
   }
 
   /** EMBEDDING-SPACE drift monitor — the vector-side sibling of the
@@ -1601,6 +1649,29 @@ object VectorOps extends QueryModule {
          |  CAST(dnum AS DOUBLE)
          |    / CAST(2 * CAST(n0 AS DECIMAL(38,0)) * n1 AS DOUBLE) AS tvd
          |FROM h CROSS JOIN t CROSS JOIN d""".stripMargin,
+    // gated columns are ranks/ids/labels (the annBruteforce discipline);
+    // the hard-pos arm is the SAME ordering negated, tie-break shared
+    "q_hard_negatives" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, label AS plabel,
+         |             embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 16),
+         |sc AS (SELECT probe_id, plabel, e.vec_id AS neighbor_id,
+         |         e.label AS n_label, ${dCos("pvec", "embedding")} AS sim
+         |       FROM embeddings e CROSS JOIN p
+         |       WHERE e.vec_id <> probe_id),
+         |hn AS (SELECT probe_id, 'hard_neg' AS kind,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank,
+         |         neighbor_id, n_label
+         |       FROM sc WHERE n_label <> plabel
+         |       QUALIFY rank <= 3),
+         |hp AS (SELECT probe_id, 'hard_pos' AS kind,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |           ORDER BY sim ASC, neighbor_id ASC) AS INT) AS rank,
+         |         neighbor_id, n_label
+         |       FROM sc WHERE n_label = plabel
+         |       QUALIFY rank = 1)
+         |SELECT * FROM hn UNION ALL SELECT * FROM hp""".stripMargin,
     "q_semdedup" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
          |copies AS (

@@ -81,4 +81,27 @@ class Scd2Spec extends AnyFunSuite {
     assert(fold.exists(r => r.contains("b") && r.contains("1,10,10")),
       s"fold shape changed: $fold")
   }
+
+  test("snapshot diff: all four classes fire (plants keep added/removed " +
+      "live on the birth-only changelog) and counts reconcile") {
+    val rows = graft.ops.OrderWide.scd2Diff(spark, TestSession.sf).collect()
+    val byClass = rows.groupBy(_.getAs[String]("class"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    assert(byClass.keySet === Set("added", "removed", "changed",
+      "unchanged"))
+    byClass.values.foreach(n => assert(n > 0L))
+    // class contracts on the transition columns
+    rows.foreach { r =>
+      (r.getAs[String]("class"), r.getAs[String]("from_status"),
+          r.getAs[String]("to_status")) match {
+        case ("added", f, _)     => assert(f === "-")
+        case ("removed", _, t)   => assert(t === "-")
+        // changed may keep f == t when only the amount moved — no
+        // constraint beyond both sides being real statuses
+        case ("changed", f, t)   => assert(f != "-" && t != "-")
+        case ("unchanged", f, t) => assert(f === t)
+        case other               => fail(s"unexpected row $other")
+      }
+    }
+  }
 }

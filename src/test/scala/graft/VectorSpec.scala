@@ -168,6 +168,43 @@ class VectorSpec extends AnyFunSuite {
     assert(first === again)
   }
 
+  test("hard negatives: triplet structure, label contracts, and the " +
+      "mined negative is truly the hardest (in-JVM cosine cross-check)") {
+    val rows = ops.VectorOps.hardNegatives(spark, TestSession.sf).collect()
+    val emb = spark.read.parquet(s"${TestSession.sf}/embeddings.parquet")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2),
+        r.getSeq[Float](1).toArray))).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byAnchor = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byAnchor.size === 16)
+    byAnchor.foreach { case (a, rs) =>
+      val (aLabel, aVec) = emb(a)
+      val negs = rs.filter(_.getAs[String]("kind") == "hard_neg")
+      val pos = rs.filter(_.getAs[String]("kind") == "hard_pos")
+      assert(negs.length === 3 && pos.length === 1)
+      negs.foreach(n =>
+        assert(n.getAs[Int]("n_label") !== aLabel, "negative shares label"))
+      assert(pos.head.getAs[Int]("n_label") === aLabel)
+      // the rank-1 negative dominates every other different-label vector
+      val n1 = negs.find(_.getAs[Int]("rank") == 1).get
+        .getAs[Long]("neighbor_id")
+      val bestSim = cos(aVec, emb(n1)._2)
+      emb.foreach { case (id, (l, v)) =>
+        if (id != a && id != n1 && l != aLabel)
+          assert(cos(aVec, v) <= bestSim + 1e-12,
+            s"anchor $a: $id is a harder negative than mined $n1")
+      }
+    }
+  }
+
   test("embed drift: shares partition each half and tvd is a bounded " +
       "constant across rows") {
     val rows = ops.VectorOps.embedDrift(spark, TestSession.sf).collect()
