@@ -253,6 +253,73 @@ object CatalogOps extends QueryModule {
         col("bytes"), col("day_from"), col("day_to"))
   }
 
+  private val zorderBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The OPTIMIZE ZORDER executor's store: BOTH candidate layouts of the
+    * same rows physically written, one file per bucket (the combo-keyed
+    * repartition + partitionBy device [[compactionExec]] established) —
+    * `zorder/` clustered by the 3-bit Morton interleave of (partkey,
+    * suppkey), `linear/` by the orderkey strawman. Bucket definitions
+    * come from [[Relational.zorderBuckets]] SHARED with the planning
+    * audit, so the executor can never cluster by a different curve than
+    * the one `q_zorder_layout` scores. */
+  private def zorderStore(s: SparkSession, d: String): String =
+    zorderBuilt.computeIfAbsent(StoreDirs.freshKey(d), k =>
+      StoreDirs.ensureBuilt("zexec", k) { base =>
+        val b = Relational.zorderBuckets(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("zf"), col("lin"))
+          .localCheckpoint() // two layout writes consume it
+        b.repartition(col("zf"))
+          .write.mode("overwrite").partitionBy("zf")
+          .parquet(s"$base/zorder")
+        b.repartition(col("lin"))
+          .write.mode("overwrite").partitionBy("lin")
+          .parquet(s"$base/linear")
+      })
+
+  /** Z-ORDER execution audit — the `OPTIMIZE ZORDER` sibling of
+    * [[compactionExec]], closing the clustering loop the same way:
+    * `q_zorder_layout` SCORES the two layouts from simulated bucket ids;
+    * this physically WRITES both and audits the real files — file count
+    * per bucket (oracle pins 1: the rewrite may not fragment), row
+    * counts, and the per-file min/max footer stats a scan planner would
+    * prune on, re-derived from the written stores via
+    * `_metadata.file_path`. The probe-hit flag is the same mid-band
+    * point query as the planning audit, so the z-vs-linear skip story
+    * (16/64 files read vs 64/64) is now proven on REAL files rather
+    * than a simulation. Scale: listings are file-grain after the
+    * map-side combine; each store is read once. */
+  def zorderExec(s: SparkSession, d: String): DataFrame = {
+    val base = zorderStore(s, d)
+    val mpk = Tables.lineitem(s, d).agg(max(col("l_partkey")).as("mpk"))
+    def audit(dir: String, bcol: String, layout: String): DataFrame =
+      s.read.parquet(s"$base/$dir")
+        .select(col(bcol).cast("long").as("file_id"),
+          col("l_partkey"), col("l_suppkey"),
+          col("_metadata.file_path").as("f"))
+        .groupBy(col("file_id"))
+        .agg(countDistinct(col("f")).as("files_in_bucket"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_pk"),
+          max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"),
+          max(col("l_suppkey")).as("max_sk"))
+        .select(lit(layout).as("layout"), col("file_id"),
+          col("files_in_bucket"), col("n_rows"),
+          col("min_pk"), col("max_pk"), col("min_sk"), col("max_sk"))
+    audit("zorder", "zf", "zorder")
+      .unionAll(audit("linear", "lin", "linear"))
+      .crossJoin(broadcast(mpk))
+      .select(col("layout"), col("file_id"), col("files_in_bucket"),
+        col("n_rows"), col("min_pk"), col("max_pk"), col("min_sk"),
+        col("max_sk"),
+        (col("min_pk") <= expr("(mpk * 4) div 8") &&
+          col("max_pk") >= expr("(mpk * 3) div 8")).cast("long")
+          .as("probe_hit"))
+  }
+
   /** Erasure-request registry: every key ≡ [[GdprResidue]] (mod
     * [[GdprModulus]]) across the subject-key spaces. 13 is coprime to
     * every plant/split modulus in use (CLAUDE.md discipline). */
@@ -322,6 +389,7 @@ object CatalogOps extends QueryModule {
       "q_column_stats" -> (columnStats _),
       "q_compaction_plan" -> (compactionPlan _),
       "q_compaction_exec" -> (compactionExec _),
+      "q_zorder_exec" -> (zorderExec _),
       "q_gdpr_purge" -> (gdprPurge _),
     )
 
@@ -430,6 +498,35 @@ object CatalogOps extends QueryModule {
          |  CAST(SUM(bytes) AS BIGINT) AS bytes,
          |  MIN(day) AS day_from, MAX(day) AS day_to
          |FROM c GROUP BY 1, 2""".stripMargin,
+    // the q_zorder_layout oracle with files_in_bucket pinned to the
+    // literal 1 — a fragmented physical rewrite breaks the hash
+    "q_zorder_exec" ->
+      """WITH m AS (SELECT MAX(l_partkey) mpk, MAX(l_suppkey) msk,
+        |                  MAX(l_orderkey) mok FROM lineitem),
+        |c0 AS (SELECT l_partkey, l_suppkey, mpk,
+        |        ((l_partkey - 1) * 8) // mpk AS a,
+        |        ((l_suppkey - 1) * 8) // msk AS b,
+        |        ((l_orderkey - 1) * 64) // mok AS lin
+        |      FROM lineitem, m),
+        |z AS (SELECT *,
+        |        ((a >> 0) & 1) * 2 + ((b >> 0) & 1) * 1 +
+        |        ((a >> 1) & 1) * 8 + ((b >> 1) & 1) * 4 +
+        |        ((a >> 2) & 1) * 32 + ((b >> 2) & 1) * 16 AS zf
+        |      FROM c0),
+        |au AS (SELECT 'zorder' AS layout, zf AS file_id, COUNT(*) AS n_rows,
+        |         MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+        |         MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+        |         MAX(mpk) AS mpk
+        |       FROM z GROUP BY zf
+        |       UNION ALL
+        |       SELECT 'linear', lin, COUNT(*), MIN(l_partkey), MAX(l_partkey),
+        |         MIN(l_suppkey), MAX(l_suppkey), MAX(mpk)
+        |       FROM z GROUP BY lin)
+        |SELECT layout, file_id, CAST(1 AS BIGINT) AS files_in_bucket,
+        |  n_rows, min_pk, max_pk, min_sk, max_sk,
+        |  CAST(min_pk <= (mpk * 4) // 8 AND max_pk >= (mpk * 3) // 8
+        |       AS BIGINT) AS probe_hit
+        |FROM au""".stripMargin,
     "q_compaction_plan" ->
       s"""WITH parts AS (
          |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

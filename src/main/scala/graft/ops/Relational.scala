@@ -2158,12 +2158,17 @@ object Relational extends QueryModule {
     * back on every subsequent scan. Bucket bounds derive from the maxes
     * broadcast in one 1-row pass (integer `div` in both engines, exact at
     * any scale). */
-  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+  /** The (zf, lin) bucket assignment both z-order queries share —
+    * extracted so the PLANNING audit ([[zorderLayout]]) and the physical
+    * EXECUTOR ([[CatalogOps.zorderExec]]) can never disagree on what a
+    * z-order bucket is. 8×8 grid over (partkey, suppkey), 3-bit Morton
+    * interleave; `lin` is the 64-cell orderkey-linear strawman. */
+  private[ops] def zorderBuckets(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
     val m = li.agg(max(col("l_partkey")).as("mpk"),
       max(col("l_suppkey")).as("msk"), max(col("l_orderkey")).as("mok"))
-    val bucketed = li.crossJoin(broadcast(m))
+    li.crossJoin(broadcast(m))
       .withColumn("a", expr("((l_partkey - 1) * 8) div mpk"))
       .withColumn("b", expr("((l_suppkey - 1) * 8) div msk"))
       .withColumn("lin", expr("((l_orderkey - 1) * 64) div mok"))
@@ -2171,6 +2176,10 @@ object Relational extends QueryModule {
           shiftright(col("a"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
           shiftright(col("b"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
         .reduce(_ + _))
+  }
+
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val bucketed = zorderBuckets(s, d)
     def audit(fileCol: String, layout: String): DataFrame =
       bucketed.groupBy(col(fileCol).as("file_id"))
         .agg(count(lit(1)).as("n_rows"),

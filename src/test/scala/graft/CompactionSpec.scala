@@ -41,4 +41,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(before.exceptAll(after).count() === 0)
     assert(after.exceptAll(before).count() === 0)
   }
+
+  test("z-order executor: both physical layouts hold every row exactly " +
+      "once and the z-curve strictly dominates the linear strawman on " +
+      "the probe") {
+    val audit = CatalogOps.zorderExec(spark, TestSession.sf).collect()
+    val byLayout = audit.groupBy(_.getAs[String]("layout"))
+    assert(byLayout.keySet === Set("zorder", "linear"))
+    val liRows = graft.Tables.lineitem(spark, TestSession.sf).count()
+    byLayout.foreach { case (layout, rs) =>
+      assert(rs.map(_.getAs[Long]("n_rows")).sum === liRows,
+        s"$layout layout lost or duplicated rows")
+      rs.foreach(r => assert(r.getAs[Long]("files_in_bucket") === 1L,
+        s"$layout bucket ${r.getAs[Long]("file_id")} fragmented"))
+    }
+    def hits(l: String) =
+      byLayout(l).count(_.getAs[Long]("probe_hit") == 1L)
+    // the whole point of the rewrite: the point query reads strictly
+    // fewer REAL files under the z layout
+    assert(hits("zorder") < hits("linear"),
+      s"z ${hits("zorder")} vs linear ${hits("linear")}")
+  }
 }
