@@ -1578,6 +1578,38 @@ object Relational extends QueryModule {
           / sum(col("revenue_cents")).over(wm).cast("double"))
   }
 
+  /** WINDOWED CONVERSION RATE — the funnel metric [[attribution]] is
+    * usually read next to: of the users whose FIRST signup landed in
+    * cohort week W, what share purchased within 24 hours of that signup?
+    * (The `q_funnel_order` sequence count answers "ever, in order"; real
+    * funnel dashboards bound the window.) First-signup is one user-keyed
+    * min; the conversion test is a user-keyed semi-join of purchases
+    * against the [signup, signup+24h) interval — fan-out bounded by each
+    * user's own purchases, never a time-bucketed cross join — and the
+    * rollup is cohort-weeks-sized with the rate as the one IEEE
+    * division. Epoch-week indices are exact integer floor divisions of
+    * micros in both engines. */
+  def conversionWindow(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val windowUs = 86400L * 1000000L
+    val e = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("t"), col("event_type"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t")).as("s0"))
+    su.join(
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+      .filter(col("pt") >= col("s0") && col("pt") < col("s0") + windowUs)
+      .select(col("user_id")).distinct()
+      .withColumn("conv", lit(1L))
+      .join(su, Seq("user_id"), "right")
+      .groupBy(expr(s"s0 div $weekUs").as("cohort_week"))
+      .agg(count(lit(1)).as("n_signups"),
+        coalesce(sum(col("conv")), lit(0L)).as("n_converted"))
+      .withColumn("conv_rate",
+        col("n_converted").cast("double") / col("n_signups").cast("double"))
+  }
+
   /** MODE per group — the most frequent order priority of each market
     * segment (the categorical "typical value" surface, `MODE()` in
     * warehouse SQL). Two-level: count per (segment, priority) — one
@@ -2308,6 +2340,7 @@ object Relational extends QueryModule {
     "q_supplier_hhi"      -> supplierHhi _,
     "q_stickiness"        -> stickiness _,
     "q_attribution"       -> attribution _,
+    "q_conversion_window" -> conversionWindow _,
     "q_pivot_status"      -> pivotStatus _,
     "q_sessionize"        -> sessionize _,
     "q_skew_profile"      -> skewProfile _,
@@ -2967,6 +3000,24 @@ object Relational extends QueryModule {
         |SELECT day, dau, wau,
         |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau ON day = wday""".stripMargin,
+    "q_conversion_window" ->
+      """WITH su AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS s0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (
+        |  SELECT DISTINCT su.user_id
+        |  FROM su JOIN events e ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= s0
+        |    AND epoch_us(e.ts) < s0 + 86400000000)
+        |SELECT s0 // 604800000000 AS cohort_week,
+        |  COUNT(*) AS n_signups,
+        |  CAST(COALESCE(SUM(CASE WHEN conv.user_id IS NOT NULL
+        |    THEN 1 END), 0) AS BIGINT) AS n_converted,
+        |  CAST(COALESCE(SUM(CASE WHEN conv.user_id IS NOT NULL
+        |    THEN 1 END), 0) AS DOUBLE) / COUNT(*) AS conv_rate
+        |FROM su LEFT JOIN conv ON su.user_id = conv.user_id
+        |GROUP BY 1""".stripMargin,
     // ordering pinned on (epoch-micros, event_id) in BOTH engines; the
     // -1-preceding frame keeps a purchase from attributing to itself
     "q_attribution" ->

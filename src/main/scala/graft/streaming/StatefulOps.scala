@@ -445,6 +445,43 @@ object StatefulOps {
     * watermark-buffered sort). AttributionStreamSpec proves the streamed
     * emission equals an in-JVM replay of the batch semantics under
     * uneven slicing, with cross-batch state carries exercised. */
+  /** [[attributionStream]] on Spark 4's `transformWithState` — the twin
+    * discipline [[ingestDedupTws]] established: identical semantics on
+    * the successor state API, with the touch pair held in a NAMED
+    * ValueState and an optional TTL ("attribute only within N days of
+    * the last touch" becomes one declared config, enforced by the store,
+    * instead of hand-rolled timeout plumbing). AttributionStreamSpec
+    * pins the two faces bit-equal on the same slicing. */
+  class AttributionProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, TouchEvent, AttributedPurchase] {
+    @transient private var touch: ValueState[TouchState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touch = getHandle.getValueState[TouchState]("touch", tsEnc, ttl)
+    override def handleInputRows(uid: Long, rows: Iterator[TouchEvent],
+        timerValues: TimerValues): Iterator[AttributedPurchase] = {
+      var st = Option(touch.get()).getOrElse(TouchState(null, null))
+      val out = Vector.newBuilder[AttributedPurchase]
+      rows.toSeq.sortBy(e => (e.t, e.eventId)).foreach { e =>
+        if (e.eventType == "purchase")
+          out += AttributedPurchase(uid, e.t, e.eventId,
+            Option(st.first).getOrElse("direct"),
+            Option(st.last).getOrElse("direct"), e.cents)
+        else
+          st = TouchState(
+            if (st.first == null) e.eventType else st.first, e.eventType)
+      }
+      touch.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** The `transformWithState` face of [[attributionStream]]. */
+  def attributionStreamTws(ds: Dataset[TouchEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[AttributedPurchase] =
+    ds.groupByKey(_.userId)
+      .transformWithState(new AttributionProcessor(ttl),
+        TimeMode.None(), OutputMode.Append())
+
   def attributionStream(ds: Dataset[TouchEvent])
       : Dataset[AttributedPurchase] =
     ds.groupByKey(_.userId)

@@ -216,6 +216,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getAs[Double]("sum_disc_price") > 0.0)
   }
 
+  test("conversion window: both arms live (some cohorts convert " +
+      "partially) and counts are consistent") {
+    val rows = graft.ops.Relational.conversionWindow(spark, TestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val signups = rows.map(_.getAs[Long]("n_signups")).sum
+    val converted = rows.map(_.getAs[Long]("n_converted")).sum
+    assert(converted > 0L, "degenerate: nobody converts in 24h")
+    assert(converted < signups,
+      "degenerate: everyone converts — the window bounds nothing")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_signups"))
+      val rate = r.getAs[Double]("conv_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("attribution conserves revenue per model and never credits a " +
       "purchase to itself") {
     val rows = graft.ops.Relational.attribution(spark, TestSession.sf)
