@@ -2,9 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** One-off stage profiler for q_ngram_jaccard_blocked (VERDICT r9 #6):
-  * times the shingle roll, prefix build, candidate join, and verify
-  * stages separately at the given sfDir. Not part of the driver contract;
+/** Stage profiler for the prefix-filtered n-gram Jaccard family (VERDICT
+  * r9 #6, r10 #5): times the shingle roll, df count, prefix build,
+  * candidate join (plain AND ppjoin-positional) and verify stages with
+  * barriers between them. Every stage calls the SHIPPED pipeline code
+  * ([[ops.TextOps.dfreqOf]] / [[ops.TextOps.prefixOf]] /
+  * [[ops.TextOps.candidatesOf]] / [[ops.TextOps.candidatesPpjoinOf]] /
+  * [[ops.TextOps.verifyJaccardForProfile]]) — ADVICE r10: a profiler
+  * that re-derives the formulas silently measures a different pipeline
+  * the moment the shipped one changes. Not part of the driver contract;
   * run via `sbt "runMain graft.ProfileNgb /root/testdata/sf0.1"`. */
 object ProfileNgb {
   def main(args: Array[String]): Unit = {
@@ -17,11 +23,16 @@ object ProfileNgb {
     }
     // end-to-end, twice (second run has the JVM + checkpoint warm)
     (1 to 2).foreach { i =>
-      t(s"full run $i") {
+      t(s"full blocked run $i") {
         ops.TextOps.ngramJaccardBlocked(s, d).collect().length
       }
     }
-    // staged re-run with barriers between stages
+    (1 to 2).foreach { i =>
+      t(s"full ppjoin run $i") {
+        ops.TextOps.ngramJaccardPpjoin(s, d).collect().length
+      }
+    }
+    // staged re-run with barriers between stages — shipped code only
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
     val byDoc = t("shingleSetsOf (checkpoint)") {
@@ -29,39 +40,31 @@ object ProfileNgb {
     }
     val sh = byDoc.select(col("doc_id"), col("n"),
       explode(col("shs")).as("sh"))
-    val dfreq = t("dfreq count") {
-      val x = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .localCheckpoint()
+    val dfreq = t("dfreqOf count") {
+      val x = ops.TextOps.dfreqOf(sh).localCheckpoint()
       println(s"[prof]   distinct shingles: ${x.count()}")
       x
     }
-    val prefix = t("prefix build (checkpoint)") {
-      sh.join(dfreq, "sh")
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("df"), col("sh"))))
-          .as("arr"), max(col("n")).as("n"))
-        .select(col("doc_id"), col("n"),
-          explode(slice(col("arr"), lit(1),
-            (col("n") - floor((col("n") * 3 + lit(4)) / lit(5)) + 1)
-              .cast("int"))).as("p"))
-        .select(col("doc_id"), col("p.sh").as("sh"), col("n"))
-        .localCheckpoint()
+    val prefix = t("prefixOf (checkpoint)") {
+      ops.TextOps.prefixOf(sh, dfreq).localCheckpoint()
     }
     println(s"[prof]   prefix rows: ${prefix.count()}")
-    val cand = t("candidate join + distinct") {
-      val c = prefix.as("a").join(prefix.as("b"),
-          col("a.sh") === col("b.sh") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            col("a.n") * 5 >= col("b.n") * 3 &&
-            col("b.n") * 5 >= col("a.n") * 3)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-        .localCheckpoint()
-      println(s"[prof]   candidates: ${c.count()}")
+    val cand = t("candidatesOf + distinct") {
+      val c = ops.TextOps.candidatesOf(prefix).localCheckpoint()
+      println(s"[prof]   candidates (plain): ${c.count()}")
       c
     }
-    t("verify (sharedCounts + filter)") {
+    val candPp = t("candidatesPpjoinOf") {
+      val c = ops.TextOps.candidatesPpjoinOf(prefix).localCheckpoint()
+      println(s"[prof]   candidates (ppjoin): ${c.count()}")
+      c
+    }
+    t("verify plain candidates") {
       val n = ops.TextOps.verifyJaccardForProfile(cand, byDoc)
+      println(s"[prof]   final pairs: $n")
+    }
+    t("verify ppjoin candidates") {
+      val n = ops.TextOps.verifyJaccardForProfile(candPp, byDoc)
       println(s"[prof]   final pairs: $n")
     }
     s.stop()

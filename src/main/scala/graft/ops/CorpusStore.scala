@@ -161,12 +161,20 @@ object CorpusStore {
 
   /** The COMMITTED batch dirs of one state surface (uncommitted partial
     * folds are invisible by construction). */
-  private def committedDirs(base: String, dir: String): Seq[String] =
-    Option(new java.io.File(s"$base/commits").list())
+  private def committedDirs(base: String, dir: String): Seq[String] = {
+    val dirs = Option(new java.io.File(s"$base/commits").list())
       .map(_.toSeq).getOrElse(Seq.empty)
       .map(id => s"$dir/batch=$id")
-      .filter(p => new java.io.File(p).exists())
       .sorted
+    // Every surface dir is written BEFORE its commit marker, so a
+    // committed id with a missing dir is corruption or external deletion
+    // — fail loudly rather than silently serving a partial manifest
+    // (ADVICE r10: the old `.filter(exists)` masked exactly that).
+    val missing = dirs.filterNot(p => new java.io.File(p).exists())
+    require(missing.isEmpty,
+      s"corrupt corpus store: committed batch dirs missing: ${missing.mkString(", ")}")
+    dirs
+  }
 
   /** Read one state surface of an incrementally-maintained manifest —
     * the union of committed folds (`surv`, `dedup`, `sig`, `shset`). */

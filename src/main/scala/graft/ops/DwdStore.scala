@@ -102,6 +102,7 @@ private[graft] object StoreDirs {
     * approximation.) */
   def durableOverwrite(df: org.apache.spark.sql.DataFrame,
       dir: String): Unit = {
+    recoverSwap(dir) // never delete a survivor while live is missing
     val staging = new java.io.File(dir + ".staging")
     val old = new java.io.File(dir + ".old")
     delete(staging); delete(old)
@@ -111,6 +112,47 @@ private[graft] object StoreDirs {
       require(live.renameTo(old), s"swap failed: $dir -> .old")
     require(staging.renameTo(live), s"swap failed: .staging -> $dir")
     delete(old)
+  }
+
+  /** Crash recovery for [[durableOverwrite]]'s two-rename swap (ADVICE
+    * r10): a crash between `live → .old` and `.staging → live` leaves NO
+    * live dir but two complete sibling copies. Without this step, a
+    * restart's read path would treat the missing live dir as an empty
+    * store and fold the next batch "fresh", and the next overwrite's
+    * staging/old cleanup would then delete BOTH surviving copies — the
+    * exact silent loss the staged swap exists to prevent. Recovery rule:
+    * if live is missing, restore `.old` (the last COMMITTED state —
+    * `.staging`'s commit never completed, so preferring it would
+    * double-apply the in-flight batch on replay); failing that, promote a
+    * `.staging` whose parquet job finished (`_SUCCESS` present — only
+    * reachable on a first-ever build, where there was no live to move
+    * aside). A partial `.staging` with no `_SUCCESS` is deleted: the
+    * store is then genuinely absent and callers rebuild from scratch.
+    * Idempotent and O(1); called from every store read path
+    * ([[recoverThenExists]]) and at [[durableOverwrite]] entry. */
+  def recoverSwap(dir: String): Unit = {
+    val live = new java.io.File(dir)
+    if (live.exists()) return
+    val staging = new java.io.File(dir + ".staging")
+    val old = new java.io.File(dir + ".old")
+    if (old.exists()) {
+      require(old.renameTo(live), s"recovery rename failed: .old -> $dir")
+      delete(staging) // uncommitted in-flight copy: discard, replay refolds
+    } else if (staging.exists()) {
+      if (new java.io.File(staging, "_SUCCESS").exists())
+        require(staging.renameTo(live),
+          s"recovery rename failed: .staging -> $dir")
+      else delete(staging)
+    }
+  }
+
+  /** Store-existence probe for the read→merge→overwrite refresh paths:
+    * recovers an interrupted swap FIRST, so a post-crash restart merges
+    * into the surviving committed copy instead of silently starting a
+    * fresh store from the current batch alone. */
+  def recoverThenExists(dir: String): Boolean = {
+    recoverSwap(dir)
+    new java.io.File(dir).exists()
   }
 
   /** Input-freshness cache key: the sfDir path plus a digest of every

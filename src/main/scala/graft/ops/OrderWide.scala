@@ -305,7 +305,7 @@ object OrderWide extends QueryModule {
     * only). */
   def scd2Refresh(s: SparkSession, histDir: String, batch: DataFrame): Unit = {
     val h =
-      if (new java.io.File(histDir).exists())
+      if (StoreDirs.recoverThenExists(histDir))
         Scd2.applyBatch(s.read.parquet(histDir), batch,
           "detail_id", "op_ts", chainOrder).localCheckpoint()
       else

@@ -76,12 +76,12 @@ object PostingStore {
     val freshD = batch.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
     val mergedP =
-      if (new java.io.File(pDir).exists())
+      if (StoreDirs.recoverThenExists(pDir))
         RetrievalOps.mergePostings(s.read.parquet(pDir), freshP)
           .localCheckpoint()
       else freshP.localCheckpoint()
     val mergedD =
-      if (new java.io.File(dDir).exists())
+      if (StoreDirs.recoverThenExists(dDir))
         s.read.parquet(dDir).unionByName(freshD)
           .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
           .localCheckpoint()

@@ -1851,14 +1851,19 @@ object Relational extends QueryModule {
 
   /** Per-customer RFM metrics + the corpus recency anchor — shared by the
     * declarative [[rfmSegments]] and the scale-path [[rfmSegmentsHist]],
-    * so both score IDENTICAL inputs. */
+    * so both score IDENTICAL inputs. The 1-row anchor also carries the
+    * freq/monetary maxima so the hist twin can shift its descending
+    * metrics into non-negative space with NO extra aggregation pass
+    * (fmax − freq and mmax − monetary are order-preserving images of
+    * −freq / −monetary with minimum exactly 0). */
   private def rfmBase(s: SparkSession, d: String): DataFrame = {
     val day = floor(unix_timestamp(col("o_orderdate")) / lit(86400L))
     val per = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(max(day).as("last_day"), count(lit(1)).as("freq"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("monetary"))
-    val anchor = per.agg(max(col("last_day")).as("dmax"))
+    val anchor = per.agg(max(col("last_day")).as("dmax"),
+      max(col("freq")).as("fmax"), max(col("monetary")).as("mmax"))
     per.crossJoin(broadcast(anchor))
       .withColumn("recency", col("dmax") - col("last_day"))
   }
@@ -1871,66 +1876,85 @@ object Relational extends QueryModule {
 
   /** Exact NTILE(5) over the total order (metric ASC, o_custkey ASC)
     * WITHOUT a global sort — the [[valueQuantiles]] histogram-rank device
-    * extended to a full per-row rank via a 4-level prefix-sum tree:
+    * extended to a full per-row rank via a 4-level prefix-sum tree, run
+    * over a STACKED (m, v) frame so ONE pass ranks every metric at once
+    * (the [[graft.ops.CatalogOps]] columnStats explode-stacking device —
+    * VERDICT r10 #3: the per-metric form paid the whole shuffle-family
+    * constant three times). Input rows are (o_custkey, m, v, w): metric
+    * id, value (descending metrics pre-negated — order-preserving,
+    * tie-break unchanged), per-metric coarse cell width. Per metric m:
     *
     *   rank = Σc(coarse cells < cv)        — triangular join over the
     *                                         COARSE histogram (bounded,
     *                                         broadcast-sized)
-    *        + Σc(values < v within cv)     — window PARTITIONED by cv
-    *                                         (≤ coarseW values per cell)
-    *        + Σc(custkey sub-buckets < sb  — window PARTITIONED by v
+    *        + Σc(values < v within cv)     — window PARTITIONED by
+    *                                         (m, cv) (≤ w values/cell)
+    *        + Σc(custkey sub-buckets < sb  — window PARTITIONED by (m, v)
     *             within the v tie group)     (tie-group sub-bucket list)
-    *        + row_number within (v, sb)    — window PARTITIONED by
-    *                                         (v, sb), ≤ 1024 keys
+    *        + row_number within (m, v, sb) — window PARTITIONED, ≤ 1024
+    *                                         keys per cell
     *
-    * NTILE(5) is then a closed-form function of (rank, n): the first
+    * NTILE(5) is then a closed-form function of (rank, n_m): the first
     * n%5 buckets take ⌈n/5⌉ rows, the rest ⌊n/5⌋. Every window is
     * partitioned with bounded partitions — no task ever sorts the world
     * and no no-partition WindowExec appears; deeper trees follow the
-    * same recursion if a level's partition outgrows a task. Descending
-    * metrics enter negated (order-preserving; tie-break unchanged). */
-  private def ntileByRank(base: DataFrame, metric: Column, coarseW: Long,
-      out: String): DataFrame = {
-    val df = base.select(col("o_custkey"), metric.as("v"))
-    // negated metrics are negative: shift into non-negative space so the
-    // exact idiv/pmod coarse bucketing stays order-preserving
-    val vn = df.agg(min(col("v")).as("vmin"))
-    val rows = df.crossJoin(broadcast(vn))
-      .select(col("o_custkey"), (col("v") - col("vmin")).as("v"))
-    val hist = rows.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .withColumn("cv", idiv(col("v"), lit(coarseW)))
+    * same recursion if a level's partition outgrows a task. Input
+    * contract: v is already NON-NEGATIVE (the caller shifts each metric
+    * by its extremum, free off an aggregate it computes anyway) and every
+    * metric has the SAME row count (one row per key per metric). An
+    * `orig` payload column rides along to the output unexamined, so the
+    * caller's pivot needs no join back to the base frame. Emits
+    * (m, o_custkey, score, orig). */
+  private def ntileByRankStacked(stacked: DataFrame): DataFrame = {
+    // the stacked frame is checkpointed ONCE: the broadcast jobs below
+    // (chist, cprev) and the final job's two consumers (shist subtree +
+    // the ranked join) would otherwise each re-derive it from the source
+    // scan — measured as the dominant warm-run cost, not the exchanges
+    val rows = stacked.localCheckpoint()
+    val hist = rows.groupBy(col("m"), col("v"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cv", idiv(col("v"), col("w")))
     // level 1: coarse-cell prefix counts, window-free (triangular join
-    // over the bounded coarse histogram)
-    val chist = hist.groupBy(col("cv")).agg(sum(col("c")).as("cc"))
-    val cprev = chist.select(col("cv"), col("cc"))
-      .join(broadcast(chist.select(col("cv").as("cv2"), col("cc").as("cc2"))),
-        col("cv2") < col("cv"), "left")
-      .groupBy(col("cv"))
+    // over the bounded coarse histogram, all metrics at once)
+    val chist = hist.groupBy(col("m"), col("cv")).agg(sum(col("c")).as("cc"))
+    val cprev = chist.select(col("m"), col("cv"))
+      .join(broadcast(chist.select(col("m").as("m2"), col("cv").as("cv2"),
+          col("cc").as("cc2"))),
+        col("m2") === col("m") && col("cv2") < col("cv"), "left")
+      .groupBy(col("m"), col("cv"))
       .agg(coalesce(sum(col("cc2")), lit(0L)).as("cv_prev"))
     // level 2: value prefix within its coarse cell
-    val wV = Window.partitionBy(col("cv")).orderBy(col("v"))
+    val wV = Window.partitionBy(col("m"), col("cv")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val vinfo = hist
-      .join(broadcast(cprev), "cv")
+      .join(broadcast(cprev), Seq("m", "cv"))
       .withColumn("v_prev", coalesce(sum(col("c")).over(wV), lit(0L)))
-      .select(col("v"), (col("cv_prev") + col("v_prev")).as("prev_all"))
+      .select(col("m"), col("v"),
+        (col("cv_prev") + col("v_prev")).as("prev_all"))
     // levels 3+4: custkey sub-bucket prefix within the tie group, then
-    // local row_number within the (v, sub-bucket) cell
+    // local row_number within the (m, v, sub-bucket) cell
     val sbc = idiv(col("o_custkey"), lit(1024L))
-    val shist = rows.groupBy(col("v"), sbc.as("sb"))
+    val shist = rows.groupBy(col("m"), col("v"), sbc.as("sb"))
       .agg(count(lit(1)).as("sc"))
-    val wSb = Window.partitionBy(col("v")).orderBy(col("sb"))
+    val wSb = Window.partitionBy(col("m"), col("v")).orderBy(col("sb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val scum = shist.select(col("v"), col("sb"),
+    val scum = shist.select(col("m"), col("v"), col("sb"),
       coalesce(sum(col("sc")).over(wSb), lit(0L)).as("sb_prev"))
-    val wCell = Window.partitionBy(col("v"), col("sb"))
+    val wCell = Window.partitionBy(col("m"), col("v"), col("sb"))
       .orderBy(col("o_custkey"))
-    val nRow = hist.agg(sum(col("c")).as("n"))
+    // n is identical for every metric (each base row contributes exactly
+    // one stacked row per m): a driver scalar off the checkpointed rows,
+    // not a per-metric broadcast with its own job cascade
+    val cnt = rows.agg(count(lit(1)).as("t"),
+      countDistinct(col("m")).as("k")).head()
+    val nScalar = cnt.getLong(0) / cnt.getLong(1)
+    // pre-join the two histogram-grain frames so the ROWS frame pays one
+    // (m, v, sb) shuffle, not two — the window then reuses that exchange
+    val cellInfo = scum.join(vinfo, Seq("m", "v"))
     val ranked = rows.withColumn("sb", sbc)
-      .join(scum, Seq("v", "sb"))
-      .join(vinfo, Seq("v"))
+      .join(cellInfo, Seq("m", "v", "sb"))
       .withColumn("lr", row_number().over(wCell).cast("long"))
-      .crossJoin(broadcast(nRow))
+      .withColumn("n", lit(nScalar))
       .withColumn("r", col("prev_all") + col("sb_prev") + col("lr"))
     val q = idiv(col("n"), lit(5L))
     val rem = col("n") % lit(5L)
@@ -1938,28 +1962,46 @@ object Relational extends QueryModule {
     val bucket = when(col("r") <= cutoff,
         idiv(col("r") - 1, q + lit(1L)) + lit(1L))
       .otherwise(rem + idiv(col("r") - cutoff - 1, q) + lit(1L))
-    ranked.select(col("o_custkey"), bucket.cast("int").as(out))
+    ranked.select(col("m"), col("o_custkey"), bucket.cast("int").as("score"),
+      col("orig"))
   }
 
   /** Scale-path rewrite of [[rfmSegments]]: the three global NTILE(5)
     * sorts (each a single task sorting every customer, three times) are
-    * replaced by [[ntileByRank]]'s partitioned prefix-sum rank — the
-    * quintile of each metric is a closed-form function of the exact rank,
-    * and the rank is assembled from histogram prefix counts whose every
-    * window is partitioned and bounded. Descending metrics (freq,
-    * monetary) enter negated. Registers with [[rfmSegments]]' oracle
-    * VERBATIM, so the hash gate proves quintile-invariance of the rewrite
-    * at every gated run (the repo's scale-rewrite discipline). Coarse
-    * widths: recency is day-granular (W=64 days/cell), freq is a count
-    * (W=8), monetary is cents (W=2^20 ≈ $10k/cell) — each keeps the
-    * coarse histogram broadcast-sized at any SF. */
+    * replaced by ONE [[ntileByRankStacked]] pass — the three metrics ride
+    * a 3-row explode per customer (metric id, value, coarse width), so
+    * each shuffle family in the prefix-sum rank is paid ONCE for all
+    * three quintiles, and the scores pivot back to columns in a single
+    * customer-keyed aggregate (no three-way join chain). Descending
+    * metrics (freq, monetary) enter negated. Registers with
+    * [[rfmSegments]]' oracle VERBATIM, so the hash gate proves
+    * quintile-invariance of the rewrite at every gated run (the repo's
+    * scale-rewrite discipline). Coarse widths: recency is day-granular
+    * (W=64 days/cell), freq is a count (W=8), monetary is cents
+    * (W=2^20 ≈ $10k/cell) — each keeps the coarse histogram
+    * broadcast-sized at any SF. */
   def rfmSegmentsHist(s: SparkSession, d: String): DataFrame = {
-    val base = rfmBase(s, d).localCheckpoint()
-    val r = ntileByRank(base, col("recency"), 64L, "r_score")
-    val f = ntileByRank(base, -col("freq"), 8L, "f_score")
-    val m = ntileByRank(base, -col("monetary"), 1L << 20, "m_score")
-    base.select(col("o_custkey"), col("monetary"))
-      .join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
+    // stacked (m, v, w, orig) rows, one per metric per customer: v is
+    // pre-shifted into non-negative space off rfmBase's 1-row anchor
+    // (recency already has min 0 by construction; fmax − freq and
+    // mmax − monetary are order-preserving images of the DESC metrics) —
+    // no separate per-metric min pass, no checkpoint of the base frame;
+    // `orig` carries monetary to the pivot so the grid needs no join back
+    val stacked = rfmBase(s, d).select(col("o_custkey"), explode(array(
+        struct(lit(1L).as("m"), col("recency").as("v"), lit(64L).as("w"),
+          col("monetary").as("orig")),
+        struct(lit(2L).as("m"), (col("fmax") - col("freq")).as("v"),
+          lit(8L).as("w"), col("monetary").as("orig")),
+        struct(lit(3L).as("m"), (col("mmax") - col("monetary")).as("v"),
+          lit(1L << 20).as("w"), col("monetary").as("orig")))).as("x"))
+      .select(col("x.m").as("m"), col("o_custkey"), col("x.v").as("v"),
+        col("x.w").as("w"), col("x.orig").as("orig"))
+    ntileByRankStacked(stacked)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("m") === 1L, col("score"))).as("r_score"),
+        max(when(col("m") === 2L, col("score"))).as("f_score"),
+        max(when(col("m") === 3L, col("score"))).as("m_score"),
+        max(col("orig")).as("monetary"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_cust"),
         sum(col("monetary")).as("cell_cents"))

@@ -755,46 +755,132 @@ object TextOps extends QueryModule {
       .localCheckpoint()
   }
 
-  private[graft] def ngramJaccardBlockedOf(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val byDoc = shingleSetsOf(docs)
-    val sh = byDoc.select(col("doc_id"), col("n"),
-      explode(col("shs")).as("sh")) // plain-array explode: codegen Generate
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // rank each doc's shingles in the GLOBAL canonical order (df asc,
-    // shingle asc — a total order, identical for every doc; struct
-    // ordering is field-major, so array_sort over struct(df, sh) IS that
-    // order) and keep the prefix of the p rarest; per-doc arrays are
-    // doc-sized, never corpus-sized. floor((3n+4)/5): exact
-    // integer-ceil(3n/5) for n < 2^51 (division by the exact constant 5;
-    // the quotient's integer part is representable) — a float 0.6·n
-    // could round the prefix one short and silently break completeness.
-    val prefix = sh.join(dfreq, "sh")
+  /** Per-shingle document frequency over the exploded (doc_id, n, sh)
+    * frame — stage 2 of the prefix-filter pipeline. Shared by the
+    * blocked/hashed/ppjoin forms AND [[graft.ProfileNgb]] (ADVICE r10:
+    * the profiler must time the SHIPPED stages, not a re-derivation). */
+  private[graft] def dfreqOf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+
+  /** Prefix build — stage 3: rank each doc's shingles in the GLOBAL
+    * canonical order (df asc, shingle asc — a total order, identical for
+    * every doc; struct ordering is field-major, so array_sort over
+    * struct(df, sh) IS that order) and keep the prefix of the p rarest;
+    * per-doc arrays are doc-sized, never corpus-sized. floor((3n+4)/5):
+    * exact integer-ceil(3n/5) for n < 2^51 (division by the exact
+    * constant 5; the quotient's integer part is representable) — a float
+    * 0.6·n could round the prefix one short and silently break
+    * completeness. Emits (doc_id, sh, n, i) where i is the 1-based
+    * position of the shingle in the doc's FULL canonical-sorted set (the
+    * prefix is the head, so prefix position = full position) — the
+    * blocked/hashed callers ignore i; the ppjoin positional filter
+    * consumes it. Column-generic over the shingle type (string or fp60
+    * long), so the blocked and hashed pipelines share this code. */
+  private[graft] def prefixOf(sh: DataFrame, dfreq: DataFrame): DataFrame =
+    sh.join(dfreq, "sh")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("arr"),
         max(col("n")).as("n"))
       .select(col("doc_id"), col("n"),
-        explode(slice(col("arr"), lit(1),
+        posexplode(slice(col("arr"), lit(1),
           (col("n") - floor((col("n") * 3 + lit(4)) / lit(5)) + 1)
-            .cast("int"))).as("p"))
-      .select(col("doc_id"), col("p.sh").as("sh"), col("n"))
-    val cand = prefix.as("a").join(prefix.as("b"),
+            .cast("int"))).as(Seq("pos0", "p")))
+      .select(col("doc_id"), col("p.sh").as("sh"), col("p.df").as("df"),
+        col("n"), (col("pos0") + 1).cast("long").as("i"))
+
+  /** Candidate generation — stage 4: prefix-keyed self-join with the
+    * size filter 5·min(n1,n2) ≥ 3·max(n1,n2) (J ≥ 0.6 ⟹ common ≥
+    * 0.6·max, common ≤ min), deduped to distinct (d1, d2). */
+  private[graft] def candidatesOf(prefix: DataFrame): DataFrame =
+    prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // verification joins each candidate pair to the two doc-level shingle
-    // sets (broadcast-sized relative to candidates) and intersects them
-    // in a typed loop — interpreted array_intersect measured 5.5 s where
-    // this runs in tenths; cost is candidates × doc size exactly, no
-    // corpus-wide pair×shingle aggregate
-    sharedCounts(cand, byDoc)
+
+  /** Candidate generation with PPJoin POSITIONAL filtering (Xiao, Wang,
+    * Lin & Yu, "Efficient Similarity Joins for Near Duplicate Detection",
+    * WWW'08 §3.2) — stage 4 of the ppjoin form. Same prefix-keyed join
+    * and size filter as [[candidatesOf]], but instead of deduping the
+    * prefix collisions away it AGGREGATES them per pair and applies an
+    * exact overlap upper bound before any verification:
+    *
+    * For a pair (a, b), let k = number of shingles shared by both
+    * PREFIXES and (i_k, j_k) the positions (1-based, in each doc's full
+    * canonical-sorted set) of the LAST such shared shingle in canonical
+    * order. Any common shingle smaller than that one sits at a position
+    * < i_k ≤ p_a in a (and likewise in b), i.e. inside BOTH prefixes, so
+    * it is already counted in k; any other common shingle sits strictly
+    * after position i_k in a AND after j_k in b, of which there are at
+    * most min(n1 − i_k, n2 − j_k). Hence
+    *     overlap(a,b) ≤ k + min(n1 − i_k, n2 − j_k),
+    * while J ≥ 0.6 requires overlap ≥ α = ceil(3·(n1+n2)/8) (from
+    * 1.6·common ≥ 0.6·(n1+n2)). Pairs failing the bound are pruned with
+    * NO false negatives — exactness is preserved, which the shared
+    * verbatim oracle proves. The per-pair aggregate runs on the
+    * prefix-collision frame the blocked form already materializes for its
+    * `distinct` — same exchange, one extra max/count — and every pruned
+    * pair is a candidate that skips the verify join entirely (the stage
+    * the r10 profile proved dominant: 193 k candidates for 256 final
+    * pairs). α uses integer-exact floor((3·(n1+n2)+7)/8) = ceil(3s/8) —
+    * the prefix-cutoff discipline. */
+  private[graft] def candidatesPpjoinOf(prefix: DataFrame): DataFrame =
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"),
+        col("a.df").as("df"), col("a.sh").as("sh"),
+        col("a.i").as("ia"), col("b.i").as("ib"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("k"),
+        // the LAST shared prefix shingle in canonical (df, sh) order;
+        // (ia, ib) ride along — unique per (pair, sh), so the trailing
+        // struct fields never decide the max
+        max(struct(col("df"), col("sh"), col("ia"), col("ib"))).as("last"))
+      .filter(col("k") +
+        least(col("n1") - col("last.ia"), col("n2") - col("last.ib")) >=
+        floor((lit(3) * (col("n1") + col("n2")) + lit(7)) / lit(8)))
+      .select(col("d1"), col("d2"))
+
+  /** Threshold + shape tail shared by every prefix-filtered form. */
+  private def jaccardVerifyTail(counted: DataFrame): DataFrame =
+    counted
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= 0.6)
       .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
         col("jaccard"))
+
+  private[graft] def ngramJaccardBlockedOf(docs: DataFrame): DataFrame = {
+    val byDoc = shingleSetsOf(docs)
+    val sh = byDoc.select(col("doc_id"), col("n"),
+      explode(col("shs")).as("sh")) // plain-array explode: codegen Generate
+    val cand = candidatesOf(prefixOf(sh, dfreqOf(sh)))
+    // verification joins each candidate pair to the two doc-level shingle
+    // sets (broadcast-sized relative to candidates) and intersects them
+    // in a typed loop — interpreted array_intersect measured 5.5 s where
+    // this runs in tenths; cost is candidates × doc size exactly, no
+    // corpus-wide pair×shingle aggregate
+    jaccardVerifyTail(sharedCounts(cand, byDoc))
+  }
+
+  /** [[ngramJaccardBlocked]] with PPJoin positional filtering between
+    * candidate generation and verification — the next lever after the
+    * fp60-hashed verify the round-10 profile named: prune candidates
+    * EXACTLY (see [[candidatesPpjoinOf]]) so fewer pairs ship shingle
+    * arrays through the dominant verify exchange. Registered under the
+    * ORIGINAL q_ngram_jaccard oracle verbatim — the hash gate proves the
+    * positional filter loses no pair. */
+  def ngramJaccardPpjoin(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPpjoinOf(docsParallel(s, d))
+
+  private[graft] def ngramJaccardPpjoinOf(docs: DataFrame): DataFrame = {
+    val byDoc = shingleSetsOf(docs)
+    val sh = byDoc.select(col("doc_id"), col("n"),
+      explode(col("shs")).as("sh"))
+    val cand = candidatesPpjoinOf(prefixOf(sh, dfreqOf(sh)))
+    jaccardVerifyTail(sharedCounts(cand, byDoc))
   }
 
   /** [[ngramJaccardBlocked]] with the pipeline run on fp60-HASHED
@@ -852,30 +938,14 @@ object TextOps extends QueryModule {
     val byDoc = hashedShingleSetsOf(docs)
     val sh = byDoc.select(col("doc_id"), col("n"),
       explode(col("shs")).as("sh"))
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // identical prefix-filter mechanics to [[ngramJaccardBlockedOf]] —
-    // the canonical order is (df, hashed-shingle), a total order both
-    // engines share since both hash with the same md5 device
-    val prefix = sh.join(dfreq, "sh")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("arr"),
-        max(col("n")).as("n"))
-      .select(col("doc_id"), col("n"),
-        explode(slice(col("arr"), lit(1),
-          (col("n") - floor((col("n") * 3 + lit(4)) / lit(5)) + 1)
-            .cast("int"))).as("p"))
-      .select(col("doc_id"), col("p.sh").as("sh"), col("n"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    sharedCountsLong(cand, byDoc)
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
-      .filter(col("jaccard") >= 0.6)
-      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
-        col("jaccard"))
+    // identical prefix-filter mechanics to [[ngramJaccardBlockedOf]]
+    // (SHARED stage code — [[prefixOf]]/[[candidatesPpjoinOf]] are
+    // column-generic): the canonical order is (df, hashed-shingle), a
+    // total order both engines share since both hash with the same md5
+    // device. The ppjoin positional filter composes with the fp60 verify
+    // — both levers the r10 profile named, stacked.
+    val cand = candidatesPpjoinOf(prefixOf(sh, dfreqOf(sh)))
+    jaccardVerifyTail(sharedCountsLong(cand, byDoc))
   }
 
   /** [[sharedCounts]] over hashed (Array[Long]) shingle sets — the typed
@@ -2661,6 +2731,7 @@ object TextOps extends QueryModule {
     "q_ngram_jaccard"      -> ngramJaccardPairs _,
     "q_ngram_jaccard_blocked" -> ngramJaccardBlocked _,
     "q_ngram_jaccard_hashed" -> ngramJaccardHashed _,
+    "q_ngram_jaccard_ppjoin" -> ngramJaccardPpjoin _,
     "q_split_leakage"      -> splitLeakage _,
     "q_importance_resample" -> importanceResample _,
     "q_segment_neardup"    -> segmentNearDup _,
@@ -3316,6 +3387,9 @@ object TextOps extends QueryModule {
     // the blocked rewrite shares the oracle VERBATIM: hash match ⟹ the
     // prefix+size filters changed nothing but the work done
     "q_ngram_jaccard_blocked" -> ngramJaccardSql,
+    // ppjoin shares it too: hash match ⟹ positional filtering pruned
+    // only pairs that could never reach the 0.6 threshold
+    "q_ngram_jaccard_ppjoin" -> ngramJaccardSql,
     "q_containment_dedup" -> containmentSql,
     "q_dup_span_profile" ->
       s"""WITH aug AS (

@@ -119,6 +119,47 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Property: PPJoin POSITIONAL filtering is EXACT — pruning a candidate
+    * by `k + min(n1−i_k, n2−j_k) < ceil(3(n1+n2)/8)` can never drop a pair
+    * with J ≥ 0.6 (Xiao et al. WWW'08 §3.2 upper bound). Same brute-force
+    * contract as the blocked test above, fresh seed, on the dense
+    * 4-token-alphabet corpora where prefix collisions (and hence the
+    * positional filter's opportunities AND its risk surface) are maximal.
+    * Any false negative from the positional bound would diverge here
+    * before the shared-verbatim oracle could catch it at gate time. */
+  test("ppjoin positional-filtered jaccard equals brute force on random dense corpora") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val base = (1 to 40).map { id =>
+        val n = 4 + rnd.nextInt(9)
+        (id.toLong,
+          (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+      }
+      val docs = base ++
+        base.filter(_._1 % 5 == 0).map { case (id, t) => (id + 1000, t) } ++
+        base.filter(_._1 % 7 == 0).map { case (id, t) =>
+          (id + 2000, t.split(" ").init.mkString(" ") + " z") }
+      def shset(t: String): Set[String] =
+        t.split(" ", -1).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val sets = docs.map { case (id, t) => id -> shset(t) }.toMap
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        c = (sa & sb).size
+        if c.toDouble / (sa.size + sb.size - c) >= 0.6
+      } yield (a, b, c.toLong, sa.size.toLong, sb.size.toLong)).toSet
+      assert(expected.nonEmpty, s"trial $trial: degenerate corpus (no pairs)")
+      val got = graft.ops.TextOps
+        .ngramJaccardPpjoinOf(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+      assert(got === expected, s"trial $trial over ${docs.size} docs")
+    }
+  }
+
   /** Property: the asymmetric prefix filter of containmentPairsOf is
     * COMPLETE — the flagged set equals a pure-Scala brute force over every
     * ORDERED pair, on random dense corpora with planted excerpts (strict
