@@ -308,6 +308,44 @@ object StatefulOps {
           out.iterator
         })
 
+  /** [[visitorRepair]] on Spark 4's `transformWithState` — completing the
+    * W8 migration row for the reference's first-visit ValueState job
+    * (BaseLogApp.java:71-108). Identical fold to the
+    * `flatMapGroupsWithState` form (first-seen date per mid, later "new"
+    * flags rewritten); the named state gains a DECLARED TTL so the
+    * reference's hand-tuned 1-day state retention becomes one config the
+    * store enforces (RocksDB compaction physically drops expired
+    * first-visit markers — at 100 TB of traffic the visitor-key space is
+    * the largest state surface this module holds). StreamingSpec pins the
+    * twin bit-equal to [[visitorRepair]] on the same slicing. */
+  class VisitorRepairProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, PageView, PageView] {
+    @transient private var first: ValueState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      first = getHandle.getValueState[String]("firstDate", Encoders.STRING, ttl)
+    override def handleInputRows(mid: String, rows: Iterator[PageView],
+        tv: TimerValues): Iterator[PageView] = {
+      var firstDate = Option(first.get()).getOrElse("")
+      val out = rows.toSeq.sortBy(_.ts).map { e =>
+        if (firstDate.isEmpty) {
+          firstDate = e.date
+          e // genuinely new: keep is_new as sent
+        } else if (e.isNew == "1" && e.date != firstDate) {
+          e.copy(isNew = "0") // repeat visitor mis-flagged as new
+        } else e
+      }
+      first.update(firstDate)
+      out.iterator
+    }
+  }
+
+  /** The `transformWithState` face of [[visitorRepair]]. */
+  def visitorRepairTws(ds: Dataset[PageView],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[PageView] =
+    ds.groupByKey(_.mid)
+      .transformWithState(new VisitorRepairProcessor(ttl),
+        TimeMode.None(), OutputMode.Append())
+
   /** O18 — keep-latest dedup on a changelog: hold the max-`opTs` row per
     * key, emit it once no newer version can arrive. The reference flushes
     * on a 5 s *processing-time* timer (DwsTradeSkuOrderWindow.java:81-111);
@@ -336,6 +374,56 @@ object StatefulOps {
             Iterator.empty
           }
         })
+
+  /** [[keepLatest]] on `transformWithState` with an EVENT-TIME TIMER —
+    * the upsert-kafka reader's core (the reference flushes the held
+    * version on a 5 s proc-time timer, DwsTradeSkuOrderWindow.java:81-111)
+    * on the successor API. The held max-`opTs` row lives in a named
+    * ValueState; each arrival re-arms ONE timer at
+    * `max(opTs + flushMs, watermark + 1)` (stale timers deleted — the
+    * [[GapSessionProcessor]] discipline), and `handleExpiredTimer` emits
+    * the version only if no newer one superseded it inside the same batch
+    * (expiry-vs-held guard). Event-time flush keeps the operator
+    * replay-deterministic, which the proc-time original is not.
+    * StreamingSpec pins the twin bit-equal to [[keepLatest]] on the same
+    * slicing. */
+  class KeepLatestProcessor(flushMs: Long)
+      extends StatefulProcessor[String, VersionedRow, VersionedRow] {
+    @transient private var held: ValueState[VersionedRow] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      held = getHandle.getValueState[VersionedRow]("held", versionedEnc,
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[VersionedRow],
+        tv: TimerValues): Iterator[VersionedRow] = {
+      val candidates =
+        (if (held.exists()) Iterator.single(held.get()) else Iterator.empty) ++
+          rows
+      val latest = candidates.maxBy(_.opTs)
+      held.update(latest)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        math.max(latest.opTs + flushMs, tv.getCurrentWatermarkInMs() + 1))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[VersionedRow] =
+      if (held.exists()) {
+        val h = held.get()
+        // a timer that raced a newer version in the same batch must not
+        // flush it early
+        if (info.getExpiryTimeInMs >= h.opTs + flushMs) {
+          held.clear()
+          Iterator.single(h)
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** The `transformWithState` face of [[keepLatest]]. */
+  def keepLatestTws(ds: Dataset[VersionedRow],
+      flushMs: Long = 5000): Dataset[VersionedRow] =
+    ds.groupByKey(_.key)
+      .transformWithState(new KeepLatestProcessor(flushMs),
+        TimeMode.EventTime(), OutputMode.Append())
 
   /** W6 — CEP bounce detector: an entry page (lastPageId == null) held per
     * mid; emitted as a bounce if the NEXT event is also an entry page, or
@@ -378,6 +466,68 @@ object StatefulOps {
           }
           out.result().iterator
         })
+
+  /** [[bounceDetector]] on `transformWithState` — the event-time
+    * `handleExpiredTimer` showcase of the W8 migration (the reference's
+    * CEP pattern-timeout side output, DwdTrafficUserJumpDetail.java:89):
+    * BOTH arms of the Flink CEP pattern live on one code path, with the
+    * timeout arm now an explicit timer callback instead of a
+    * `hasTimedOut` branch inside the input handler. An entry page is
+    * held in named state with ONE armed timer at `ts + timeoutMs`; a
+    * following entry page bounces it in-stream, a continuation clears
+    * it, and watermark passage fires the timer for the no-follow-up
+    * bounce — the expiry-vs-held guard drops a timer that raced a newer
+    * held entry in the same batch. StreamingSpec pins the twin bit-equal
+    * to [[bounceDetector]] on the same slicing. */
+  class BounceProcessor(timeoutMs: Long)
+      extends StatefulProcessor[String, PageView, PageView] {
+    @transient private var held: ValueState[PageView] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      held = getHandle.getValueState[PageView]("held", pageViewEnc,
+        TTLConfig.NONE)
+    override def handleInputRows(mid: String, rows: Iterator[PageView],
+        tv: TimerValues): Iterator[PageView] = {
+      val out = Vector.newBuilder[PageView]
+      var h = if (held.exists()) Option(held.get()) else None
+      rows.toSeq.sortBy(_.ts).foreach { e =>
+        val isEntry = e.lastPageId == null || e.lastPageId.isEmpty
+        h match {
+          case Some(p) if e.ts > p.ts + timeoutMs =>
+            out += p // nothing followed within the horizon: bounce
+            h = if (isEntry) Some(e) else None
+          case Some(p) =>
+            if (isEntry) out += p // entry→entry inside horizon: bounce
+            h = if (isEntry) Some(e) else None
+          case None =>
+            h = if (isEntry) Some(e) else None
+        }
+      }
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      h match {
+        case Some(p) =>
+          held.update(p)
+          getHandle.registerTimer(p.ts + timeoutMs)
+        case None => held.clear()
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(mid: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[PageView] =
+      if (held.exists()) {
+        val p = held.get()
+        if (info.getExpiryTimeInMs >= p.ts + timeoutMs) {
+          held.clear()
+          Iterator.single(p)
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** The `transformWithState` face of [[bounceDetector]]. */
+  def bounceDetectorTws(ds: Dataset[PageView],
+      timeoutMs: Long = 10000): Dataset[PageView] =
+    ds.groupByKey(_.mid)
+      .transformWithState(new BounceProcessor(timeoutMs),
+        TimeMode.EventTime(), OutputMode.Append())
 
   /** A keyed token occurrence — input to the streaming sketch. */
   case class KeyedToken(key: String, token: String)

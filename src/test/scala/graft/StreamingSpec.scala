@@ -193,6 +193,111 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.exists(r => r.key == "k1" && r.payload != "v5"))
   }
 
+  test("visitorRepairTws (transformWithState) ≡ visitorRepair on the same slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq(PageView("m1", "home", null, "1", 1000, "2024-01-01"),
+        PageView("m2", "home", null, "1", 1500, "2024-01-01")),
+      Seq(PageView("m1", "home", null, "1", 90000000, "2024-01-02"),
+        PageView("m1", "detail", "home", "0", 90000100, "2024-01-02"),
+        PageView("m3", "home", null, "1", 90000200, "2024-01-02")),
+      Seq(PageView("m2", "home", null, "1", 180000000, "2024-01-03")))
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[PageView] =>
+          org.apache.spark.sql.Dataset[PageView]): Seq[PageView] = {
+      val in = MemoryStream[PageView]
+      val q = f(in.toDS()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append)
+        .start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val rows = spark.table(name).as[PageView].collect()
+        .sortBy(e => (e.mid, e.ts)).toSeq
+      q.stop()
+      rows
+    }
+    val legacy = run("vr_legacy", visitorRepair)
+    val tws = run("vr_tws", ds => visitorRepairTws(ds))
+    assert(tws === legacy)
+    // and the repair itself happened (not two empty outputs agreeing):
+    // both later-day "1" flags were rewritten
+    assert(tws.exists(e => e.mid == "m1" && e.ts == 90000000L &&
+      e.isNew == "0"), s"$tws")
+    assert(tws.exists(e => e.mid == "m2" && e.ts == 180000000L &&
+      e.isNew == "0"), s"$tws")
+  }
+
+  test("keepLatestTws (transformWithState timer) ≡ keepLatest on the same slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq(VersionedRow("k1", 1000, "v1"), VersionedRow("k1", 5000, "v5"),
+        VersionedRow("k1", 3000, "v3")),
+      Seq(VersionedRow("k2", 60000, "x")), // watermark → 60000 > 5000+5000
+      Seq(VersionedRow("k3", 120000, "y")))
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[VersionedRow] =>
+          org.apache.spark.sql.Dataset[VersionedRow]): Seq[VersionedRow] = {
+      val in = MemoryStream[VersionedRow]
+      val withWm = in.toDS().toDF()
+        .withColumn("eventTime", timestamp_millis(col("opTs")))
+        .withWatermark("eventTime", "0 seconds")
+        .as[VersionedRow]
+      val q = f(withWm).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append)
+        .start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      in.addData(VersionedRow("k4", 240000, "z")) // extra batch: timers fire
+      q.processAllAvailable()
+      val rows = spark.table(name).as[VersionedRow].collect()
+        .sortBy(e => (e.key, e.opTs)).toSeq
+      q.stop()
+      rows
+    }
+    val legacy = run("kl_legacy", ds => keepLatest(ds))
+    val tws = run("kl_tws", ds => keepLatestTws(ds))
+    assert(tws === legacy)
+    // the latest k1 version flushed, superseded ones never emitted
+    assert(tws.exists(r => r.key == "k1" && r.payload == "v5"), s"$tws")
+    assert(!tws.exists(r => r.key == "k1" && r.payload != "v5"), s"$tws")
+  }
+
+  test("bounceDetectorTws (handleExpiredTimer) ≡ bounceDetector on the same slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq(
+        PageView("A", "home", null, "0", 1000, "d"),   // entry, held
+        PageView("A", "home", null, "0", 3000, "d"),   // entry again → bounce
+        PageView("B", "home", null, "0", 1000, "d"),   // entry, held
+        PageView("B", "detail", "home", "0", 3000, "d"), // continuation
+        PageView("C", "home", null, "0", 1000, "d")),  // entry → timeout
+      Seq(PageView("Z", "home", null, "0", 60000, "d")),
+      Seq(PageView("Z2", "home", null, "0", 120000, "d")))
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[PageView] =>
+          org.apache.spark.sql.Dataset[PageView]): Set[(String, Long)] = {
+      val in = MemoryStream[PageView]
+      val withWm = in.toDS().toDF()
+        .withColumn("eventTime", timestamp_millis(col("ts")))
+        .withWatermark("eventTime", "0 seconds")
+        .as[PageView]
+      val q = f(withWm).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append)
+        .start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      in.addData(PageView("Z3", "home", null, "0", 240000, "d"))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[PageView].collect()
+        .map(r => (r.mid, r.ts)).toSet
+      q.stop()
+      rows
+    }
+    val legacy = run("bd_legacy", ds => bounceDetector(ds))
+    val tws = run("bd_tws", ds => bounceDetectorTws(ds))
+    assert(tws === legacy)
+    // both CEP arms fired: entry→entry (A) and timer timeout (C), B not
+    assert(tws.contains(("A", 1000L)) && tws.contains(("C", 1000L)), s"$tws")
+    assert(!tws.exists(_._1 == "B"), s"$tws")
+  }
+
   test("log splitter routes five branches and catches dirty lines") {
     val lines = Seq(
       """{"common":{"mid":"m1","uid":"u1","is_new":"1"},"page":{"page_id":"home","during_time":5},"ts":1000}""",
