@@ -397,9 +397,11 @@ object VectorOps extends QueryModule {
     "q_ann_pq"         -> annPq _,
     "q_ann_ivfpq"      -> annIvfPq _,
     "q_ann_ivfpq_mp"   -> annIvfPqMp _,
+    "q_ann_ivfpq_mp4"  -> annIvfPqMp4 _,
     "q_ann_pq_recall"  -> annPqRecall _,
     "q_ann_ivfpq_recall" -> annIvfPqRecall _,
     "q_ann_ivfpq_mp_recall" -> annIvfPqMpRecall _,
+    "q_ann_ivfpq_mp4_recall" -> annIvfPqMp4Recall _,
     "q_ann_sq"         -> annSq _,
     "q_semdedup"       -> semDedup _,
     "q_cluster_mix"    -> clusterMix _,
@@ -639,12 +641,12 @@ object VectorOps extends QueryModule {
        |        FROM ad)
        |  WHERE srank <= $Shortlist)""".stripMargin
 
-  /** [[dKlist]] + the nprobe=2 pick (each probe's TWO nearest TRAINED
-    * centroids, the [[dIvfPqChain]] ranking at rk ≤ 2) → list-restricted
-    * ADC → top-[[Shortlist]] — shared VERBATIM by `q_ann_ivfpq_mp` and
-    * its recall audit. The ad/shortlist text is identical to
-    * [[dIvfPqChain]]'s; only `pick` widens. */
-  private lazy val dIvfPqMpChain: String =
+  /** [[dKlist]] + the nprobe=N pick (each probe's N nearest TRAINED
+    * centroids, the [[dIvfPqChain]] ranking at rk ≤ N) → list-restricted
+    * ADC → top-[[Shortlist]] — shared VERBATIM by `q_ann_ivfpq_mp` /
+    * `q_ann_ivfpq_mp4` and their recall audits. The ad/shortlist text is
+    * identical to [[dIvfPqChain]]'s; only `pick` widens. */
+  private def dIvfPqMpChainN(nprobe: Int): String =
     s"""$dKlist,
        |pick AS (
        |  SELECT vec_id AS probe_id, j AS list
@@ -653,7 +655,7 @@ object VectorOps extends QueryModule {
        |            ORDER BY ${dL2sq("embedding", "cw", 64)} ASC, j ASC) AS rk
        |        FROM embeddings e CROSS JOIN kcwt
        |        WHERE e.vec_id < 8)
-       |  WHERE rk <= 2),
+       |  WHERE rk <= $nprobe),
        |cand AS (
        |  SELECT probe_id, klist.vec_id AS vec_id
        |  FROM klist JOIN pick USING (list)),
@@ -1270,7 +1272,21 @@ object VectorOps extends QueryModule {
     * re-rank) is shared with [[annIvfPq]] verbatim. Candidate count is
     * ~2N/[[CoarseK]] — the dial trades a ×2 scan for the boundary recall,
     * still sublinear in N with CoarseK ≈ √N. */
-  def annIvfPqMp(s: SparkSession, d: String): DataFrame = {
+  def annIvfPqMp(s: SparkSession, d: String): DataFrame =
+    annIvfPqMpN(s, d, nprobe = 2)
+
+  /** The nprobe=4 point on the same dial — candidates ~4N/[[CoarseK]],
+    * still sublinear; measured recall@5 vs the exact scan rises with each
+    * widening (0.875 single-list → 0.925 at nprobe=2 → see VectorSpec's
+    * floor for nprobe=4). Registered as its own gated query + recall
+    * audit so the dial's MONOTONICITY is driver-proven, not just
+    * spec-proven: rank ≤ 2 lists are a subset of rank ≤ 4, so the
+    * candidate set only grows and recall can never fall. */
+  def annIvfPqMp4(s: SparkSession, d: String): DataFrame =
+    annIvfPqMpN(s, d, nprobe = 4)
+
+  private def annIvfPqMpN(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
     val e = embParallel(s, d)
     val cw = storedCodebook(s, d)
     val codes = storedCodes(s, d)
@@ -1283,7 +1299,7 @@ object VectorOps extends QueryModule {
       .select(col("probe_id"), col("j"),
         l2sq(col("pvec"), col("cw")).as("cdist"))
       .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= 2)
+      .filter(col("crank") <= nprobe)
       .select(col("probe_id"), col("j").as("list"))
     val cand = lists.join(broadcast(pick), Seq("list"))
       .select(col("probe_id"), col("vec_id"))
@@ -1304,6 +1320,10 @@ object VectorOps extends QueryModule {
   /** See [[annPqRecall]] — the nprobe=2 arm of the same audit. */
   def annIvfPqMpRecall(s: SparkSession, d: String): DataFrame =
     recallVsExactL2(s, d, annIvfPqMp(s, d))
+
+  /** See [[annPqRecall]] — the nprobe=4 arm of the same audit. */
+  def annIvfPqMp4Recall(s: SparkSession, d: String): DataFrame =
+    recallVsExactL2(s, d, annIvfPqMp4(s, d))
 
   /** QUANTIZATION RECALL AUDITS, hash-gated like [[annRecall]]: recall@5
     * of a composed quantization path against the exact squared-L2 top-5
@@ -1605,13 +1625,26 @@ object VectorOps extends QueryModule {
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
          |           FROM embeddings WHERE vec_id < 8),
          |$dPq,
-         |$dIvfPqMpChain,
+         |${dIvfPqMpChainN(2)},
          |$dRerank""".stripMargin,
     "q_ann_ivfpq_mp_recall" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
          |           FROM embeddings WHERE vec_id < 8),
          |$dPq,
-         |$dIvfPqMpChain,
+         |${dIvfPqMpChainN(2)},
+         |$dRerankCtes,
+         |$dRecallTail""".stripMargin,
+    "q_ann_ivfpq_mp4" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |$dPq,
+         |${dIvfPqMpChainN(4)},
+         |$dRerank""".stripMargin,
+    "q_ann_ivfpq_mp4_recall" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |$dPq,
+         |${dIvfPqMpChainN(4)},
          |$dRerankCtes,
          |$dRecallTail""".stripMargin,
     "q_cluster_mix" ->

@@ -121,17 +121,29 @@ class VectorSpec extends AnyFunSuite {
     assert(ivfpqRecall >= 0.5,
       s"IVFADC recall@5 = $ivfpqRecall — trained coarse quantizer dead?")
     // nprobe=2 widens the boundary recall (measured 0.925 vs 0.875 at
-    // sf0.001): the 0.8 floor is the operating point the multi-probe
-    // dial exists to guarantee — and it must never fall below the
-    // single-list path (its rank-1 list IS the stored assignment, so the
-    // candidate set only grows)
+    // sf0.001): the 0.9 floor (raised from 0.8 in r11 — the whole chain
+    // is deterministic: stored codebooks, md5 devices, pinned tie-breaks,
+    // so the measured 0.925 cannot drift) is the operating point the
+    // multi-probe dial exists to guarantee — and it must never fall below
+    // the single-list path (its rank-1 list IS the stored assignment, so
+    // the candidate set only grows)
     val mp = ops.VectorOps.annIvfPqMp(spark, TestSession.sf).collect()
     val mpPairs = mp.map(r => (r.getLong(0), r.getLong(1))).toSet
     val mpRecall = (mpPairs & truth).size.toDouble / truth.size
-    assert(mpRecall >= 0.8,
+    assert(mpRecall >= 0.9,
       s"IVFADC nprobe=2 recall@5 = $mpRecall — multi-probe dial broken?")
     assert(mpRecall >= ivfpqRecall,
       s"nprobe=2 recall $mpRecall below nprobe=1 $ivfpqRecall")
+    // nprobe=4 (measured 0.95 at sf0.001): the dial is monotone by
+    // construction — rank ≤ 2 lists ⊂ rank ≤ 4 lists, candidates only
+    // grow — so recall must be ≥ the nprobe=2 point, never below
+    val mp4 = ops.VectorOps.annIvfPqMp4(spark, TestSession.sf).collect()
+    val mp4Pairs = mp4.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp4Recall = (mp4Pairs & truth).size.toDouble / truth.size
+    assert(mp4Recall >= 0.9,
+      s"IVFADC nprobe=4 recall@5 = $mp4Recall — multi-probe dial broken?")
+    assert(mp4Recall >= mpRecall,
+      s"nprobe=4 recall $mp4Recall below nprobe=2 $mpRecall")
   }
 
   test("two-level topKPerProbe equals the single global window, " +
