@@ -32,7 +32,7 @@ object TextOps extends QueryModule {
     * repartition of the 500–5000 tiny rows buys full-core parallelism for
     * the compute stage. At 100 TB the input is already many splits and this
     * becomes a no-op knob. */
-  private def docsParallel(s: SparkSession, d: String): DataFrame =
+  private[ops] def docsParallel(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
   // ---- DuckDB oracle SQL fragments (kept adjacent to the Column builders
@@ -1270,7 +1270,7 @@ object TextOps extends QueryModule {
 
   /** LSH candidate pairs from banded signatures: docs colliding in ≥1
     * band meet in a (band, key)-keyed self-join. */
-  private def lshCandidates(sig: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(sig: DataFrame): DataFrame = {
     val bands = bandKeys(sig)
     bands.as("x")
       .join(bands.as("y"),
@@ -1284,9 +1284,10 @@ object TextOps extends QueryModule {
     * fraction. THE near-dup scale path: cost is O(candidates), not
     * O(docs²). */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint (not cache): sig feeds candidate generation and both
-    // signature-compare sides; blocks are GC-reclaimed after the query
-    val sig = minhashSignatures(s, d).localCheckpoint()
+    // the STORED full-corpus signatures (r11, same device as
+    // [[nearDupPipeline]]): sig feeds candidate generation and both
+    // signature-compare sides off one parquet read, no re-hash per run
+    val sig = TextIndexStore.corpusSig(s, d)
     val cand = lshCandidates(sig)
     val a = sig.toDF("d1" +: (0 until 8).map(j => s"a$j"): _*)
     val b = sig.toDF("d2" +: (0 until 8).map(j => s"b$j"): _*)
@@ -1378,14 +1379,31 @@ object TextOps extends QueryModule {
     * on candidates only — the two-stage shape that scales to 100 TB where
     * the all-pairs q_ngram_jaccard verifier cannot. Output = verified
     * near-dup pairs (Jaccard ≥ 0.6) among LSH candidates. */
-  def nearDupPipeline(s: SparkSession, d: String): DataFrame =
-    nearDupPairsOf(s, docsParallel(s, d))
+  def nearDupPipeline(s: SparkSession, d: String): DataFrame = {
+    // probes the STORED full-corpus surfaces (ingest-time columns in
+    // production, [[TextIndexStore.corpusSig]]/[[corpusShset]] here)
+    // instead of re-hashing and re-shingling the corpus per run — the r11
+    // fix for the adjudicated drift: the staged profile showed the cost
+    // spread across four sequential jobs each re-deriving per-doc
+    // artifacts the store already holds. Same candidates, same verify,
+    // same output — the unchanged oracle hash proves it every gated run;
+    // [[nearDupPairsOf]] remains the storeless generic path (the composed
+    // corpus filter runs it on gated+augmented frames).
+    val cand = lshCandidates(TextIndexStore.corpusSig(s, d))
+      .localCheckpoint()
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val survivors = TextIndexStore.corpusShset(s, d)
+      .join(candIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    verifySimPairs(cand, survivors)
+      .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+  }
 
   /** The LSH→verify pipeline over any (doc_id, text) frame.
     * Intermediates are localCheckpointed (never cache()d): each is read by
     * 2+ downstream consumers, and checkpoint blocks are GC-reclaimed with
     * the frame — no unpersist obligation leaks to callers. */
-  private def nearDupPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def nearDupPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val cand = lshCandidates(minhashSignaturesOf(s, docs).localCheckpoint())
       .localCheckpoint()
     val shingleSets = docs.select(col("doc_id"), shsetCol.as("shset"))
