@@ -206,6 +206,77 @@ object Bench {
     val total = jnum(ok.map(_._2).sum)
     val totalMed = jnum(ok.map(_._3).sum)
     System.err.println(s"""[bench-diagnostics] {"value_median":$totalMed,"queries_median":$qsMed,"queries_sweep":$qsSweep,"isolated":$iso}""")
+
+    // Sweep-vs-isolated DISPERSION (r11, after the r10 driver record
+    // doubled on contention): on a clean box the forked children land at
+    // or below their sweep mins; children running well ABOVE them means
+    // the box stayed contended through the isolation phase (the r10
+    // adjudication found children at 31-35 s for queries whose true mins
+    // are 1.4-2.2 s) — both arms are then inflated and the min-fold
+    // cannot heal the record. The record says so itself.
+    if (!isChild && isolated.nonEmpty) {
+      val disp = isolated.filter(_._2 > 0)
+        .flatMap { case (n, i) => sweepMin.get(n).filter(_ > 0).map(sw =>
+          (n, sw, i)) }
+      if (disp.nonEmpty) {
+        val ratios = disp.map { case (_, sw, i) => i / sw }.sorted
+        val medRatio = ratios(ratios.size / 2)
+        val perQ = disp.map { case (n, sw, i) =>
+          s""""$n":{"sweep":${jnum(sw)},"iso":${jnum(i)},"ratio":${jnum(i / sw)}}"""
+        }.mkString("{", ",", "}")
+        System.err.println(s"""[bench-dispersion] {"median_iso_over_sweep":${jnum(medRatio)},"n_isolated":${disp.size},"per_query":$perQ}""")
+        if (medRatio > 2.0)
+          System.err.println("[bench-dispersion] WARNING: isolated " +
+            f"children ran at ${medRatio}%.1fx their sweep mins (median) — " +
+            "the box was contended through the isolation phase; treat this " +
+            "record as inflated and cross-check the committed " +
+            "BENCH_LOCAL_latest.json")
+      }
+    }
+
+    // Min-vs-last-round sanity (r11): compare folded mins against the
+    // committed fresh-JVM local baseline, so a contention-poisoned driver
+    // record is refutable from the repo itself.
+    if (!isChild) {
+      val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+        "BENCH_LOCAL_latest.json")
+      try {
+        val f = new java.io.File(basePath)
+        if (f.exists()) {
+          val src = scala.io.Source.fromFile(f)
+          val line =
+            try src.getLines().find(_.contains("\"queries\":{"))
+            finally src.close()
+          line match {
+            case Some(l) =>
+              val seg = l.substring(
+                l.indexOf("\"queries\":{") + "\"queries\":{".length)
+              val body = seg.substring(0, seg.indexOf('}'))
+              val pair = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+              val base = pair.findAllMatchIn(body)
+                .map(m => (m.group(1), m.group(2).toDouble)).toMap
+              val regress = folded.filter(_._2 >= 0).flatMap { case (n, v, _) =>
+                base.get(n).filter(b => b > 0 && v > 2 * b && v - b > 0.5)
+                  .map(b => (n, b, v))
+              }.sortBy { case (_, b, v) => -(v / b) }
+              if (regress.nonEmpty)
+                System.err.println(s"[bench-baseline] ${regress.size} queries " +
+                  s">2x the committed local baseline ($basePath): " +
+                  regress.take(10).map { case (n, b, v) =>
+                    f"$n $b%.2f->$v%.2f" }.mkString(", "))
+              else
+                System.err.println(
+                  s"[bench-baseline] all folded mins within 2x of $basePath")
+            case None => System.err.println(
+              s"[bench-baseline] $basePath has no queries line — skipped")
+          }
+        } else System.err.println(
+          s"[bench-baseline] no $basePath in cwd — sanity line skipped")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-baseline] unreadable: ${e.getMessage}")
+      }
+    }
     val nFailed = results.count(_._2 < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"total":$total}""")
     // The per-query line above is ~2.7 kB — larger than the driver's tail
