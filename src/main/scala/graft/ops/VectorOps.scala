@@ -404,6 +404,7 @@ object VectorOps extends QueryModule {
     "q_ann_ivfpq_mp4_recall" -> annIvfPqMp4Recall _,
     "q_ann_sq"         -> annSq _,
     "q_semdedup"       -> semDedup _,
+    "q_semantic_decontaminate" -> semanticDecontaminate _,
     "q_cluster_mix"    -> clusterMix _,
     "q_embed_drift"    -> embedDrift _,
     "q_hard_negatives" -> hardNegatives _,
@@ -1033,6 +1034,55 @@ object VectorOps extends QueryModule {
           .as("n_dropped"),
         sum(when(col("hit").isNull, 1).otherwise(0)).cast("long")
           .as("n_kept"))
+  }
+
+  /** Semantic eval-set decontamination — [[TextOps.decontaminate]]'s
+    * embedding-space twin, the hygiene step n-gram containment cannot
+    * see: a PARAPHRASED eval answer shares no 8-gram with the benchmark
+    * but sits at cosine ≈ 1 in embedding space (the reason modern
+    * pretraining decontamination runs both gates). Eval set =
+    * `vec_id % 17 ≡ 0` (the q_decontaminate modulus device); a corpus
+    * vector flagging at cosine ≥ 0.92 against ANY eval vector is
+    * contaminated.
+    *
+    * Liveness: every 34th eval vector is re-issued INTO the corpus under
+    * +PlantOffset with dim 0 zeroed (the [[semDedup]] plant — cosine
+    * ≈ 0.97 vs its original, above the gate), so the flag count is
+    * provably non-degenerate; natural high-sim corpus-eval pairs flag
+    * additionally (correctly — the contract is similarity, not
+    * identity).
+    *
+    * Scale shape: the benchmark side is TINY at any corpus scale →
+    * broadcast; the probe is ONE shuffle-free nested-loop map stage over
+    * the corpus (native codegen [[VectorFunctions.cosine]], no HOF), cost
+    * exactly O(corpus × eval) — the honest brute baseline at benchmark
+    * size. If the eval set ever outgrows broadcast, the stored-IVF
+    * list-restricted probe ([[annIvfPq]]'s device) is the sublinear
+    * escape hatch. Output per label: exact integer totals. */
+  def semanticDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = embParallel(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val evalSet = base.filter(col("vec_id") % 17 === 0)
+    // materialized once: feeds the probe branch and the final rollup
+    val corpus = base.filter(col("vec_id") % 17 =!= 0)
+      .unionAll(evalSet.filter(col("vec_id") % 34 === 0)
+        .select((col("vec_id") + TextOps.PlantOffset).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"),
+          col("label")))
+      .localCheckpoint()
+    val hits = corpus.select(col("vec_id"), col("embedding").as("cv"))
+      .join(broadcast(evalSet.select(col("embedding").as("ev"))),
+        cosine(col("cv"), col("ev")) >= 0.92)
+      .select(col("vec_id")).distinct()
+    corpus
+      .join(broadcast(hits.withColumn("hit", lit(1))), Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("hit").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_contaminated"),
+        sum(when(col("hit").isNull, 1).otherwise(0)).cast("long")
+          .as("n_clean"))
   }
 
   /** Asymmetric-distance table: probe × codeword squared-L2 per subspace.
@@ -1705,6 +1755,32 @@ object VectorOps extends QueryModule {
          |       FROM sc WHERE n_label = plabel
          |       QUALIFY rank = 1)
          |SELECT * FROM hn UNION ALL SELECT * FROM hp""".stripMargin,
+    // mirrors semanticDecontaminate: same eval/corpus moduli, same dim-0
+    // plant device, same single-formula cosine (dCos textually = the
+    // Spark Expression's IEEE sequence — the semDedup precedent)
+    "q_semantic_decontaminate" ->
+      s"""WITH base AS (SELECT vec_id, embedding, label FROM embeddings),
+         |ev AS (SELECT * FROM base WHERE vec_id % 17 = 0),
+         |corpus AS (
+         |  SELECT vec_id, embedding, label FROM base WHERE vec_id % 17 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + ${TextOps.PlantOffset} AS vec_id,
+         |    list_transform(range(1, len(embedding)+1),
+         |      i -> CASE WHEN i = 1 THEN CAST(0.0 AS REAL)
+         |           ELSE embedding[CAST(i AS INT)] END) AS embedding,
+         |    label
+         |  FROM ev WHERE vec_id % 34 = 0),
+         |hits AS (
+         |  SELECT DISTINCT c.vec_id AS vec_id
+         |  FROM corpus c JOIN ev e
+         |    ON ${dCos("c.embedding", "e.embedding")} >= 0.92)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(CASE WHEN hits.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated,
+         |  CAST(SUM(CASE WHEN hits.vec_id IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clean
+         |FROM corpus LEFT JOIN hits ON corpus.vec_id = hits.vec_id
+         |GROUP BY label""".stripMargin,
     "q_semdedup" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
          |copies AS (

@@ -169,6 +169,23 @@ class VectorSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("semantic decontamination: every planted eval leak is flagged, " +
+      "and totals reconcile") {
+    val e = Tables.embeddings(spark, TestSession.sf)
+    val nEval34 = e.filter(col("vec_id") % 17 === 0 &&
+      col("vec_id") % 34 === 0).count()
+    assert(nEval34 > 0, "degenerate: no plantable eval vectors at this SF")
+    val out = ops.VectorOps
+      .semanticDecontaminate(spark, TestSession.sf).collect()
+    val nCorpusNatural = e.filter(col("vec_id") % 17 =!= 0).count()
+    assert(out.map(_.getLong(1)).sum === nCorpusNatural + nEval34)
+    // the plants alone guarantee ≥ nEval34 contaminated rows (each plant
+    // sits at cosine ≈ 0.97 vs its eval original, above the 0.92 gate);
+    // natural corpus-eval high-sim pairs may flag additionally
+    assert(out.map(_.getLong(2)).sum >= nEval34,
+      s"planted leaks not all flagged: ${out.map(_.getLong(2)).sum} < $nEval34")
+  }
+
   test("lsh bucket is stable and in range") {
     val b = ops.VectorOps.lshBuckets(spark, TestSession.sf)
     val bad = b.filter(col("bucket") < 0 || col("bucket") > 255).count()
