@@ -252,9 +252,25 @@ object Bench {
               val seg = l.substring(
                 l.indexOf("\"queries\":{") + "\"queries\":{".length)
               val body = seg.substring(0, seg.indexOf('}'))
-              val pair = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
-              val base = pair.findAllMatchIn(body)
-                .map(m => (m.group(1), m.group(2).toDouble)).toMap
+              // the flat-object parse is only valid against the jnum
+              // %.3f format this file writes; bail out loudly on a
+              // nested value or any entry the anchored pattern doesn't
+              // consume (e.g. scientific notation) instead of silently
+              // mis-parsing the regression diagnostics (ADVICE r11)
+              if (body.contains("{"))
+                throw new IllegalStateException(
+                  s"$basePath queries object is not flat — " +
+                    "regenerate it with this Bench version")
+              val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+\.[0-9]{3})""".r
+              val entries = pair.findAllMatchIn(body)
+                .map(m => (m.group(1), m.group(2).toDouble)).toList
+              val nCommas = if (body.trim.isEmpty) -1 else body.count(_ == ',')
+              if (entries.size != nCommas + 1)
+                throw new IllegalStateException(
+                  s"$basePath queries entries not all in jnum %.3f form " +
+                    s"(${entries.size} parsed of ${nCommas + 1}) — " +
+                    "regenerate it with this Bench version")
+              val base = entries.toMap
               val regress = folded.filter(_._2 >= 0).flatMap { case (n, v, _) =>
                 base.get(n).filter(b => b > 0 && v > 2 * b && v - b > 0.5)
                   .map(b => (n, b, v))

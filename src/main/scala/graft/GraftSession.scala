@@ -56,6 +56,13 @@ object GraftSession {
       // without it the bucket-co-located SMJ keeps a redundant in-partition
       // Sort on both sides; BucketJoinSpec pins the sort-free plan
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // DwdStore.recoverSwap's first-build promotion rule is "_SUCCESS
+      // present ⇒ the parquet job committed" (ADVICE r11): pin the marker
+      // config here so a cluster-side committer change can't silently
+      // invalidate the recovery contract — with the marker disabled a
+      // fully-written first build would be deleted and rebuilt.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+        "true")
       .config("spark.ui.enabled", "false")
 
   /** SQL surface for the custom Catalyst expressions: graft_dot (scalar)

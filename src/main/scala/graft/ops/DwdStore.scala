@@ -126,7 +126,12 @@ private[graft] object StoreDirs {
     * double-apply the in-flight batch on replay); failing that, promote a
     * `.staging` whose parquet job finished (`_SUCCESS` present — only
     * reachable on a first-ever build, where there was no live to move
-    * aside). A partial `.staging` with no `_SUCCESS` is deleted: the
+    * aside). The `_SUCCESS` probe assumes the default
+    * FileOutputCommitter marker; [[graft.GraftSession]] pins
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=true` so a
+    * committer/config change cannot silently turn "committed first
+    * build" into "deleted and rebuilt" (ADVICE r11). A partial
+    * `.staging` with no `_SUCCESS` is deleted: the
     * store is then genuinely absent and callers rebuild from scratch.
     * Idempotent and O(1); called from every store read path
     * ([[recoverThenExists]]) and at [[durableOverwrite]] entry. */

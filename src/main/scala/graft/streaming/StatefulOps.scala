@@ -54,6 +54,60 @@ object StatefulOps {
           out.result().iterator
         })
 
+  /** [[dailyDedup]] on Spark 4's `transformWithState` — the A5 twin the
+    * W8 migration was missing (the reference job this operator maps is
+    * its most-reused stateful shape: `DwdTrafficUniqueVisitorDetail` plus
+    * every cart/order/pay UU window). The last-emitted date lives in a
+    * named ValueState whose TTL is DECLARED (`TTLConfig`): the Flink
+    * original hand-configured a 1-day StateTtlConfig
+    * (DwdTrafficUniqueVisitorDetail.java:76-79) precisely because the
+    * marker is worthless once its day has passed — here that contract is
+    * one config line and RocksDB compaction physically drops expired
+    * markers, so per-key state is bounded by ACTIVE keys per day, not
+    * all keys ever seen (at 100 TB of traffic the visitor-key space is
+    * the biggest state surface this module holds). Semantics with the
+    * TTL live are IDENTICAL, not merely similar: the fold's only read is
+    * "did this key already emit today?", and a marker from an earlier
+    * date always takes the `e.date != lastDate` branch whether the store
+    * expired it or still holds it — expiry can never flip an emit
+    * decision, only shrink the store. StreamingSpec pins the twin
+    * bit-equal to [[dailyDedup]] on the same slicing, including the
+    * midnight-rollover property. */
+  class DailyDedupProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, KeyedEvent, KeyedEvent] {
+    @transient private var lastDate: ValueState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastDate = getHandle.getValueState[String]("lastDate",
+        Encoders.STRING, ttl)
+    override def handleInputRows(key: String, rows: Iterator[KeyedEvent],
+        tv: TimerValues): Iterator[KeyedEvent] = {
+      var last = Option(lastDate.get()).getOrElse("")
+      val out = Vector.newBuilder[KeyedEvent]
+      rows.toSeq.sortBy(_.ts).foreach { e =>
+        // dates are monotone in ts, so "changed" ⇔ "first of its day"
+        if (e.date != last) { last = e.date; out += e }
+      }
+      lastDate.update(last)
+      out.result().iterator
+    }
+  }
+
+  /** The `transformWithState` face of [[dailyDedup]]. Production sets
+    * `ttl = TTLConfig(java.time.Duration.ofDays(1))` — the declared
+    * dedup horizon; NONE keeps exact parity with the fMGWS twin for the
+    * bit-equality spec. A declared TTL forces
+    * `TimeMode.ProcessingTime()` (the engine rejects TTL under NoTime) —
+    * faithful to the Flink original, whose StateTtlConfig is
+    * processing-time OnCreateAndWrite retention too
+    * (DwdTrafficUniqueVisitorDetail.java:76-79). */
+  def dailyDedupTws(ds: Dataset[KeyedEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[KeyedEvent] =
+    ds.groupByKey(_.key)
+      .transformWithState(new DailyDedupProcessor(ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None()
+        else TimeMode.ProcessingTime(),
+        OutputMode.Append())
+
   /** An ingested document: content fingerprint + identity. */
   case class IngestDoc(fp: String, docId: Long, ts: Long)
 
@@ -231,6 +285,51 @@ object StatefulOps {
           if (lastView != Long.MinValue) state.update(lastView)
           out.result().iterator
         })
+
+  /** [[asofAttribution]] on `transformWithState` — the as-of carry (ONE
+    * long per user: the latest view time) as a named ValueState, the
+    * minimal-state end of the streaming-asof spectrum on the successor
+    * API. Fold, total order ((t, side) — views before buys at the same
+    * second, the inclusive `>=` bound) and the cross-batch in-order
+    * assumption are identical to the fMGWS face; the named state gains
+    * an optional DECLARED TTL ("attribute only within N days of the last
+    * view" as one store-enforced config — the hand-rolled alternative is
+    * a timeout callback re-armed on every view). AsofSpec pins the twin
+    * bit-equal to [[asofAttribution]] on the same slicing. The
+    * out-of-order [[asofBuffered]] variant is NOT twinned: its
+    * correctness leans on fMGWS's measured EventTimeTimeout late-row
+    * boundary (eventTime <= watermark dropped INCLUSIVE,
+    * WatermarkBoundarySpec) and the ripe/hold partition built on it;
+    * porting it means re-probing the tws late-row pre-filter semantics
+    * first (the CLAUDE.md boundary discipline), not assuming the two
+    * APIs filter alike — deferred until a probe spec pins that edge. */
+  class AsofAttributionProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, TaggedEvent, AsofMatch] {
+    @transient private var lastView: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastView = getHandle.getValueState[Long]("lastView",
+        Encoders.scalaLong, ttl)
+    override def handleInputRows(uid: Long, rows: Iterator[TaggedEvent],
+        tv: TimerValues): Iterator[AsofMatch] = {
+      var last =
+        if (lastView.exists()) lastView.get() else Long.MinValue
+      val out = Vector.newBuilder[AsofMatch]
+      rows.toSeq.sortBy(e => (e.t, e.side)).foreach { e =>
+        if (e.side == 0) last = math.max(last, e.t)
+        else if (last != Long.MinValue)
+          out += AsofMatch(e.eventId, uid, e.t, e.t - last)
+      }
+      if (last != Long.MinValue) lastView.update(last)
+      out.result().iterator
+    }
+  }
+
+  /** The `transformWithState` face of [[asofAttribution]]. */
+  def asofAttributionTws(ds: Dataset[TaggedEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[AsofMatch] =
+    ds.groupByKey(_.userId)
+      .transformWithState(new AsofAttributionProcessor(ttl),
+        TimeMode.None(), OutputMode.Append())
 
   /** Buffer for the out-of-order as-of variant: the latest FINALIZED view
     * time plus the not-yet-finalized events above the watermark. */
@@ -563,6 +662,44 @@ object StatefulOps {
           state.update(buf)
           buf.iterator.map { case (t, c) => (key, t, c) }
         })
+  }
+
+  /** [[heavyHittersStream]] on `transformWithState` — the Misra–Gries
+    * buffer as a NAMED state variable. The fold is the SAME mergeable
+    * Aggregator algebra the batch query and the fMGWS face use
+    * (`Aggregators.misraGries`, property-tested under every partitioning
+    * by HeavyHitterSpec), so the MG guarantees — ≤ k entries, no false
+    * negative above n/k, undercount ≤ n/k — hold at every micro-batch
+    * boundary here too; the processor only changes WHERE the buffer
+    * lives (a named ValueState on the successor API, RocksDB-resident,
+    * O(k) per key forever). Emits the update-mode changelog
+    * (key, token, estimate) each batch, like the original.
+    * HeavyHitterSpec pins the twin's accumulated-prefix output bit-equal
+    * to [[heavyHittersStream]] under the same slicing. */
+  class HeavyHittersProcessor(k: Int)
+      extends StatefulProcessor[String, KeyedToken, (String, String, Long)] {
+    private val mg = graft.functions.Aggregators.misraGries(k)
+    @transient private var buf: ValueState[Map[String, Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[Map[String, Long]]("mg",
+        mg.bufferEncoder, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedToken],
+        tv: TimerValues): Iterator[(String, String, Long)] = {
+      val folded = rows.foldLeft(Option(buf.get()).getOrElse(mg.zero))(
+        (b, r) => mg.reduce(b, r.token))
+      buf.update(folded)
+      folded.iterator.map { case (t, c) => (key, t, c) }
+    }
+  }
+
+  /** The `transformWithState` face of [[heavyHittersStream]]. */
+  def heavyHittersStreamTws(ds: Dataset[KeyedToken], k: Int)
+      : Dataset[(String, String, Long)] = {
+    implicit val outEnc: Encoder[(String, String, Long)] =
+      Encoders.product[(String, String, Long)]
+    ds.groupByKey(_.key)
+      .transformWithState(new HeavyHittersProcessor(k),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** One event on the attribution stream (micros, id for the total

@@ -55,6 +55,43 @@ class AsofSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("asofAttributionTws (transformWithState) ≡ asofAttribution on the " +
+      "same slicing") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.asofAttributionTws
+    implicit val sqlCtx = spark.sqlContext
+    // carries state across batches: views and buys interleave per user,
+    // with a same-second view+buy tie (side order decides) and a buy
+    // before any view (no emission)
+    val batches = Seq(
+      Seq(TaggedEvent(1, 100, 0, 10), TaggedEvent(2, 90, 1, 20),
+        TaggedEvent(1, 100, 1, 11)), // same-second tie: view wins (gap 0)
+      Seq(TaggedEvent(1, 200, 1, 12), // cross-batch carry: gap 100
+        TaggedEvent(2, 150, 0, 21)),
+      Seq(TaggedEvent(2, 180, 1, 22), TaggedEvent(1, 300, 0, 13),
+        TaggedEvent(1, 310, 1, 14)))
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[TaggedEvent] =>
+          org.apache.spark.sql.Dataset[AsofMatch]): Seq[AsofMatch] = {
+      val in = MemoryStream[TaggedEvent]
+      val q = f(in.toDS()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append)
+        .start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val rows = spark.table(name).as[AsofMatch].collect()
+        .sortBy(m => (m.userId, m.buyS, m.eventId)).toSeq
+      q.stop()
+      rows
+    }
+    val legacy = run("asof_legacy", asofAttribution)
+    val tws = run("asof_tws", ds => asofAttributionTws(ds))
+    assert(tws === legacy)
+    // liveness: tie, carry, and no-view-yet cases all exercised
+    assert(tws.contains(AsofMatch(11, 1, 100, 0)), s"$tws")   // tie
+    assert(tws.contains(AsofMatch(12, 1, 200, 100)), s"$tws") // carry
+    assert(!tws.exists(_.eventId == 20), s"$tws")             // buy w/o view
+  }
+
   private def bufferedStream(name: String, delay: String)(implicit
       sqlCtx: org.apache.spark.sql.SQLContext) = {
     import sqlCtx.sparkSession.implicits._

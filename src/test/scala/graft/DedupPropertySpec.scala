@@ -77,6 +77,42 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Property: the 2-deletion neighborhood is complete for distance ≤ 2 —
+    * the SymSpell maxEditDistance=2 claim behind q_fuzzy_brand2 /
+    * q_fuzzy_type2. Small-alphabet random dictionaries make distance-2
+    * pairs dense across ALL op mixes (two substitutions, sub+indel,
+    * two indels, length-diff-2 pure deletions); the brute-force arm is
+    * the plain-Scala DP, so any missed key family diverges here before
+    * it could reach the gate. Includes the degenerate bottom of the
+    * domain ("", 1-char, 2-char strings: everything within length 2 of
+    * each other pairs). */
+  test("blocked fuzzy matching equals brute-force lev<=2 on random dictionaries") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(
+        j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val dict = ((1 to 50).map(_ =>
+        (1 to rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString) ++ Seq("", "a", "ab")).distinct
+      val expected = (for {
+        a <- dict; b <- dict if a < b && lev(a, b) <= 2
+      } yield (a, b, lev(a, b))).toSet
+      val got = graft.ops.Relational.blockedNearPairs2(
+          dict.toDF("v"), "v")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .toSet
+      assert(got === expected, s"trial $trial over ${dict.size} strings")
+      assert(expected.exists(_._3 == 2), s"trial $trial degenerate: no " +
+        "distance-2 pair in the dictionary")
+    }
+  }
+
   /** Property: prefix filtering is COMPLETE — the blocked all-pairs
     * Jaccard equals a pure-Scala brute force over every pair, on random
     * dense corpora (4-token alphabet → heavy shingle sharing, i.e. the

@@ -36,6 +36,98 @@ class StreamingSpec extends AnyFunSuite {
       KeyedEvent("u2", 1500, "2024-01-01")))
   }
 
+  test("dailyDedupTws (transformWithState) ≡ dailyDedup on the same " +
+      "slicing, incl. midnight rollover and cross-batch same-day dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq(KeyedEvent("u1", 1000, "2024-01-01"),
+        KeyedEvent("u1", 2000, "2024-01-01"), // same batch, same day: drop
+        KeyedEvent("u2", 1500, "2024-01-01")),
+      Seq(KeyedEvent("u1", 3000, "2024-01-01"), // cross-batch same day: drop
+        KeyedEvent("u3", 4000, "2024-01-01")),
+      // midnight rollover: first event of the new day emits for every key
+      Seq(KeyedEvent("u1", 90000000, "2024-01-02"),
+        KeyedEvent("u1", 90000001, "2024-01-02"),
+        KeyedEvent("u2", 90000500, "2024-01-02")))
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[KeyedEvent] =>
+          org.apache.spark.sql.Dataset[KeyedEvent]): Seq[KeyedEvent] = {
+      val in = MemoryStream[KeyedEvent]
+      val q = f(in.toDS()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append)
+        .start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val rows = spark.table(name).as[KeyedEvent].collect()
+        .sortBy(e => (e.key, e.ts)).toSeq
+      q.stop()
+      rows
+    }
+    val legacy = run("dd_legacy", dailyDedup)
+    val tws = run("dd_tws", ds => dailyDedupTws(ds))
+    assert(tws === legacy)
+    // liveness: the rollover re-emitted, the dups were really dropped
+    assert(tws.count(_.key == "u1") === 2, s"$tws")
+    assert(tws.map(e => (e.key, e.date)).distinct.size === tws.size)
+  }
+
+  test("dailyDedupTws emits one row per (key, date) under random batching " +
+      "(midnight-rollover property)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    val events = rnd.shuffle(for {
+      k <- 1 to 5; (d, di) <- days.zipWithIndex; i <- 1 to 4
+    } yield KeyedEvent(s"u$k", di * 86400000L + i * 1000L, d))
+      .sortBy(_.ts) // per-key event-time order is the operator contract
+    val in = MemoryStream[KeyedEvent]
+    val q = dailyDedupTws(in.toDS()).writeStream
+      .format("memory").queryName("dd_tws_prop")
+      .outputMode(OutputMode.Append).start()
+    var i = 0
+    while (i < events.length) {
+      val n = 1 + rnd.nextInt(7)
+      in.addData(events.slice(i, i + n))
+      q.processAllAvailable()
+      i += n
+    }
+    val rows = spark.table("dd_tws_prop").as[KeyedEvent].collect()
+    q.stop()
+    assert(rows.length === 15, s"expected 5 keys x 3 days, got ${rows.length}")
+    assert(rows.map(e => (e.key, e.date)).toSet.size === 15)
+    // each emitted row is the FIRST of its (key, day)
+    val firsts = events.groupBy(e => (e.key, e.date))
+      .map { case (_, g) => g.minBy(_.ts) }.toSet
+    assert(rows.toSet === firsts)
+  }
+
+  test("dailyDedupTws with a DECLARED TTL (proc-time mode) runs the same " +
+      "dedup — the declared-horizon config path is live") {
+    // TTL forces TimeMode.ProcessingTime, where processAllAvailable never
+    // settles (the engine keeps scheduling proc-time maintenance batches);
+    // AvailableNow processes the fed data to completion and stops.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    in.addData(
+      KeyedEvent("u1", 1000, "2024-01-01"),
+      KeyedEvent("u1", 2000, "2024-01-01"),
+      KeyedEvent("u2", 1500, "2024-01-01"),
+      KeyedEvent("u1", 90000000, "2024-01-02"))
+    val q = dailyDedupTws(in.toDS(),
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofDays(30))).writeStream
+      .format("memory").queryName("dd_tws_ttl")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("dd_tws_ttl").as[KeyedEvent].collect()
+      .sortBy(e => (e.key, e.ts))
+    assert(rows.toSeq === Seq(
+      KeyedEvent("u1", 1000, "2024-01-01"),
+      KeyedEvent("u1", 90000000, "2024-01-02"),
+      KeyedEvent("u2", 1500, "2024-01-01")))
+  }
+
   test("sessionizeTws closes by gap in-stream and by event-time timer at the end") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedEvent]

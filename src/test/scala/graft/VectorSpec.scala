@@ -121,29 +121,31 @@ class VectorSpec extends AnyFunSuite {
     assert(ivfpqRecall >= 0.5,
       s"IVFADC recall@5 = $ivfpqRecall — trained coarse quantizer dead?")
     // nprobe=2 widens the boundary recall (measured 0.925 vs 0.875 at
-    // sf0.001): the 0.9 floor (raised from 0.8 in r11 — the whole chain
-    // is deterministic: stored codebooks, md5 devices, pinned tie-breaks,
-    // so the measured 0.925 cannot drift) is the operating point the
-    // multi-probe dial exists to guarantee — and it must never fall below
-    // the single-list path (its rank-1 list IS the stored assignment, so
-    // the candidate set only grows)
+    // sf0.001). Floor 0.85: deterministic chain on a FIXED corpus, but
+    // the driver regenerates testdata between rounds, so the floor keeps
+    // a 0.075 margin below the measured point (ADVICE r11 — the r11
+    // 0.9 floor left only 0.025 of regeneration headroom)
     val mp = ops.VectorOps.annIvfPqMp(spark, TestSession.sf).collect()
     val mpPairs = mp.map(r => (r.getLong(0), r.getLong(1))).toSet
     val mpRecall = (mpPairs & truth).size.toDouble / truth.size
-    assert(mpRecall >= 0.9,
+    assert(mpRecall >= 0.85,
       s"IVFADC nprobe=2 recall@5 = $mpRecall — multi-probe dial broken?")
-    assert(mpRecall >= ivfpqRecall,
-      s"nprobe=2 recall $mpRecall below nprobe=1 $ivfpqRecall")
-    // nprobe=4 (measured 0.95 at sf0.001): the dial is monotone by
-    // construction — rank ≤ 2 lists ⊂ rank ≤ 4 lists, candidates only
-    // grow — so recall must be ≥ the nprobe=2 point, never below
+    // nprobe=4 (measured 0.95 at sf0.001), same regeneration-proof floor
     val mp4 = ops.VectorOps.annIvfPqMp4(spark, TestSession.sf).collect()
     val mp4Pairs = mp4.map(r => (r.getLong(0), r.getLong(1))).toSet
     val mp4Recall = (mp4Pairs & truth).size.toDouble / truth.size
-    assert(mp4Recall >= 0.9,
+    assert(mp4Recall >= 0.85,
       s"IVFADC nprobe=4 recall@5 = $mp4Recall — multi-probe dial broken?")
-    assert(mp4Recall >= mpRecall,
-      s"nprobe=4 recall $mp4Recall below nprobe=2 $mpRecall")
+    // Monotonicity along the dial is structural for CANDIDATE sets
+    // (rank ≤ 1 ⊂ rank ≤ 2 ⊂ rank ≤ 4 lists) but NOT for post-shortlist
+    // recall: a widened candidate set can displace a true neighbor from
+    // the fixed-size ADC shortlist before the exact re-rank (ADVICE r11).
+    // Logged diagnostic, not a hard assert — empirically monotone on
+    // every corpus measured so far (0.875 → 0.925 → 0.95).
+    info(f"IVFADC recall@5 dial: nprobe=1 $ivfpqRecall%.3f, " +
+      f"nprobe=2 $mpRecall%.3f, nprobe=4 $mp4Recall%.3f" +
+      (if (mp4Recall < mpRecall || mpRecall < ivfpqRecall)
+        " — NON-MONOTONE this corpus (shortlist displacement)" else ""))
   }
 
   test("two-level topKPerProbe equals the single global window, " +
@@ -184,6 +186,35 @@ class VectorSpec extends AnyFunSuite {
     // natural corpus-eval high-sim pairs may flag additionally
     assert(out.map(_.getLong(2)).sum >= nEval34,
       s"planted leaks not all flagged: ${out.map(_.getLong(2)).sum} < $nEval34")
+  }
+
+  test("IVF-restricted decontamination: audit flag-recall floor holds and " +
+      "every plant survives the list restriction") {
+    // measured 1.0 at sf0.001 and sf0.01 (every flagged row is a plant,
+    // and each plant's rank-1 list is among its original's nprobe=4
+    // probed lists); floor 0.85 leaves driver-regeneration margin (the
+    // ADVICE r11 discipline — the gate hash-pins today's exact values,
+    // the spec only guards against a silent structural break)
+    val r = ops.VectorOps
+      .semanticDecontaminateIvfAudit(spark, TestSession.sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nBrute, nIvf, nCommon) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    val recall = row.getDouble(3)
+    val (nPlants, nPlantsFlagged) = (row.getLong(4), row.getLong(5))
+    assert(nBrute > 0, "degenerate audit: brute probe flagged nothing")
+    assert(nPlants > 0, "degenerate audit: no plants in the corpus")
+    assert(recall >= 0.85,
+      s"IVF flag recall $recall below floor ($nCommon of $nBrute)")
+    // plants are contaminated BY CONSTRUCTION — the sublinear path must
+    // keep them all (a plant sits at cosine ~0.97 in its original's
+    // immediate list neighborhood); allow 10% regeneration slack
+    assert(nPlantsFlagged * 10 >= nPlants * 9,
+      s"plants lost by the list restriction: $nPlantsFlagged of $nPlants")
+    // the IVF flag set is a subset of the brute set by construction
+    // (same cosine gate, restricted pair universe)
+    assert(nIvf === nCommon, "IVF flagged a pair brute did not — impossible")
   }
 
   test("lsh bucket is stable and in range") {
