@@ -59,6 +59,12 @@ object ProfileNgb {
       println(s"[prof]   candidates (ppjoin): ${c.count()}")
       c
     }
+    t("candidatesPpjoinBucketedOf") {
+      val c = ops.TextOps.candidatesPpjoinBucketedOf(prefix)
+        .localCheckpoint()
+      println(s"[prof]   candidates (ppjoin+lenbucket): ${c.count()}")
+      c
+    }
     t("verify plain candidates") {
       val n = ops.TextOps.verifyJaccardForProfile(cand, byDoc)
       println(s"[prof]   final pairs: $n")

@@ -825,9 +825,15 @@ object TextOps extends QueryModule {
     * pairs). α uses integer-exact floor((3·(n1+n2)+7)/8) = ceil(3s/8) —
     * the prefix-cutoff discipline. */
   private[graft] def candidatesPpjoinOf(prefix: DataFrame): DataFrame =
-    prefix.as("a").join(prefix.as("b"),
+    ppjoinPositionalTail(
+      prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3)
+          col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3))
+
+  /** The per-pair positional aggregate + exact overlap bound shared by
+    * [[candidatesPpjoinOf]] and its length-bucketed variant. */
+  private def ppjoinPositionalTail(joined: DataFrame): DataFrame =
+    joined
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"),
         col("a.df").as("df"), col("a.sh").as("sh"),
@@ -842,6 +848,36 @@ object TextOps extends QueryModule {
         least(col("n1") - col("last.ia"), col("n2") - col("last.ib")) >=
         floor((lit(3) * (col("n1") + col("n2")) + lit(7)) / lit(8)))
       .select(col("d1"), col("d2"))
+
+  /** [[candidatesPpjoinOf]] with LENGTH-BUCKETED join keys — the last
+    * exact candidate-generation lever the r11 profile left untested
+    * (VERDICT r11 #6): docs can only pair when the Jaccard size filter
+    * 5·min ≥ 3·max can be met, i.e. n2/n1 ∈ [3/5, 5/3]; bucketing n by
+    * base-5/3 log means a compatible partner sits within ±1 bucket, so
+    * adding the bucket to the equi-key stops the join from GENERATING
+    * (and then residual-filtering) the length-incompatible collisions
+    * of hot shingles. The probe side replicates to the 3 admissible
+    * buckets (3× exchange rows) — the classic trade; the exact size
+    * filter stays as a residual, so output is IDENTICAL by construction
+    * (each pair meets exactly once: the build side keys on its single
+    * own bucket). The bucket boundary uses a transcendental log, which
+    * is fine HERE only because buckets never reach an output or an
+    * oracle — both join sides compute the same in-JVM value, and the
+    * exact integer filters decide membership. Profiled by
+    * [[graft.ProfileNgb]]; see PLANS.md for the measured verdict. */
+  private[graft] def candidatesPpjoinBucketedOf(prefix: DataFrame)
+      : DataFrame = {
+    val lb = floor(log(col("n").cast("double")) /
+      lit(math.log(5.0 / 3.0))).cast("long")
+    val build = prefix.withColumn("lb", lb)
+    val probe = build.withColumn("lb",
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+    ppjoinPositionalTail(
+      probe.as("a").join(build.as("b"),
+        col("a.sh") === col("b.sh") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3))
+  }
 
   /** Threshold + shape tail shared by every prefix-filtered form. */
   private def jaccardVerifyTail(counted: DataFrame): DataFrame =

@@ -196,6 +196,40 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Property: length-bucketing the ppjoin candidate join loses NOTHING —
+    * the ±1-bucket replication covers the whole admissible length ratio
+    * [3/5, 5/3] (a compatible partner's base-5/3 log bucket is within 1),
+    * so the bucketed pair set equals the plain ppjoin's on corpora whose
+    * doc lengths deliberately SPAN many buckets (4–40 tokens, the regime
+    * where a broken boundary would lose cross-bucket pairs; the profiled
+    * sf0.1 corpus is too length-homogeneous to catch that). */
+  test("length-bucketed ppjoin candidates equal the plain ppjoin's on " +
+      "length-diverse corpora") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val base = (1 to 50).map { id =>
+        val n = 4 + rnd.nextInt(37)
+        (id.toLong,
+          (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+      }
+      val docs = (base ++
+        base.filter(_._1 % 5 == 0).map { case (id, t) => (id + 1000, t) })
+        .toDF("doc_id", "text")
+      val byDoc = graft.ops.TextOps.shingleSetsOf(docs)
+      val sh = byDoc.select(col("doc_id"), col("n"),
+        explode(col("shs")).as("sh"))
+      val prefix = graft.ops.TextOps
+        .prefixOf(sh, graft.ops.TextOps.dfreqOf(sh)).localCheckpoint()
+      val plain = graft.ops.TextOps.candidatesPpjoinOf(prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bucketed = graft.ops.TextOps.candidatesPpjoinBucketedOf(prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(plain.nonEmpty, s"trial $trial: degenerate (no candidates)")
+      assert(bucketed === plain, s"trial $trial")
+    }
+  }
+
   /** Property: the asymmetric prefix filter of containmentPairsOf is
     * COMPLETE — the flagged set equals a pure-Scala brute force over every
     * ORDERED pair, on random dense corpora with planted excerpts (strict
