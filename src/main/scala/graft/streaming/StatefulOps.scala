@@ -296,13 +296,9 @@ object StatefulOps {
     * view" as one store-enforced config — the hand-rolled alternative is
     * a timeout callback re-armed on every view). AsofSpec pins the twin
     * bit-equal to [[asofAttribution]] on the same slicing. The
-    * out-of-order [[asofBuffered]] variant is NOT twinned: its
-    * correctness leans on fMGWS's measured EventTimeTimeout late-row
-    * boundary (eventTime <= watermark dropped INCLUSIVE,
-    * WatermarkBoundarySpec) and the ripe/hold partition built on it;
-    * porting it means re-probing the tws late-row pre-filter semantics
-    * first (the CLAUDE.md boundary discipline), not assuming the two
-    * APIs filter alike — deferred until a probe spec pins that edge. */
+    * out-of-order variant's twin is [[AsofBufferedProcessor]] — built
+    * only AFTER the r12 probe spec measured the tws late-row boundary
+    * (WatermarkBoundarySpec), per the CLAUDE.md boundary discipline. */
   class AsofAttributionProcessor(ttl: TTLConfig)
       extends StatefulProcessor[Long, TaggedEvent, AsofMatch] {
     @transient private var lastView: ValueState[Long] = _
@@ -385,6 +381,78 @@ object StatefulOps {
           }
           out.result().iterator
         })
+
+  /** [[asofBuffered]] on `transformWithState` — the sorted-buffer as-of
+    * on the successor API, UNBLOCKED by measurement: the r12 probe
+    * (WatermarkBoundarySpec) pinned tws EventTime mode to the SAME
+    * inclusive `eventTime <= watermark` late-row pre-filter as fMGWS
+    * EventTimeTimeout, so the ripe/hold partition `t <= wmSec` carries
+    * over verbatim (the CLAUDE.md boundary discipline: measure, then
+    * build). State maps naturally: the finalized prefix collapses to a
+    * named ValueState long; the not-yet-final events live in a
+    * [[org.apache.spark.sql.streaming.ListState]] — the API's buffer
+    * primitive, appended/cleared without serializing a Seq into one
+    * value row like the fMGWS form must. The wake-up for quiescent keys
+    * is ONE re-armed event-time timer at the earliest held event's
+    * finalization point (strictly above the current watermark);
+    * `handleExpiredTimer` re-drains idempotently from the then-current
+    * watermark, so a timer racing newer arrivals in the same batch
+    * needs no guard. AsofSpec pins the twin's final output equal to
+    * [[asofBuffered]]'s on the same disordered slicing. */
+  class AsofBufferedProcessor
+      extends StatefulProcessor[Long, TaggedEvent, AsofMatch] {
+    @transient private var lastView: ValueState[Long] = _
+    @transient private var pending:
+      org.apache.spark.sql.streaming.ListState[TaggedEvent] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastView = getHandle.getValueState[Long]("lastView",
+        Encoders.scalaLong, TTLConfig.NONE)
+      pending = getHandle.getListState[TaggedEvent]("pending",
+        taggedEnc, TTLConfig.NONE)
+    }
+    private def drain(uid: Long, incoming: Seq[TaggedEvent],
+        wmMs: Long): Iterator[AsofMatch] = {
+      val wmSec = wmMs / 1000
+      val all = pending.get().toSeq ++ incoming
+      // measured boundary: rows at t == wmSec can no longer arrive
+      // (inclusive pre-filter), so finalizing the boundary second is
+      // safe AND required for liveness — the fMGWS twin's partition
+      val (ripe, hold) = all.partition(_.t <= wmSec)
+      var last = if (lastView.exists()) lastView.get() else Long.MinValue
+      val out = Vector.newBuilder[AsofMatch]
+      ripe.sortBy(e => (e.t, e.side)).foreach { e =>
+        if (e.side == 0) last = math.max(last, e.t)
+        else if (last != Long.MinValue)
+          out += AsofMatch(e.eventId, uid, e.t, e.t - last)
+      }
+      pending.clear()
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (hold.isEmpty && last == Long.MinValue) lastView.clear()
+      else {
+        if (last != Long.MinValue) lastView.update(last)
+        if (hold.nonEmpty) {
+          pending.put(hold.toArray)
+          // wake when the earliest held event finalizes (strictly above
+          // the current watermark so the timer is in the future)
+          getHandle.registerTimer(math.max(hold.map(_.t).min * 1000,
+            wmMs + 1))
+        }
+      }
+      out.result().iterator
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[TaggedEvent],
+        tv: TimerValues): Iterator[AsofMatch] =
+      drain(uid, rows.toSeq, tv.getCurrentWatermarkInMs())
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[AsofMatch] =
+      drain(uid, Nil, tv.getCurrentWatermarkInMs())
+  }
+
+  /** The `transformWithState` face of [[asofBuffered]]. */
+  def asofBufferedTws(ds: Dataset[TaggedEvent]): Dataset[AsofMatch] =
+    ds.groupByKey(_.userId)
+      .transformWithState(new AsofBufferedProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
 
   /** O9 — new/old visitor repair: `is_new=1` is rewritten to `0` when the
     * mid was first seen on an earlier date (BaseLogApp.java:71-108). State =

@@ -153,4 +153,41 @@ class AsofSpec extends AnyFunSuite {
     q.stop()
     assert(got === expected)
   }
+
+  test("asofBufferedTws (ListState + timer) ≡ asofBuffered on the same " +
+      "disordered slicing, incl. the view-after-buy case") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.asofBufferedTws
+    implicit val sqlCtx = spark.sqlContext
+    // disorder within a 60 s watermark budget: buy before its view,
+    // cross-batch carries, a quiescent key drained only by timer/WM push
+    val batches = Seq(
+      Seq(TaggedEvent(1L, 100L, 1, 901L), TaggedEvent(2L, 80L, 0, -1L)),
+      Seq(TaggedEvent(1L, 50L, 0, -1L),   // late view beats the held buy
+        TaggedEvent(2L, 90L, 1, 902L)),
+      Seq(TaggedEvent(1L, 160L, 1, 903L), TaggedEvent(1L, 150L, 0, -1L)),
+      Seq(TaggedEvent(9L, 10000L, 0, -1L))) // push watermark far past all
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[TaggedEvent] =>
+          org.apache.spark.sql.Dataset[AsofMatch]): Set[AsofMatch] = {
+      val in = MemoryStream[TaggedEvent]
+      val withWm = in.toDS().toDF()
+        .withColumn("eventTime", timestamp_seconds(col("t")))
+        .withWatermark("eventTime", "60 seconds")
+        .as[TaggedEvent]
+      val q = f(withWm).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val rows = spark.table(name).as[AsofMatch].collect().toSet
+      q.stop()
+      rows
+    }
+    val legacy = run("asof_buf_legacy", asofBuffered)
+    val tws = run("asof_buf_tws", ds => asofBufferedTws(ds))
+    assert(tws === legacy)
+    // liveness: the out-of-order attribution actually happened on the
+    // tws face (view t=50 arriving after buy t=100 still wins)
+    assert(tws.contains(AsofMatch(901L, 1L, 100L, 50L)), s"$tws")
+    assert(tws.contains(AsofMatch(903L, 1L, 160L, 10L)), s"$tws")
+  }
 }

@@ -55,6 +55,49 @@ class WatermarkBoundarySpec extends AnyFunSuite {
       Set((1L, 10L), (2L, 10L), (3L, 9L)))
   }
 
+  test("transformWithState EventTime mode: measure the late-row " +
+      "pre-filter boundary (the fMGWS-EventTimeTimeout analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    class EchoProcessor
+        extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp),
+          (Long, Long)] {
+      @transient private var touched:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(om: OutputMode, tm: TimeMode): Unit =
+        touched = getHandle.getValueState[Long]("touched",
+          Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(k: Long,
+          rows: Iterator[(Long, Long, java.sql.Timestamp)],
+          tv: TimerValues): Iterator[(Long, Long)] =
+        rows.map(e => (k, e._2))
+    }
+    implicit val outEnc: Encoder[(Long, Long)] =
+      Encoders.product[(Long, Long)]
+    val in = MemoryStream[(Long, Long)]
+    val ds = in.toDS().toDF("u", "t")
+      .withColumn("eventTime", timestamp_seconds(col("t")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val echoed = ds.groupByKey(_._1)
+      .transformWithState(new EchoProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+    val q = echoed.writeStream.format("memory").queryName("wmb_tws")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, 10L)); q.processAllAvailable() // watermark -> 10 s
+    in.addData((2L, 10L)); q.processAllAvailable() // row == watermark
+    in.addData((3L, 9L));  q.processAllAvailable() // row <  watermark
+    q.stop()
+    val got = spark.table("wmb_tws").as[(Long, Long)].collect().toSet
+    // MEASURED boundary — pinned so any operator built on tws EventTime
+    // mode can rely on it (and a Spark upgrade that moves it fails here
+    // first, the fMGWS probe discipline above)
+    assert(got === Set((1L, 10L)),
+      s"tws EventTime late-row boundary moved: $got")
+  }
+
   test("dropDuplicatesWithinWatermark: same-batch and in-window " +
       "re-delivery suppressed; a key RESURFACES once its state is " +
       "evicted past the watermark") {
