@@ -261,13 +261,17 @@ object Bench {
                 throw new IllegalStateException(
                   s"$basePath queries object is not flat — " +
                     "regenerate it with this Bench version")
-              val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+\.[0-9]{3})""".r
+              // accept any plain fixed-decimal value (a hand-assembled
+              // baseline may carry fewer than jnum's 3 decimals); the
+              // count check below still catches scientific notation or
+              // any entry the anchored pattern leaves unconsumed
+              val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+\.[0-9]+)""".r
               val entries = pair.findAllMatchIn(body)
                 .map(m => (m.group(1), m.group(2).toDouble)).toList
               val nCommas = if (body.trim.isEmpty) -1 else body.count(_ == ',')
               if (entries.size != nCommas + 1)
                 throw new IllegalStateException(
-                  s"$basePath queries entries not all in jnum %.3f form " +
+                  s"$basePath queries entries not all plain decimals " +
                     s"(${entries.size} parsed of ${nCommas + 1}) — " +
                     "regenerate it with this Bench version")
               val base = entries.toMap
