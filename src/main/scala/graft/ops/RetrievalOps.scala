@@ -183,7 +183,15 @@ object RetrievalOps extends QueryModule {
     * the formula, and its width is bounded by the broadcast query batch's
     * posting selectivity, not the corpus. With the doc-length store
     * bucketed alongside the postings the join is co-located. */
-  def bm25Rank(s: SparkSession, d: String): DataFrame = {
+  def bm25Rank(s: SparkSession, d: String): DataFrame =
+    bm25RankedAll(s, d)
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"))
+
+  /** The FULL BM25 ranking (no top-k cut) — shared by [[bm25Rank]] and
+    * the RRF fusion, which needs every candidate's rank, not just the
+    * displayed head. */
+  private def bm25RankedAll(s: SparkSession, d: String): DataFrame = {
     val p = postings(s, d)
     val qt = queryTerms(s, d)
     val dl = PostingStore.doclen(s, d)
@@ -208,8 +216,48 @@ object RetrievalOps extends QueryModule {
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+  }
+
+  /** RECIPROCAL RANK FUSION of two rankers (Cormack, Clarke & Büttcher,
+    * SIGIR'09): fused score = Σ 1/(60 + rank_i) over the input rankings —
+    * the standard hybrid-retrieval combiner (production "hybrid search"
+    * fuses a lexical and a dense list exactly this way; RRF needs only
+    * RANKS, so it composes rankers with incomparable score scales). Here
+    * the two arms are the stack's two registered lexical rankers, which
+    * genuinely disagree: raw summed-tf ([[ranked]] — favors long
+    * repetitive docs) vs BM25 ([[bm25Rank]] — tf-saturated,
+    * length-normalized, idf-weighted); RetrievalSpec asserts the
+    * orderings actually differ on the live corpus so the fusion is
+    * provably non-trivial. An embedding arm would slot in identically
+    * (rank from the ANN family's top-k), but the synthetic embeddings
+    * table has no doc_id correspondence to fuse against — documented
+    * boundary, not a hidden gap.
+    *
+    * Determinism: each addend is one IEEE division of exact integers
+    * (1.0 / (60 + rank)), summed as a fixed two-term left-to-right
+    * expression — no reassociation, textually mirrored by the oracle
+    * (CAST(1 AS DOUBLE), since a bare `1.0` in DuckDB is DECIMAL). Ties
+    * in the fused score break on doc_id, both engines.
+    *
+    * Scale: both arms are rankings of the SAME conjunctive candidate
+    * set (bounded by the broadcast query batch's posting selectivity),
+    * so the fusion join is candidate-grain and co-keyed on
+    * (query_id, doc_id) — one exchange each side, bounded top-k out. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val bm = bm25RankedAll(s, d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
+    val lex = ranked(s, d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_tf"))
+    bm.join(lex, Seq("query_id", "doc_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60L) + col("r_bm")).cast("double") +
+          lit(1.0) / (lit(60L) + col("r_tf")).cast("double"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("r_bm"), col("r_tf"), col("rrf"))
   }
 
   /** RAG context packing: walk each query's candidates in rank order and
@@ -279,6 +327,7 @@ object RetrievalOps extends QueryModule {
     Map(
       "q_inverted_search" -> (invertedSearch _),
       "q_bm25_rank" -> (bm25Rank _),
+      "q_hybrid_rrf" -> (hybridRrf _),
       "q_rag_pack" -> (ragPack _),
       "q_rag_pipeline" -> (ragPipeline _),
     )
@@ -310,6 +359,32 @@ object RetrievalOps extends QueryModule {
        |  FROM m WHERE n_matched = 2)""".stripMargin
 
   private val rankedSql: String = rankedSqlFrom("documents")
+
+  /** The full BM25 chain (dl → tot → c → sc → rk) over the `rankedSql`
+    * spine — shared VERBATIM by `q_bm25_rank` and the RRF fusion so the
+    * fused arm can never drift from the standalone ranking. Mirrors
+    * [[bm25RankedAll]] textually (integer num/den, one IEEE division). */
+  private val bm25Sql: String =
+    s"""dl AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |       FROM documents),
+       |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok,
+       |          COUNT(*) AS n_docs FROM dl),
+       |c AS (
+       |  SELECT qt.query_id, p.doc_id, p.tf, v.df, dl.dl, tot.t_tok,
+       |    tot.n_docs
+       |  FROM p JOIN qt USING (term) JOIN v USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN tot),
+       |sc AS (
+       |  SELECT query_id, doc_id, COUNT(*) AS n_matched,
+       |    SUM(CAST(22 * tf * (2 * n_docs - 2 * df + 1) AS DOUBLE) /
+       |        CAST((2 * df + 1) * 10 * (tf * 10000 * t_tok +
+       |          3000 * t_tok + 9000 * dl * n_docs) AS DOUBLE)) AS bm25
+       |  FROM c GROUP BY 1, 2),
+       |rk AS (SELECT query_id, doc_id, bm25,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+       |       FROM sc WHERE n_matched = 2)""".stripMargin
 
   /** The pack-recursion tail shared verbatim by `q_rag_pack` and
     * `q_rag_pipeline` — the fold must be textually identical over either
@@ -347,28 +422,29 @@ object RetrievalOps extends QueryModule {
          |FROM r JOIN qd USING (query_id) WHERE r.rank <= $TopK""".stripMargin,
     "q_bm25_rank" ->
       s"""WITH $rankedSql,
-         |dl AS (SELECT doc_id,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |       FROM documents),
-         |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok,
-         |          COUNT(*) AS n_docs FROM dl),
-         |c AS (
-         |  SELECT qt.query_id, p.doc_id, p.tf, v.df, dl.dl, tot.t_tok,
-         |    tot.n_docs
-         |  FROM p JOIN qt USING (term) JOIN v USING (term)
-         |    JOIN dl USING (doc_id) CROSS JOIN tot),
-         |sc AS (
-         |  SELECT query_id, doc_id, COUNT(*) AS n_matched,
-         |    SUM(CAST(22 * tf * (2 * n_docs - 2 * df + 1) AS DOUBLE) /
-         |        CAST((2 * df + 1) * 10 * (tf * 10000 * t_tok +
-         |          3000 * t_tok + 9000 * dl * n_docs) AS DOUBLE)) AS bm25
-         |  FROM c GROUP BY 1, 2),
-         |rk AS (SELECT query_id, doc_id, bm25,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |           ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
-         |       FROM sc WHERE n_matched = 2)
+         |$bm25Sql
          |SELECT query_id, rank, doc_id, bm25
          |FROM rk WHERE rank <= $TopK""".stripMargin,
+    // RRF over the two rankings the spine (r) and the bm25 chain (rk)
+    // already define — both CTE families shared VERBATIM with their
+    // standalone queries, so neither arm can drift from what it fuses
+    "q_hybrid_rrf" ->
+      s"""WITH $rankedSql,
+         |$bm25Sql,
+         |j AS (SELECT rk.query_id, rk.doc_id, rk.rank AS r_bm,
+         |        r.rank AS r_tf
+         |      FROM rk JOIN r ON rk.query_id = r.query_id
+         |        AND rk.doc_id = r.doc_id),
+         |f AS (SELECT query_id, doc_id, r_bm, r_tf,
+         |        CAST(1 AS DOUBLE) / (60 + r_bm) +
+         |          CAST(1 AS DOUBLE) / (60 + r_tf) AS rrf
+         |      FROM j)
+         |SELECT query_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
+         |  doc_id, r_bm, r_tf, rrf
+         |FROM f
+         |QUALIFY rank <= $TopK""".stripMargin,
     "q_rag_pack" ->
       s"""WITH RECURSIVE $rankedSql,
          |${packSqlTail("documents")}""".stripMargin,

@@ -1939,6 +1939,57 @@ object TextOps extends QueryModule {
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
 
+  /** CANONICAL-REPRESENTATIVE selection per near-dup family — the step a
+    * real dedup pipeline runs AFTER clustering ([[neardupComponents]]
+    * answers "what merges"; this answers "which copy survives"): per
+    * component keep the doc with the MOST CONTENT (max `n_chars`, ties →
+    * smaller doc_id — a total order, so the pick is deterministic and
+    * engine-free), drop the rest, and account exactly what was kept vs
+    * dropped in characters. Keep-longest is the standard canonicalization
+    * rule (CCNet/RefinedWeb-class pipelines keep the longest/most-recent
+    * member) — cheap, monotone, and auditable, unlike a model-scored
+    * pick.
+    *
+    * Liveness (CLAUDE.md plant discipline — the corpus is dup-free):
+    * every %30 doc re-issues byte-identical at +[[PlantOffset]]
+    * (identical text ⇒ identical simhash ⇒ a guaranteed hamming-0 pair;
+    * the [[splitLeakage]] construction, replayed textually by the
+    * oracle). A pure plant pair has IDENTICAL n_chars, so those
+    * components exercise the tie-break arm specifically: canonical must
+    * be the ORIGINAL id (< PlantOffset) — TextSpec pins that.
+    *
+    * Scale: everything after the one simhash band join is
+    * collision-sized — labels join n_chars at the member grain
+    * (≈ dup-family members, not the corpus), one component-keyed agg
+    * with a max-struct pick (partial-agg friendly, no window over
+    * data). Output: one row per multi-doc family, all exact integers. */
+  def neardupCanonical(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val aug = base.unionAll(
+        Tables.documents(s, d).filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"),
+            col("n_chars")))
+      .repartition(s.sparkContext.defaultParallelism)
+    val pairs = simhashDupsOf(s, aug).select(col("d1"), col("d2"))
+      .localCheckpoint()
+    val labels = connectedComponents(pairs)
+    val members = labels
+      .join(aug.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+    members.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        // max over (n_chars, -id): most content, ties to the SMALLER id
+        max(struct(col("n_chars").cast("long").as("nc"),
+          (lit(0L) - col("id")).as("ni"))).as("best"),
+        sum(col("n_chars")).cast("long").as("chars_total"))
+      .select(col("comp"),
+        (lit(0L) - col("best.ni")).as("canonical_id"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"),
+        col("best.nc").as("chars_kept"),
+        (col("chars_total") - col("best.nc")).as("chars_dropped"))
+  }
+
   /** Min-label propagation over an undirected `pairs(d1, d2)` graph →
     * `(id, comp)` with comp = min node id of the component. Separated from
     * [[neardupComponents]] so specs can drive synthetic graphs (long
@@ -2800,6 +2851,7 @@ object TextOps extends QueryModule {
     "q_simhash_wide_dups"  -> simhashWideDups _,
     "q_stratified_sample"  -> stratifiedSample _,
     "q_neardup_components" -> neardupComponents _,
+    "q_neardup_canonical" -> neardupCanonical _,
     "q_repetition_ratio"   -> repetitionRatio _,
     "q_seq_packing"        -> seqPacking _,
     "q_seq_packing_sharded" -> ((s: SparkSession, d: String) => seqPackingSharded(s, d)),
@@ -2950,6 +3002,31 @@ object TextOps extends QueryModule {
 
   private def dHash60(seed: Int, s: String): String =
     s"('0x'||substr(md5('$seed|'||($s)),1,15))::BIGINT"
+
+  /** The simhash32 near-dup GRAPH + component labels (s → b → cand → e →
+    * reach → lab), parameterized by the document relation — shared
+    * verbatim by `q_neardup_components` (raw corpus) and
+    * `q_neardup_canonical` (plant-augmented corpus) so the two oracles'
+    * graph machinery cannot drift. The `e` mirror uses bare UNION safely:
+    * its arms are disjoint by the cand `d1 < d2` constraint (the
+    * CLAUDE.md recursive-WITH dedup quirk never bites disjoint arms). */
+  private def dNeardupLabCtes(docSrc: String): String =
+    s"""s AS (SELECT doc_id, $simhashExpr AS sh
+       |      FROM (SELECT doc_id, $dToks AS t FROM $docSrc)),
+       |b AS (SELECT doc_id, sh, 0 AS band, sh & 65535 AS bval FROM s
+       |      UNION ALL
+       |      SELECT doc_id, sh, 1 AS band, sh >> 16 AS bval FROM s),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM b x JOIN b y
+       |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+       |    AND bit_count(xor(x.sh, y.sh)) <= 2),
+       |e AS (SELECT d1, d2 FROM cand UNION SELECT d2, d1 FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT d1, d1 FROM e
+       |  UNION
+       |  SELECT r.src, e.d2 FROM reach r JOIN e ON r.dst = e.d1),
+       |lab AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)""".stripMargin
 
   // per-token hashes materialize ONCE (hs list), then 60 bit-votes fold
   // over the precomputed list — the naive form re-hashes every token 60×
@@ -3573,24 +3650,35 @@ object TextOps extends QueryModule {
          |SELECT d1, d2, hamming FROM cand WHERE hamming <= 3""".stripMargin,
     "q_neardup_components" ->
       s"""WITH RECURSIVE
-         |s AS (SELECT doc_id, $simhashExpr AS sh
-         |      FROM (SELECT doc_id, $dToks AS t FROM documents)),
-         |b AS (SELECT doc_id, sh, 0 AS band, sh & 65535 AS bval FROM s
-         |      UNION ALL
-         |      SELECT doc_id, sh, 1 AS band, sh >> 16 AS bval FROM s),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM b x JOIN b y
-         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
-         |    AND bit_count(xor(x.sh, y.sh)) <= 2),
-         |e AS (SELECT d1, d2 FROM cand UNION SELECT d2, d1 FROM cand),
-         |reach(src, dst) AS (
-         |  SELECT d1, d1 FROM e
-         |  UNION
-         |  SELECT r.src, e.d2 FROM reach r JOIN e ON r.dst = e.d1),
-         |lab AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
+         |${dNeardupLabCtes("documents")}
          |SELECT comp, COUNT(*) AS n_docs, MAX(id) AS max_doc
          |FROM lab GROUP BY comp""".stripMargin,
+    // same graph machinery over the plant-augmented corpus (the
+    // splitLeakage %30 construction), then the keep-longest pick:
+    // ROW_NUMBER (n_chars DESC, id ASC) textually mirrors Spark's
+    // max(struct(nc, -id))
+    "q_neardup_canonical" ->
+      s"""WITH RECURSIVE
+         |aug AS (
+         |  SELECT doc_id, text, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $PlantOffset AS doc_id, text, n_chars
+         |  FROM documents WHERE doc_id % 30 = 0),
+         |${dNeardupLabCtes("aug")},
+         |mem AS (SELECT lab.comp, lab.id, a.n_chars
+         |        FROM lab JOIN aug a ON lab.id = a.doc_id),
+         |pick AS (SELECT comp, id, n_chars,
+         |           ROW_NUMBER() OVER (PARTITION BY comp
+         |             ORDER BY n_chars DESC, id ASC) AS rk
+         |         FROM mem),
+         |agg AS (SELECT comp, COUNT(*) AS n_members,
+         |          CAST(SUM(n_chars) AS BIGINT) AS chars_total
+         |        FROM mem GROUP BY comp)
+         |SELECT a.comp, p.id AS canonical_id, a.n_members,
+         |  a.n_members - 1 AS n_dropped,
+         |  CAST(p.n_chars AS BIGINT) AS chars_kept,
+         |  a.chars_total - CAST(p.n_chars AS BIGINT) AS chars_dropped
+         |FROM agg a JOIN pick p ON a.comp = p.comp AND p.rk = 1""".stripMargin,
     "q_doc_scrub" ->
       s"""WITH b AS (
          |  SELECT source,

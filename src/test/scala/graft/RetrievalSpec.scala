@@ -64,6 +64,37 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid RRF: fused score replays in-JVM from the two arm ranks, " +
+      "the arms genuinely disagree, and ranks are contiguous per query") {
+    val out = RetrievalOps.queries("q_hybrid_rrf")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the fusion is non-trivial: the two rankers must actually disagree
+    // somewhere (tf-sum favors long repetitive docs; BM25 saturates tf
+    // and normalizes length — identical orderings would mean the fusion
+    // proves nothing)
+    assert(out.exists(r => r.getAs[Long]("r_bm") != r.getAs[Long]("r_tf")),
+      "bm25 and tf-sum rankings identical — fusion degenerate")
+    // rrf replays exactly from the emitted ranks (same two-term IEEE
+    // expression), and the displayed ranking is ordered by it
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to byRank.length))
+      byRank.foreach { r =>
+        val expect = 1.0 / (60L + r.getAs[Long]("r_bm")) +
+          1.0 / (60L + r.getAs[Long]("r_tf"))
+        assert(r.getAs[Double]("rrf") === expect)
+      }
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ra, rb) = (a.getAs[Double]("rrf"), b.getAs[Double]("rrf"))
+          assert(ra > rb || (ra == rb &&
+            a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+        case _ =>
+      }
+    }
+  }
+
   test("bm25 ranking equals the in-JVM replay of the rational formula") {
     val out = RetrievalOps.bm25Rank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

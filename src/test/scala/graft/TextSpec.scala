@@ -536,4 +536,37 @@ class TextSpec extends AnyFunSuite {
       .filter(col("doc_id") % 30 === 0).count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docs + plants)
   }
+
+  test("neardup canonical: plants live, accounting reconciles, and pure " +
+      "plant-pair components pick the ORIGINAL on the n_chars tie") {
+    val rows = TextOps.queries("q_neardup_canonical")(spark, dir).collect()
+    assert(rows.nonEmpty, "no near-dup families — plants dead?")
+    val plantOffset = 1L << 62 // TextOps.PlantOffset (private[ops])
+    val nPlants = Tables.documents(spark, TestSession.sf)
+      .filter(col("doc_id") % 30 === 0).count()
+    assert(nPlants > 0)
+    // every component in the pair graph is multi-doc by construction
+    rows.foreach { r =>
+      val (members, dropped) =
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_dropped"))
+      assert(members >= 2 && dropped === members - 1)
+      assert(r.getAs[Long]("chars_kept") >= 0 &&
+        r.getAs[Long]("chars_dropped") >= 0)
+    }
+    // each planted copy has a guaranteed hamming-0 pair with its
+    // original, so plants+originals are all members of some family
+    assert(rows.map(_.getAs[Long]("n_members")).sum >= nPlants * 2,
+      "plant families missing from the component cover")
+    // THE TIE-BREAK ARM: a pure plant pair {D, D+2^62} has identical
+    // n_chars (chars_dropped == chars_kept at n_members == 2), and the
+    // canonical must be the ORIGINAL id, never the plant
+    val pure = rows.filter(r => r.getAs[Long]("n_members") == 2 &&
+      r.getAs[Long]("chars_kept") == r.getAs[Long]("chars_dropped"))
+    assert(pure.nonEmpty, "no pure plant-pair component — tie-break " +
+      "arm never exercised")
+    pure.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") < plantOffset,
+        s"tie-break picked the plant: ${r.getAs[Long]("canonical_id")}")
+    }
+  }
 }
