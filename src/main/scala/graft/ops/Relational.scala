@@ -1778,6 +1778,82 @@ object Relational extends QueryModule {
       .limit(20)
   }
 
+  /** Rounds of synchronous label propagation for [[basketCommunities]];
+    * fixed (like [[PagerankIters]]) so the DuckDB oracle unrolls to the
+    * same depth. */
+  val LpaRounds = 3
+
+  /** Label-propagation communities over the CO-PURCHASE graph — the
+    * graph shelf's community-detection member (Raghavan et al., Phys.
+    * Rev. E 2007) next to PageRank (centrality), connected components
+    * (reachability) and triangles (cohesion): "which products cluster
+    * in baskets" is the catalog/recommender grouping a merchandiser
+    * reads. Edges are [[basketPairs]]' pair table gated at support ≥ 2
+    * (the apriori pruning rule; support-1 pairs are coincidence at this
+    * corpus's uniform basket fill), mirrored to both directions.
+    *
+    * Determinism — the reason this variant gates hash-exact where
+    * textbook LPA is run-order-dependent: updates are SYNCHRONOUS
+    * (round t+1 reads only round t's labels) and the per-node argmax is
+    * TOTAL-ORDERED by (vote count DESC, label ASC), encoded as one
+    * BIGINT `lbl − cnt·2³²` whose MIN both engines take exactly (labels
+    * are partkeys < 2³¹, counts ≤ degree < 2³¹ — no overflow, and the
+    * floored-mod decode `((x % 2³²)+2³²) % 2³²` recovers the label
+    * identically under Spark's and DuckDB's truncated %). The oracle
+    * unrolls the identical [[LpaRounds]] rounds, so the hash match is a
+    * cross-engine proof of every round. Fixed rounds rather than
+    * convergence: LPA on a random-ish graph oscillates 2-cycles under
+    * synchronous updates, so a convergence loop may never terminate —
+    * the bounded-round form is the production-safe one (GraphFrames
+    * ships the same contract).
+    *
+    * Scale: the one data-volume pass is the basket self-join (order-
+    * keyed, per-basket items² — [[basketPairs]]' own story); after the
+    * support gate the graph is collision-sparse (pairs²/slots edges)
+    * and each round is ONE edge-grain shuffle keyed by vertex, labels
+    * co-partitioned with the mirrored edge list; output is
+    * community-grain. */
+  def basketCommunities(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val g = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    lpaIterate(g, LpaRounds)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_member"))
+  }
+
+  /** The iteration core behind [[basketCommunities]], over any
+    * undirected pair list (p1, p2): `rounds` synchronous label-
+    * propagation rounds, returning (v, lbl). Exposed for the spec's
+    * hand-computable graphs (the pagerankIterate discipline). */
+  private[graft] def lpaIterate(pairs: DataFrame, rounds: Int): DataFrame = {
+    val Enc = 4294967296L // 2^32
+    val e = pairs.select(col("p1").as("v"), col("p2").as("u"))
+      .unionAll(pairs.select(col("p2").as("v"), col("p1").as("u")))
+      .localCheckpoint() // reused by every round's join
+    var lbl = e.select(col("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      lbl = e.join(lbl.withColumnRenamed("v", "u"), Seq("u"))
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(min(col("lbl") - col("cnt") * Enc).as("enc"))
+        .select(col("v"),
+          (((col("enc") % Enc) + Enc) % Enc).as("lbl"))
+    }
+    // e NOT unpersisted here: the returned frame is lazy and every
+    // round's lineage reads its checkpoint blocks (the pagerankIterate
+    // footgun — freeing before collect is a LAZY failure at evaluation)
+    lbl
+  }
+
   /** Cohort LTV curve — cumulative revenue per acquisition cohort by
     * customer age in months, the subscription/e-commerce lifetime-value
     * report. Cohort = integer month index (y·12 + m − 1, exact) of each
@@ -2464,6 +2540,7 @@ object Relational extends QueryModule {
     "q_mode_per_group"    -> modePerGroup _,
     "q_gini_segment"      -> giniSegment _,
     "q_basket_pairs"      -> basketPairs _,
+    "q_basket_communities" -> basketCommunities _,
     "q_cohort_ltv"        -> cohortLtv _,
     "q_order_gap_stats"   -> orderGapStats _,
     "q_pareto_8020"       -> pareto8020 _,
@@ -3019,6 +3096,40 @@ object Relational extends QueryModule {
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY 1, 2
         |ORDER BY support DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
+    // unrolls the EXACT LpaRounds synchronous rounds over the same
+    // support>=2 co-purchase spine; argmax encoded/decoded identically
+    // (see [[basketCommunities]] — keep the two in lockstep)
+    "q_basket_communities" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |g AS (
+        |  SELECT a.pk AS p1, b.pk AS p2
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT p1 AS v, p2 AS u FROM g
+        |      UNION ALL SELECT p2 AS v, p1 AS u FROM g),
+        |l0 AS (SELECT DISTINCT v, v AS lbl FROM e),
+        |l1 AS (
+        |  SELECT v, ((MIN(lbl - cnt*4294967296) % 4294967296)
+        |    + 4294967296) % 4294967296 AS lbl
+        |  FROM (SELECT e.v, l.lbl, COUNT(*) AS cnt
+        |        FROM e JOIN l0 l ON e.u = l.v GROUP BY 1, 2)
+        |  GROUP BY v),
+        |l2 AS (
+        |  SELECT v, ((MIN(lbl - cnt*4294967296) % 4294967296)
+        |    + 4294967296) % 4294967296 AS lbl
+        |  FROM (SELECT e.v, l.lbl, COUNT(*) AS cnt
+        |        FROM e JOIN l1 l ON e.u = l.v GROUP BY 1, 2)
+        |  GROUP BY v),
+        |l3 AS (
+        |  SELECT v, ((MIN(lbl - cnt*4294967296) % 4294967296)
+        |    + 4294967296) % 4294967296 AS lbl
+        |  FROM (SELECT e.v, l.lbl, COUNT(*) AS cnt
+        |        FROM e JOIN l2 l ON e.u = l.v GROUP BY 1, 2)
+        |  GROUP BY v)
+        |SELECT lbl AS community, COUNT(*) AS n_members,
+        |  MIN(v) AS min_member
+        |FROM l3 GROUP BY lbl""".stripMargin,
     "q_cohort_ltv" ->
       """WITH om AS (
         |  SELECT o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents,

@@ -555,6 +555,63 @@ object TextOps extends QueryModule {
           col("est") <= col("exact_ct")).cast("long"), lit(0L)).as("est_ok"))
   }
 
+  /** Count–min sketch frequency estimation (Cormode & Muthukrishnan,
+    * J. Algorithms 2005) — the third mergeable frequency device next to
+    * Misra–Gries ([[heavyHitters]], top-k only) and KMV (distincts):
+    * CMS answers "how often does ANY key occur" from O(d·w) counters,
+    * with the one-sided guarantee est ≥ exact (a key only ever shares
+    * cells, never loses counts) and E[overshoot] ≤ N/w per row, min'd
+    * over d independent rows.
+    *
+    * The build is the LINEAR-SKETCH showcase: per-SOURCE sketches are
+    * built in one token scan (the d-way explode combines map-side to
+    * ≤ d·w cells per task — never a token-sized shuffle) and the global
+    * sketch is their CELL-WISE SUM. The DuckDB oracle builds its sketch
+    * DIRECTLY from the raw token stream, so the hash match proves the
+    * merge identity merge(sketch(A),sketch(B)) = sketch(A∪B) exactly —
+    * the kmv_rollup device, on a linear sketch where the identity is
+    * exact rather than bottom-k-stable. Hashes are the module's md5
+    * device (seeded per row j), so est is DETERMINISTIC and gated
+    * hash-exact — no bracket needed; `over_ok` asserts the structural
+    * theorem est ≥ exact on every key. w = 16 is deliberately small for
+    * the 31-token generator vocabulary so both accuracy arms stay live
+    * at every SF (TextSpec asserts some key collides in all d rows —
+    * est > exact — and some key owns a clean cell — est = exact).
+    *
+    * Scale: the sketch is 64 cells; the probe set here is the exact
+    * vocabulary (bounded by the generator's construction — the exact
+    * arm exists for the GATE, the [[heavyHitters]] discipline). At
+    * 100 TB the sketch build is unchanged (one scan, O(d·w) state,
+    * cell-wise merge across shards/streams/days) and probes are
+    * request-sized lookups against 64 broadcast cells. */
+  def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    val D = 4
+    val W = 16
+    val items = docsParallel(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    def bucket(j: Int, t: Column): Column =
+      conv(substring(md5(concat(lit(s"cms$j|"), t)), 1, 8), 16, 10)
+        .cast("long") % W
+    def cells(t: Column): Column = explode(array((0 until D).map(j =>
+      struct(lit(j.toLong).as("j"), bucket(j, t).as("b"))): _*))
+    val perSource = items
+      .select(col("source"), cells(col("tok")).as("c"))
+      .groupBy(col("source"), col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val sketch = perSource.groupBy(col("j"), col("b"))
+      .agg(sum(col("n")).as("n"))
+    val exact = items.groupBy(col("tok")).agg(count(lit(1)).as("exact_ct"))
+    exact
+      .select(col("tok"), col("exact_ct"), cells(col("tok")).as("c"))
+      .select(col("tok"), col("exact_ct"),
+        col("c.j").as("j"), col("c.b").as("b"))
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy(col("tok"), col("exact_ct"))
+      .agg(min(col("n")).as("est"))
+      .select(col("tok"), col("exact_ct"), col("est"),
+        (col("est") >= col("exact_ct")).cast("long").as("over_ok"))
+  }
+
   /** The indexed-corpus split the delta gates probe (every doc whose id is
     * not ≡ 0 mod 5); the [[TextIndexStore]] materializes its probe
     * artifacts once per (JVM, sfDir). */
@@ -2842,6 +2899,7 @@ object TextOps extends QueryModule {
     "q_segment_neardup"    -> segmentNearDup _,
     "q_epoch_plan"         -> epochPlan _,
     "q_heavy_hitters"      -> heavyHitters _,
+    "q_cms_freq"           -> cmsFreq _,
     "q_minhash_sig"        -> minhashSignatures _,
     "q_minhash_lsh_pairs"  -> minhashLshPairs _,
     "q_near_dup_pipeline"  -> nearDupPipeline _,
@@ -3565,6 +3623,27 @@ object TextOps extends QueryModule {
         |SELECT tok, exact_ct, n_total,
         |  CAST(1 AS BIGINT) AS found, CAST(1 AS BIGINT) AS est_ok
         |FROM c CROSS JOIN t WHERE exact_ct * 8 > n_total""".stripMargin,
+    // the oracle builds the CMS DIRECTLY from the raw token stream; the
+    // Spark side sums per-source sketches cell-wise, so the hash match
+    // proves the linear-sketch merge identity (see [[cmsFreq]])
+    "q_cms_freq" ->
+      """WITH items AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |cells AS (
+        |  SELECT j, ('0x'||substr(md5('cms'||CAST(j AS VARCHAR)||'|'||tok),
+        |      1, 8))::BIGINT % 16 AS b,
+        |    COUNT(*) AS n
+        |  FROM items CROSS JOIN range(4) t(j) GROUP BY 1, 2),
+        |exact AS (SELECT tok, COUNT(*) AS exact_ct FROM items GROUP BY 1),
+        |probe AS (
+        |  SELECT tok, exact_ct, j,
+        |    ('0x'||substr(md5('cms'||CAST(j AS VARCHAR)||'|'||tok),
+        |      1, 8))::BIGINT % 16 AS b
+        |  FROM exact CROSS JOIN range(4) t(j))
+        |SELECT tok, exact_ct, MIN(n) AS est,
+        |  CAST(MIN(n) >= exact_ct AS BIGINT) AS over_ok
+        |FROM probe JOIN cells USING (j, b)
+        |GROUP BY tok, exact_ct""".stripMargin,
     "q_minhash_sig" ->
       s"""SELECT doc_id, $mhExprs
          |FROM (SELECT doc_id, $dShingles3 AS sh

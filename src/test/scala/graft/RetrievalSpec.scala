@@ -305,6 +305,34 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("label propagation: barbell hand-trace pins the synchronous " +
+      "tie-break semantics; basket communities are non-degenerate") {
+    import spark.implicits._
+    // two triangles {1,2,3} / {10,11,12} bridged 3-10: the hand trace
+    // (neighbor votes only, tie -> min label, synchronous rounds) lands
+    // each triangle on ONE label after 3 rounds and the bridge must NOT
+    // merge them; every intermediate round exercises the count-then-min
+    // priority (round 1 is all-ties, round 2 has a genuine majority)
+    val barbell = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("p1", "p2")
+    val labels = Relational.lpaIterate(barbell, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L),
+      s"synchronous LPA trace diverged: $labels")
+    // the registered query on testdata: every node labeled exactly once
+    // (community sizes partition the vertex set) and the result is not
+    // one giant blob or all-singletons
+    // (note: a community's LABEL need not be one of its members — the
+    // barbell's second triangle ends labeled 3, a first-triangle id)
+    val rows = Relational.basketCommunities(spark, sf).collect()
+    val nodes = rows.map(_.getLong(1)).sum
+    assert(rows.length > 1, "LPA collapsed to one community")
+    assert(rows.exists(_.getLong(1) >= 2L),
+      "all singletons — support gate left no propagating edges")
+    assert(nodes > rows.length, "member counts must exceed communities")
+  }
+
   test("pagerank: symmetric 2-cycle is an exact fixed point; star graph " +
       "ranks hand-computed; event graph conserves mass to truncation") {
     import spark.implicits._

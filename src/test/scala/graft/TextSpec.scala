@@ -289,6 +289,27 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch: est >= exact on every key and BOTH accuracy " +
+      "arms are live (some key collides in all rows, some is clean)") {
+    val rows = TextOps.cmsFreq(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length > 10, s"vocabulary collapsed: ${rows.length} keys")
+    rows.foreach { case (tok, (exact, est, overOk)) =>
+      assert(est >= exact, s"CMS under-counted $tok: $est < $exact")
+      assert(overOk === 1L)
+    }
+    // w=16 over the ~31-token vocabulary is calibrated so both arms
+    // fire at every SF: if every key's min cell were clean the sketch
+    // would be degenerate-exact (w too wide to test anything), and if
+    // none were clean the min-over-rows lever would be dead (w too
+    // narrow to ever isolate a key)
+    assert(rows.exists { case (_, (exact, est, _)) => est > exact },
+      "no key over-estimated — collision arm dead, sketch trivially exact")
+    assert(rows.exists { case (_, (exact, est, _)) => est === exact },
+      "no key recovered exactly — min-over-rows arm dead")
+  }
+
   test("dup-span profile: planted re-ingests keep docs_over_half provably live") {
     val spark = TestSession.spark
     import spark.implicits._
