@@ -584,25 +584,58 @@ object TextOps extends QueryModule {
     * 100 TB the sketch build is unchanged (one scan, O(d·w) state,
     * cell-wise merge across shards/streams/days) and probes are
     * request-sized lookups against 64 broadcast cells. */
+  /** CMS geometry shared by the batch query, the streaming fold and the
+    * oracle (which hard-codes the same 4 × 16 — keep in lockstep). */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 16
+
+  /** One (row, bucket) pair per hash row for a token column — the d-way
+    * explode whose partial aggregation IS the sketch build. */
+  private def cmsCellCol(t: Column): Column =
+    explode(array((0 until CmsDepth).map(j =>
+      struct(lit(j.toLong).as("j"),
+        (conv(substring(md5(concat(lit(s"cms$j|"), t)), 1, 8), 16, 10)
+          .cast("long") % CmsWidth).as("b"))): _*))
+
+  /** The d×w counter table (j, b, n) for a token frame — one scan,
+    * map-side combine to ≤ d·w cells per task. */
+  private[graft] def cmsCellsOf(items: DataFrame): DataFrame =
+    items.select(cmsCellCol(col("tok")).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** The STREAMING face of the CMS — fold ONE micro-batch of tokens into
+    * the sketch store at `dir` (read → cell-wise ADD → durable
+    * overwrite, the `foreachBatch` refresh every other store face uses).
+    * Because the sketch is LINEAR, the fold needs no contract beyond
+    * "each token counted once": merge(sketch(A), sketch(B)) =
+    * sketch(A ∪ B) exactly, for ANY slicing — CmsStreamSpec drives
+    * uneven slices through this and asserts the maintained store equals
+    * the one-shot build bit-for-bit. The store is d·w rows, so each fold
+    * costs the batch scan plus a 64-row merge. */
+  def cmsRefresh(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val b = cmsCellsOf(batch)
+    val merged =
+      (if (StoreDirs.recoverThenExists(dir))
+        s.read.parquet(dir).unionByName(b)
+          .groupBy(col("j"), col("b")).agg(sum(col("n")).as("n"))
+      else b).localCheckpoint()
+    StoreDirs.durableOverwrite(merged, dir)
+    Relational.unpersistCheckpoint(merged)
+  }
+
   def cmsFreq(s: SparkSession, d: String): DataFrame = {
-    val D = 4
-    val W = 16
     val items = docsParallel(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
-    def bucket(j: Int, t: Column): Column =
-      conv(substring(md5(concat(lit(s"cms$j|"), t)), 1, 8), 16, 10)
-        .cast("long") % W
-    def cells(t: Column): Column = explode(array((0 until D).map(j =>
-      struct(lit(j.toLong).as("j"), bucket(j, t).as("b"))): _*))
     val perSource = items
-      .select(col("source"), cells(col("tok")).as("c"))
+      .select(col("source"), cmsCellCol(col("tok")).as("c"))
       .groupBy(col("source"), col("c.j").as("j"), col("c.b").as("b"))
       .agg(count(lit(1)).as("n"))
     val sketch = perSource.groupBy(col("j"), col("b"))
       .agg(sum(col("n")).as("n"))
     val exact = items.groupBy(col("tok")).agg(count(lit(1)).as("exact_ct"))
     exact
-      .select(col("tok"), col("exact_ct"), cells(col("tok")).as("c"))
+      .select(col("tok"), col("exact_ct"), cmsCellCol(col("tok")).as("c"))
       .select(col("tok"), col("exact_ct"),
         col("c.j").as("j"), col("c.b").as("b"))
       .join(broadcast(sketch), Seq("j", "b"))
