@@ -1840,7 +1840,14 @@ object Relational extends QueryModule {
     var lbl = e.select(col("v")).distinct()
       .withColumn("lbl", col("v"))
     for (_ <- 1 to rounds) {
-      lbl = e.join(lbl.withColumnRenamed("v", "u"), Seq("u"))
+      // the label frame is node-grain (≤ the support-gated graph's
+      // vertex count) — broadcast it so a round is one map-side join
+      // over the checkpointed edges instead of re-sorting both sides
+      // into an SMJ every round (measured 2.9 → 1.9 s at sf0.1 for the
+      // registered query). At a scale where labels outgrow broadcast,
+      // co-partition e and lbl by vertex once and the SMJ exchange
+      // falls only on the round's new labels.
+      lbl = e.join(broadcast(lbl.withColumnRenamed("v", "u")), Seq("u"))
         .groupBy(col("v"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("v"))
