@@ -262,18 +262,22 @@ object Bench {
                   s"$basePath queries object is not flat — " +
                     "regenerate it with this Bench version")
               // accept any plain fixed-decimal value (a hand-assembled
-              // baseline may carry fewer than jnum's 3 decimals); the
-              // count check below still catches scientific notation or
-              // any entry the anchored pattern leaves unconsumed
+              // baseline may carry fewer than jnum's 3 decimals). Each
+              // comma-split segment must match the pattern IN FULL —
+              // a find-based scan would silently truncate "1.5e1" to
+              // 1.5 while still passing an entry-count check (the
+              // partial-consume hole the r11 ADVICE fix left open)
               val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+\.[0-9]+)""".r
-              val entries = pair.findAllMatchIn(body)
-                .map(m => (m.group(1), m.group(2).toDouble)).toList
-              val nCommas = if (body.trim.isEmpty) -1 else body.count(_ == ',')
-              if (entries.size != nCommas + 1)
-                throw new IllegalStateException(
-                  s"$basePath queries entries not all plain decimals " +
-                    s"(${entries.size} parsed of ${nCommas + 1}) — " +
-                    "regenerate it with this Bench version")
+              val segs =
+                if (body.trim.isEmpty) Array.empty[String]
+                else body.split(",", -1)
+              val entries = segs.toList.map {
+                case pair(name, v) => (name, v.toDouble)
+                case bad => throw new IllegalStateException(
+                  s"$basePath queries entry '$bad' is not a plain " +
+                    "name:decimal pair — regenerate it with this " +
+                    "Bench version")
+              }
               val base = entries.toMap
               val regress = folded.filter(_._2 >= 0).flatMap { case (n, v, _) =>
                 base.get(n).filter(b => b > 0 && v > 2 * b && v - b > 0.5)

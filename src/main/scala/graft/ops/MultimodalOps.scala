@@ -427,12 +427,15 @@ object MultimodalOps extends QueryModule {
       s"""WITH $mmNearDupCtes
         |SELECT d1, d2, hamming FROM cand WHERE hamming <= 6""".stripMargin,
     // shares the dHash/band CTEs VERBATIM with q_mm_neardup; the CC tail
-    // is the q_neardup_components reachability device (UNION arms are
-    // disjoint by d1 < d2, so the WITH RECURSIVE union trap cannot bite)
+    // is the q_neardup_components reachability device (mirror written
+    // DISTINCT-over-UNION-ALL per the CLAUDE.md recursive-WITH rule —
+    // arms are disjoint today, but bare UNION would silently lose dedup
+    // the day they overlap)
     "q_mm_neardup_components" ->
       s"""WITH RECURSIVE $mmNearDupCtes,
         |p AS (SELECT d1, d2 FROM cand WHERE hamming <= 6),
-        |e AS (SELECT d1, d2 FROM p UNION SELECT d2, d1 FROM p),
+        |e AS (SELECT DISTINCT d1, d2 FROM (
+        |  SELECT d1, d2 FROM p UNION ALL SELECT d2, d1 FROM p)),
         |reach(src, dst) AS (
         |  SELECT d1, d1 FROM e
         |  UNION

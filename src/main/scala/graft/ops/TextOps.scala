@@ -3098,9 +3098,11 @@ object TextOps extends QueryModule {
     * reach → lab), parameterized by the document relation — shared
     * verbatim by `q_neardup_components` (raw corpus) and
     * `q_neardup_canonical` (plant-augmented corpus) so the two oracles'
-    * graph machinery cannot drift. The `e` mirror uses bare UNION safely:
-    * its arms are disjoint by the cand `d1 < d2` constraint (the
-    * CLAUDE.md recursive-WITH dedup quirk never bites disjoint arms). */
+    * graph machinery cannot drift. The `e` mirror is written DISTINCT-
+    * over-UNION-ALL per the CLAUDE.md recursive-WITH rule — its arms are
+    * disjoint today (`d1 < d2`), but a bare UNION here would silently
+    * lose cross-arm dedup the day an edit makes them overlap, with no
+    * gate failure pointing at this shared spine. */
   private def dNeardupLabCtes(docSrc: String): String =
     s"""s AS (SELECT doc_id, $simhashExpr AS sh
        |      FROM (SELECT doc_id, $dToks AS t FROM $docSrc)),
@@ -3112,7 +3114,8 @@ object TextOps extends QueryModule {
        |  FROM b x JOIN b y
        |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
        |    AND bit_count(xor(x.sh, y.sh)) <= 2),
-       |e AS (SELECT d1, d2 FROM cand UNION SELECT d2, d1 FROM cand),
+       |e AS (SELECT DISTINCT d1, d2 FROM (
+       |  SELECT d1, d2 FROM cand UNION ALL SELECT d2, d1 FROM cand)),
        |reach(src, dst) AS (
        |  SELECT d1, d1 FROM e
        |  UNION
@@ -3467,7 +3470,8 @@ object TextOps extends QueryModule {
          |          AS g FROM dict),
          |topg AS (SELECT g FROM grams
          |         ORDER BY wt DESC, g LIMIT $SubwordVocabSize),
-         |vocab AS (SELECT g FROM topg UNION SELECT g FROM chars),
+         |vocab AS (SELECT DISTINCT g FROM (
+         |  SELECT g FROM topg UNION ALL SELECT g FROM chars)),
          |tok AS (
          |  SELECT word, word AS rem, 0 AS n_sub FROM dict
          |  UNION ALL
@@ -3572,7 +3576,8 @@ object TextOps extends QueryModule {
          |  FROM b x JOIN b y
          |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
          |    AND bit_count(xor(x.sh, y.sh)) <= 2),
-         |e AS (SELECT d1, d2 FROM cand UNION SELECT d2, d1 FROM cand),
+         |e AS (SELECT DISTINCT d1, d2 FROM (
+         |  SELECT d1, d2 FROM cand UNION ALL SELECT d2, d1 FROM cand)),
          |reach(src, dst) AS (
          |  SELECT d1, d1 FROM e
          |  UNION

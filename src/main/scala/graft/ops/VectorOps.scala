@@ -1195,6 +1195,10 @@ object VectorOps extends QueryModule {
       .localCheckpoint()
     Relational.unpersistCheckpoint(brute)
     Relational.unpersistCheckpoint(ivf)
+    // out is EAGER (checkpointed above), so the corpus-sized frame from
+    // decontamFrames can be freed too — the largest of the three, and
+    // the one a leak pins for the JVM lifetime (ADVICE-class r12 fix)
+    Relational.unpersistCheckpoint(corpus)
     out
   }
 
@@ -1761,7 +1765,8 @@ object VectorOps extends QueryModule {
     "q_embed_neardup_components" ->
       s"""WITH RECURSIVE $embedNearDupCtes,
          |cand AS (SELECT d1, d2 FROM pairs WHERE sim >= 0.9),
-         |e AS (SELECT d1, d2 FROM cand UNION SELECT d2, d1 FROM cand),
+         |e AS (SELECT DISTINCT d1, d2 FROM (
+         |  SELECT d1, d2 FROM cand UNION ALL SELECT d2, d1 FROM cand)),
          |reach(src, dst) AS (
          |  SELECT d1, d1 FROM e
          |  UNION

@@ -172,7 +172,9 @@ object StatefulOps {
       ttl: TTLConfig = TTLConfig.NONE): Dataset[IngestDoc] =
     ds.groupByKey(_.fp)
       .transformWithState(new IngestDedupProcessor(ttl),
-        TimeMode.None(), OutputMode.Append())
+        if (ttl == TTLConfig.NONE) TimeMode.None()
+        else TimeMode.ProcessingTime(), // TTL state rejects NoTime
+        OutputMode.Append())
 
   /** A closed gap-session: [startS, endS] in event-time seconds. */
   case class SessionOut(key: String, startS: Long, endS: Long, nEvents: Long)
@@ -320,12 +322,17 @@ object StatefulOps {
     }
   }
 
-  /** The `transformWithState` face of [[asofAttribution]]. */
+  /** The `transformWithState` face of [[asofAttribution]]. A declared
+    * TTL forces `TimeMode.ProcessingTime()` like [[dailyDedupTws]] (the
+    * engine rejects TTL state under NoTime — the CLAUDE.md trap); NONE
+    * keeps exact parity with the fMGWS twin for the bit-equality spec. */
   def asofAttributionTws(ds: Dataset[TaggedEvent],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[AsofMatch] =
     ds.groupByKey(_.userId)
       .transformWithState(new AsofAttributionProcessor(ttl),
-        TimeMode.None(), OutputMode.Append())
+        if (ttl == TTLConfig.NONE) TimeMode.None()
+        else TimeMode.ProcessingTime(),
+        OutputMode.Append())
 
   /** Buffer for the out-of-order as-of variant: the latest FINALIZED view
     * time plus the not-yet-finalized events above the watermark. */
@@ -511,7 +518,9 @@ object StatefulOps {
       ttl: TTLConfig = TTLConfig.NONE): Dataset[PageView] =
     ds.groupByKey(_.mid)
       .transformWithState(new VisitorRepairProcessor(ttl),
-        TimeMode.None(), OutputMode.Append())
+        if (ttl == TTLConfig.NONE) TimeMode.None()
+        else TimeMode.ProcessingTime(), // TTL state rejects NoTime
+        OutputMode.Append())
 
   /** O18 — keep-latest dedup on a changelog: hold the max-`opTs` row per
     * key, emit it once no newer version can arrive. The reference flushes
@@ -835,7 +844,9 @@ object StatefulOps {
       ttl: TTLConfig = TTLConfig.NONE): Dataset[AttributedPurchase] =
     ds.groupByKey(_.userId)
       .transformWithState(new AttributionProcessor(ttl),
-        TimeMode.None(), OutputMode.Append())
+        if (ttl == TTLConfig.NONE) TimeMode.None()
+        else TimeMode.ProcessingTime(), // TTL state rejects NoTime
+        OutputMode.Append())
 
   def attributionStream(ds: Dataset[TouchEvent])
       : Dataset[AttributedPurchase] =

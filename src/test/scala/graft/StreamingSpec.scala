@@ -193,6 +193,30 @@ class StreamingSpec extends AnyFunSuite {
       IngestDoc("fpC", 40L, 2500)))
   }
 
+  test("ingestDedupTws with a declared TTL runs under ProcessingTime and " +
+      "matches the NONE behavior within the horizon") {
+    // the TTL branch flips TimeMode to ProcessingTime (the engine throws
+    // for TTL state under NoTime) — AvailableNow + awaitTermination, the
+    // CLAUDE.md discipline for proc-time TTL paths
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[IngestDoc]
+    in.addData(
+      IngestDoc("fpA", 11L, 1000), IngestDoc("fpA", 10L, 1000),
+      IngestDoc("fpB", 20L, 1500), IngestDoc("fpA", 30L, 2000))
+    val q = ingestDedupTws(in.toDS(),
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofDays(30))).writeStream
+      .format("memory").queryName("ingest_tws_ttl")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("ingest_tws_ttl").as[IngestDoc]
+      .collect().sortBy(_.fp)
+    assert(rows.toSeq === Seq(
+      IngestDoc("fpA", 10L, 1000), IngestDoc("fpB", 20L, 1500)))
+  }
+
   test("ingestDedup emits exactly the first doc per fingerprint across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[IngestDoc]
