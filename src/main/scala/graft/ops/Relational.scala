@@ -1778,6 +1778,39 @@ object Relational extends QueryModule {
       .limit(20)
   }
 
+  /** Scale-path rewrite of [[basketPairs]] over the BUCKETED lineitem
+    * table ([[BucketStore]]) — the bucketing family's SELF-JOIN member
+    * (J15 amortized the orders⋈lineitem exchange, J16 the orderkey
+    * aggregation; this is the basket items² expansion). The scan reports
+    * `HashPartitioning(l_orderkey)`, which satisfies BOTH the (ok, pk)
+    * distinct's clustered distribution (a partitioning on a SUBSET of
+    * the grouping keys co-locates every group) AND the self-join's
+    * required distribution, so the only Exchange left in the whole plan
+    * is the inherent pair-grain count (pairs from different orders must
+    * meet somewhere) — the input-sized order-keyed shuffle is gone,
+    * amortized into the one-time bucketed write. Registered under
+    * `q_basket_pairs`'s oracle VERBATIM: the hash gate proves
+    * layout-invariance every round (the J15/J16 discipline).
+    * BucketJoinSpec pins the plan: exchanges hash only the pair keys,
+    * never the orderkey. Honest local measurement: a WASH at sf0.1
+    * (1.52 vs 1.55 s) — the pair-grain expansion dominates at this
+    * volume; the exchange this removes scales with INPUT size while the
+    * one it keeps scales with collision count, so the gap opens with
+    * scale (and [[basketCommunities]], which rides the same spine,
+    * measured 2.58 → 2.27 s). */
+  def basketPairsBucketed(s: SparkSession, d: String): DataFrame = {
+    val li = BucketStore.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p1").asc, col("p2").asc)
+      .limit(20)
+  }
+
   /** Rounds of synchronous label propagation for [[basketCommunities]];
     * fixed (like [[PagerankIters]]) so the DuckDB oracle unrolls to the
     * same depth. */
@@ -1814,7 +1847,11 @@ object Relational extends QueryModule {
     * co-partitioned with the mirrored edge list; output is
     * community-grain. */
   def basketCommunities(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // the spine rides the bucketed lineitem table like
+    // [[basketPairsBucketed]] — the distinct and the self-join both
+    // satisfy their distributions off the scan's HashPartitioning, so
+    // the graph build's only Exchange is the pair-grain support count
+    val li = BucketStore.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val g = li.as("a")
@@ -2547,6 +2584,7 @@ object Relational extends QueryModule {
     "q_mode_per_group"    -> modePerGroup _,
     "q_gini_segment"      -> giniSegment _,
     "q_basket_pairs"      -> basketPairs _,
+    "q_basket_pairs_bucketed" -> basketPairsBucketed _,
     "q_basket_communities" -> basketCommunities _,
     "q_cohort_ltv"        -> cohortLtv _,
     "q_order_gap_stats"   -> orderGapStats _,
@@ -2591,6 +2629,16 @@ object Relational extends QueryModule {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** Shared by `q_basket_pairs` and its bucketed self-join rewrite —
+    * identical mining, layout-invariance via hash gate. */
+  private val basketPairsSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
+      |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY 1, 2
+      |ORDER BY support DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin
 
   /** Shared by `q_order_line_stats` and its exchange-free bucketed
     * rewrite — identical rollup, layout-invariance via hash gate. */
@@ -3096,13 +3144,10 @@ object Relational extends QueryModule {
         |  CAST(six2 - (n + 1) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
         |    / CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE) AS gini
         |FROM m""".stripMargin,
-    "q_basket_pairs" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
-        |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
-        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |GROUP BY 1, 2
-        |ORDER BY support DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
+    "q_basket_pairs" -> basketPairsSql,
+    // VERBATIM shared with q_basket_pairs: the hash gate proves the
+    // bucketed-layout rewrite is output-invariant (J15/J16 discipline)
+    "q_basket_pairs_bucketed" -> basketPairsSql,
     // unrolls the EXACT LpaRounds synchronous rounds over the same
     // support>=2 co-purchase spine; argmax encoded/decoded identically
     // (see [[basketCommunities]] — keep the two in lockstep)

@@ -39,6 +39,28 @@ class BucketJoinSpec extends AnyFunSuite {
       s"bucketed+sorted scan should satisfy SMJ ordering:\n$plan")
   }
 
+  test("bucketed basket self-join: the only exchange is the pair-grain " +
+      "count, never the orderkey; result equals the plain spine") {
+    val df = Relational.basketPairsBucketed(spark, sf)
+    val plan = executedPlan(df)
+    // the distinct and the items^2 self-join both ride the scan's
+    // HashPartitioning(l_orderkey); what remains is the inherent
+    // (p1, p2) support count (+ AQE reading its output) — no exchange
+    // may hash the orderkey
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"pair-grain count must exchange:\n$plan")
+    exchanges.foreach { e =>
+      assert(!e.contains("ok#") && !e.contains("l_orderkey"),
+        s"orderkey exchange survived bucketing: $e\n$plan")
+      assert(e.contains("p1#") || e.contains("pk#"),
+        s"unexpected exchange: $e\n$plan")
+    }
+    val a = Relational.basketPairs(spark, sf).collect().toSeq
+    val b = df.collect().toSeq
+    assert(a == b, "bucketed basket spine diverged from the plain one")
+  }
+
   test("bucketed rewrite equals the plain-parquet join result") {
     val a = Relational.revenueByPriority(spark, sf)
       .orderBy("o_orderpriority").collect().toSeq
