@@ -34,6 +34,19 @@ import org.apache.spark.sql.SparkSession
   * path runs as fallback with an agreement retry loop (two consecutive
   * runs within 20%), and says so on stderr.
   *
+  * Contention-proofing additions (r13): (a) a STORE PRE-BUILD phase runs
+  * before the sweep — every disk-memoized store is forced through its
+  * cheapest probing query and charged to its own named line
+  * (`store_build_sec` + the `stores` map), so per-query numbers measure
+  * probe paths only; (b) per-query SWEEP DISPERSION (max/min across the
+  * runs) is recorded, and any query above 2x is force-added to the
+  * isolation candidates — a contended sweep can no longer stand
+  * unconfirmed just because its min crossed no absolute threshold;
+  * (c) `SPARK_GRAFT_BENCH_LOCAL_OUT=<path>` makes Bench write the full
+  * machine-readable local record (folded/sweep/median/dispersion/
+  * isolated/stores) — the committed BENCH_LOCAL artifact is generated,
+  * never hand-assembled.
+  *
   * The stdout line carries ONLY the headline figures — totals plus the
   * per-query folded-min map (~2.4 kB for 100+ queries) — so it always fits
   * the driver's output capture. The diagnostic maps (raw sweep mins,
@@ -66,15 +79,15 @@ object Bench {
     }
 
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-              name: String): (Double, Double) = {
+              name: String): (Double, Double, Double) = {
       val r =
         try {
           val ts = (1 to runs).map(_ => time(fn))
-          (ts.min, median(ts))
+          (ts.min, median(ts), ts.max)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            (-1.0, -1.0)
+            (-1.0, -1.0, -1.0)
         }
       // queries may cache intermediates (LSH signatures, the DWD store);
       // drop them so one query's working set never skews another's run
@@ -85,22 +98,59 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
+
+    // STORE PRE-BUILD, charged to its own named line (r12 verdict #2/#6):
+    // every disk-memoized store is forced up front through its cheapest
+    // probing query, so no sweep number — and especially no first-run
+    // median — silently absorbs a one-time build. Each figure is
+    // build + one steady probe; the probe-only cost is the same query's
+    // folded sweep min, so (prebuild − sweep_min) IS the build split the
+    // adjudication wants. Skipped in the child (it probes the parent's
+    // stores via the shared root) and for name-filtered local runs.
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    val storeProbes = Seq(
+      "dwd_wide" -> "q_dwd_order_wide", "dwd_latest" -> "q_dws_sku_order",
+      "scd2h" -> "q_scd2_history", "bucket" -> "q_rev_by_priority_bucketed",
+      "textidx" -> "q_delta_dedup", "textsig" -> "q_delta_neardup",
+      "corpussurv" -> "q_corpus_filter", "postings" -> "q_inverted_search",
+      "pqindex" -> "q_ann_pq", "anntruth" -> "q_ann_recall",
+      "compact" -> "q_compaction_exec", "zexec" -> "q_zorder_exec")
+    val storeTimes: Seq[(String, Double)] =
+      if (isChild || args.nonEmpty ||
+          sys.env.get("SPARK_GRAFT_BENCH_PREBUILD").contains("0")) Nil
+      else storeProbes.flatMap { case (tag, qn) =>
+        SparkEntry.queries.get(qn).map { fn =>
+          val t = try time(fn) catch { case e: Throwable =>
+            System.err.println(s"[bench-stores] $tag ($qn) failed: " +
+              e.getMessage); -1.0 }
+          spark.catalog.clearCache()
+          (tag, t)
+        }
+      }
+
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (best, med) = timed(fn, name)
-      (name, best, med)
+      val (best, med, worst) = timed(fn, name)
+      (name, best, med, worst)
     }
 
     // Sweep outliers get a second, uninterleaved measurement in a FRESH
     // JVM (see scaladoc). Candidates: everything whose sweep min crossed
     // the absolute threshold (a contention spike that moves the total by
-    // definition crosses it) plus the nIsolated slowest-by-sweep-min,
-    // capped at isoMax slowest-first so the phase stays bounded.
-    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    // definition crosses it), plus the nIsolated slowest-by-sweep-min,
+    // PLUS every query whose in-sweep dispersion (max/min across the
+    // runs) exceeds 2x — a run that disagrees with its siblings by 2x
+    // was contended, and the re-measure pass must confirm which figure
+    // is real instead of trusting whichever run happened to be quiet
+    // (r12 verdict #3: the q_collocations 38s-vs-1.5s case). Capped at
+    // isoMax slowest-first so the phase stays bounded.
     val isoMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_MAX", "16").toInt
     val okSweep = results.filter(_._2 >= 0)
     val sweepMin = okSweep.map(r => (r._1, r._2)).toMap
+    val sweepDisp = okSweep.filter(_._2 > 0)
+      .map(r => (r._1, r._4 / r._2)).toMap
+    val dispFlagged = sweepDisp.filter(_._2 > 2.0).keys.toSeq
     val allCand = (okSweep.sortBy(-_._2).take(nIsolated).map(_._1) ++
-      okSweep.filter(_._2 > isoThresh).map(_._1)).distinct
+      okSweep.filter(_._2 > isoThresh).map(_._1) ++ dispFlagged).distinct
     val isoNames =
       if (isChild) Nil else allCand.sortBy(n => -sweepMin(n)).take(isoMax)
     if (allCand.size > isoNames.size && !isChild)
@@ -187,7 +237,7 @@ object Bench {
     val isoMap = isolated.filter(_._2 >= 0).toMap
     // headline = min(sweep_min, isolated_min): the steady-state plan cost
     // survives whichever measurement the box let run clean
-    val folded = results.map { case (name, best, med) =>
+    val folded = results.map { case (name, best, med, _) =>
       val f = isoMap.get(name).map(math.min(best, _)).getOrElse(best)
       (name, f, med)
     }
@@ -201,11 +251,18 @@ object Bench {
     val qs = obj(folded.map(r => (r._1, r._2)))
     val qsSweep = obj(results.map(r => (r._1, r._2)))
     val qsMed = obj(results.map(r => (r._1, r._3)))
+    val qsDisp = obj(sweepDisp.toSeq.sortBy(_._1))
     val iso = obj(isolated)
+    val stores = obj(storeTimes)
+    val storeTotal = jnum(storeTimes.map(_._2).filter(_ >= 0).sum)
     val ok = folded.filter(_._2 >= 0)
     val total = jnum(ok.map(_._2).sum)
     val totalMed = jnum(ok.map(_._3).sum)
-    System.err.println(s"""[bench-diagnostics] {"value_median":$totalMed,"queries_median":$qsMed,"queries_sweep":$qsSweep,"isolated":$iso}""")
+    System.err.println(s"""[bench-diagnostics] {"value_median":$totalMed,"queries_median":$qsMed,"queries_sweep":$qsSweep,"queries_dispersion":$qsDisp,"isolated":$iso,"stores":$stores}""")
+    if (dispFlagged.nonEmpty)
+      System.err.println(s"[bench-sweep-dispersion] ${dispFlagged.size} " +
+        "queries swept with >2x run disagreement, re-measured in " +
+        "isolation: " + dispFlagged.sorted.mkString(","))
 
     // Sweep-vs-isolated DISPERSION (r11, after the r10 driver record
     // doubled on contention): on a clean box the forked children land at
@@ -271,11 +328,14 @@ object Bench {
               val segs =
                 if (body.trim.isEmpty) Array.empty[String]
                 else body.split(",", -1)
-              val entries = segs.toList.map {
+              // trim: a hand-edited baseline with spaces after commas
+              // is fine — only the name:decimal shape is load-bearing
+              // (ADVICE r12)
+              val entries = segs.toList.map(_.trim).map {
                 case pair(name, v) => (name, v.toDouble)
                 case bad => throw new IllegalStateException(
-                  s"$basePath queries entry '$bad' is not a plain " +
-                    "name:decimal pair — regenerate it with this " +
+                  s"$basePath queries entry '$bad' does not match " +
+                    "\"name\":decimal — regenerate it with this " +
                     "Bench version")
               }
               val base = entries.toMap
@@ -302,7 +362,18 @@ object Bench {
       }
     }
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"total":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":$nFailed,"store_build_sec":$storeTotal,"queries":$qs,"total":$total}""")
+    // Machine-written LOCAL record (r12 verdict #3: the committed
+    // artifact must carry per-query dispersion and the re-measure pass
+    // itself, not hand-written contention prose): one line, same flat
+    // "queries" object the baseline parser reads, plus the full
+    // diagnostic surface as structured fields.
+    sys.env.get("SPARK_GRAFT_BENCH_LOCAL_OUT").foreach { path =>
+      val rec = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":$nFailed,"store_build_sec":$storeTotal,"stores":$stores,"queries":$qs,"queries_sweep":$qsSweep,"queries_median":$qsMed,"queries_dispersion":$qsDisp,"isolated":$iso,"total":$total}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        rec + "\n"): Unit
+      System.err.println(s"[bench] local record written to $path")
+    }
     // The per-query line above is ~2.7 kB — larger than the driver's tail
     // capture window, which clips it mid-map into unparseable text (observed
     // five rounds running). This second line is a SELF-CONTAINED totals-only

@@ -1846,24 +1846,41 @@ object Relational extends QueryModule {
     * and each round is ONE edge-grain shuffle keyed by vertex, labels
     * co-partitioned with the mirrored edge list; output is
     * community-grain. */
-  def basketCommunities(s: SparkSession, d: String): DataFrame = {
-    // the spine rides the bucketed lineitem table like
-    // [[basketPairsBucketed]] — the distinct and the self-join both
-    // satisfy their distributions off the scan's HashPartitioning, so
-    // the graph build's only Exchange is the pair-grain support count
+  def basketCommunities(s: SparkSession, d: String): DataFrame =
+    communitiesOf(lpaIterate(basketGraph(s, d), LpaRounds))
+
+  /** [[basketCommunities]] on the beyond-broadcast label path
+    * ([[lpaIterateCopart]]): identical graph spine, identical rounds,
+    * but labels are co-partitioned with the checkpointed edge list
+    * instead of broadcast — the registration that turns the r12
+    * "plan in a comment" into gated code. Shares the broadcast face's
+    * DuckDB oracle VERBATIM, so the hash gate proves the two mechanisms
+    * compute the same communities every round (the salting/bucketing
+    * output-invariance discipline). */
+  def basketCommunitiesCopart(s: SparkSession, d: String): DataFrame =
+    communitiesOf(lpaIterateCopart(basketGraph(s, d), LpaRounds))
+
+  /** The support-gated co-purchase graph shared by both LPA faces.
+    * Rides the bucketed lineitem table like [[basketPairsBucketed]] —
+    * the distinct and the self-join both satisfy their distributions
+    * off the scan's HashPartitioning, so the graph build's only
+    * Exchange is the pair-grain support count. */
+  private def basketGraph(s: SparkSession, d: String): DataFrame = {
     val li = BucketStore.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val g = li.as("a")
+    li.as("a")
       .join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
-    lpaIterate(g, LpaRounds)
+  }
+
+  private def communitiesOf(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_member"))
-  }
 
   /** The iteration core behind [[basketCommunities]], over any
     * undirected pair list (p1, p2): `rounds` synchronous label-
@@ -1881,9 +1898,9 @@ object Relational extends QueryModule {
       // vertex count) — broadcast it so a round is one map-side join
       // over the checkpointed edges instead of re-sorting both sides
       // into an SMJ every round (measured 2.9 → 1.9 s at sf0.1 for the
-      // registered query). At a scale where labels outgrow broadcast,
-      // co-partition e and lbl by vertex once and the SMJ exchange
-      // falls only on the round's new labels.
+      // registered query). [[lpaIterateCopart]] is the registered
+      // beyond-broadcast twin: co-partitioned edges, rounds exchange
+      // only the node-grain label frame.
       lbl = e.join(broadcast(lbl.withColumnRenamed("v", "u")), Seq("u"))
         .groupBy(col("v"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
@@ -1892,9 +1909,90 @@ object Relational extends QueryModule {
         .select(col("v"),
           (((col("enc") % Enc) + Enc) % Enc).as("lbl"))
     }
-    // e NOT unpersisted here: the returned frame is lazy and every
-    // round's lineage reads its checkpoint blocks (the pagerankIterate
-    // footgun — freeing before collect is a LAZY failure at evaluation)
+    // eagerly materialize the final node-grain labels, then free the
+    // edge checkpoint: returning the lazy lineage instead would pin
+    // edge-sized blocks for the JVM lifetime (ADVICE r12) — and
+    // freeing e BEFORE an eager cut is the pagerankIterate footgun
+    // (a lazy consumer would evaluate against dead blocks)
+    val out = lbl.localCheckpoint()
+    unpersistCheckpoint(e)
+    out
+  }
+
+  /** The BEYOND-BROADCAST twin of [[lpaIterate]] — same synchronous
+    * rounds, same total-ordered argmax encoding, but the label frame is
+    * never broadcast: at 100 TB the label frame is VERTEX-grain (every
+    * product in the catalog), which outgrows executor memory long
+    * before the edge list stops fitting the cluster. Instead the
+    * mirrored edge list is hash-co-partitioned by the probe key `u`
+    * ONCE (the checkpoint preserves the partitioning, so every round's
+    * join reuses it with zero edge exchange), and each round:
+    *   1. exchanges only the NODE-grain label frame to the edges'
+    *      partitioning — a shuffled-hash join (hinted: the build side
+    *      is the per-partition label slice; an SMJ would re-sort the
+    *      edge side every round, and AQE must not demote to broadcast
+    *      or the mechanism under test disappears),
+    *   2. repartitions the join output by `v` once, so BOTH argmax
+    *      aggregations run exchange-free on top of it (a partitioning
+    *      on a subset of the grouping keys co-locates every group —
+    *      the [[basketPairsBucketed]] subset-clustering device).
+    * Per-round exchange volume: |labels| + |edge-grain votes|, never
+    * edges×rounds re-partitionings and never a vertex-sized broadcast.
+    * LpaPlanSpec pins the plan (no BroadcastExchange anywhere, the
+    * round joins are ShuffledHashJoin); registration under
+    * `q_basket_communities`' oracle VERBATIM proves output-invariance
+    * against the broadcast face every round. */
+  private[graft] def lpaIterateCopart(pairs: DataFrame,
+      rounds: Int): DataFrame = {
+    // co-partition ONCE and CACHE: InMemoryRelation preserves the
+    // child's HashPartitioning(u, n) and cached plans are exempt from
+    // AQE re-partitioning, so every round's join reads the edges
+    // exchange-free off the cache scan. (A localCheckpoint does NOT
+    // work here — its LogicalRDD reports UnknownPartitioning under
+    // AQE, and every round re-plans an edge exchange; measured in
+    // LpaPlanSpec's first cut. The by-number repartition keeps the
+    // layout at a pinned count so the rounds' node-grain re-keys land
+    // compatible.) At 100 TB the same role is played by persisting at
+    // DISK_ONLY or writing the mirrored edges as a bucketed table —
+    // the mechanism (one edge partitioning, rounds exchange only
+    // labels) is identical.
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val e = pairs.select(col("p1").as("v"), col("p2").as("u"))
+      .unionAll(pairs.select(col("p2").as("v"), col("p1").as("u")))
+      .repartition(n, col("u"))
+      .persist()
+    e.count(): Unit // materialize the co-partitioned layout once
+    val out = lpaRoundsCopart(e, rounds).localCheckpoint()
+    e.unpersist()
+    out
+  }
+
+  /** The lazy round loop of [[lpaIterateCopart]] over an already
+    * co-partitioned (and checkpointed) mirrored edge list — exposed so
+    * LpaPlanSpec can read the EXECUTED round plan (the public face's
+    * eager checkpoint would hide it). */
+  private[graft] def lpaRoundsCopart(e: DataFrame, rounds: Int): DataFrame = {
+    val Enc = 4294967296L // 2^32
+    val n = e.sparkSession.sessionState.conf.numShufflePartitions
+    var lbl = e.select(col("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      // the round's ONLY exchange is this node-grain re-key by v (the
+      // by-number form again, so the renamed frame's HashPartitioning
+      // satisfies the NEXT round's join on u with zero label exchange
+      // too); both argmax aggregations ride it — a partitioning on a
+      // subset of the grouping keys co-locates every group (the
+      // basketPairsBucketed subset-clustering device)
+      lbl = e.join(
+          lbl.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
+        .repartition(n, col("v"))
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(min(col("lbl") - col("cnt") * Enc).as("enc"))
+        .select(col("v"),
+          (((col("enc") % Enc) + Enc) % Enc).as("lbl"))
+    }
     lbl
   }
 
@@ -2586,6 +2684,7 @@ object Relational extends QueryModule {
     "q_basket_pairs"      -> basketPairs _,
     "q_basket_pairs_bucketed" -> basketPairsBucketed _,
     "q_basket_communities" -> basketCommunities _,
+    "q_basket_communities_copart" -> basketCommunitiesCopart _,
     "q_cohort_ltv"        -> cohortLtv _,
     "q_order_gap_stats"   -> orderGapStats _,
     "q_pareto_8020"       -> pareto8020 _,
@@ -2639,6 +2738,45 @@ object Relational extends QueryModule {
       |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
       |GROUP BY 1, 2
       |ORDER BY support DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin
+
+  /** Shared by `q_basket_communities` (broadcast label frame) and
+    * `q_basket_communities_copart` (co-partitioned labels, never
+    * broadcast) — unrolls the EXACT [[LpaRounds]] synchronous rounds
+    * over the support≥2 co-purchase spine; argmax encoded/decoded
+    * identically to [[lpaIterate]]/[[lpaIterateCopart]] (keep the three
+    * in lockstep). One string ⇒ the hash gate proves the two join
+    * mechanisms are output-invariant every round. */
+  private val basketCommunitiesSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |g AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT p1 AS v, p2 AS u FROM g
+      |      UNION ALL SELECT p2 AS v, p1 AS u FROM g),
+      |l0 AS (SELECT DISTINCT v, v AS lbl FROM e),
+      |l1 AS (
+      |  SELECT v, ((MIN(lbl - cnt*4294967296) % 4294967296)
+      |    + 4294967296) % 4294967296 AS lbl
+      |  FROM (SELECT e.v, l.lbl, COUNT(*) AS cnt
+      |        FROM e JOIN l0 l ON e.u = l.v GROUP BY 1, 2)
+      |  GROUP BY v),
+      |l2 AS (
+      |  SELECT v, ((MIN(lbl - cnt*4294967296) % 4294967296)
+      |    + 4294967296) % 4294967296 AS lbl
+      |  FROM (SELECT e.v, l.lbl, COUNT(*) AS cnt
+      |        FROM e JOIN l1 l ON e.u = l.v GROUP BY 1, 2)
+      |  GROUP BY v),
+      |l3 AS (
+      |  SELECT v, ((MIN(lbl - cnt*4294967296) % 4294967296)
+      |    + 4294967296) % 4294967296 AS lbl
+      |  FROM (SELECT e.v, l.lbl, COUNT(*) AS cnt
+      |        FROM e JOIN l2 l ON e.u = l.v GROUP BY 1, 2)
+      |  GROUP BY v)
+      |SELECT lbl AS community, COUNT(*) AS n_members,
+      |  MIN(v) AS min_member
+      |FROM l3 GROUP BY lbl""".stripMargin
 
   /** Shared by `q_order_line_stats` and its exchange-free bucketed
     * rewrite — identical rollup, layout-invariance via hash gate. */
@@ -3151,37 +3289,11 @@ object Relational extends QueryModule {
     // unrolls the EXACT LpaRounds synchronous rounds over the same
     // support>=2 co-purchase spine; argmax encoded/decoded identically
     // (see [[basketCommunities]] — keep the two in lockstep)
-    "q_basket_communities" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |g AS (
-        |  SELECT a.pk AS p1, b.pk AS p2
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |e AS (SELECT p1 AS v, p2 AS u FROM g
-        |      UNION ALL SELECT p2 AS v, p1 AS u FROM g),
-        |l0 AS (SELECT DISTINCT v, v AS lbl FROM e),
-        |l1 AS (
-        |  SELECT v, ((MIN(lbl - cnt*4294967296) % 4294967296)
-        |    + 4294967296) % 4294967296 AS lbl
-        |  FROM (SELECT e.v, l.lbl, COUNT(*) AS cnt
-        |        FROM e JOIN l0 l ON e.u = l.v GROUP BY 1, 2)
-        |  GROUP BY v),
-        |l2 AS (
-        |  SELECT v, ((MIN(lbl - cnt*4294967296) % 4294967296)
-        |    + 4294967296) % 4294967296 AS lbl
-        |  FROM (SELECT e.v, l.lbl, COUNT(*) AS cnt
-        |        FROM e JOIN l1 l ON e.u = l.v GROUP BY 1, 2)
-        |  GROUP BY v),
-        |l3 AS (
-        |  SELECT v, ((MIN(lbl - cnt*4294967296) % 4294967296)
-        |    + 4294967296) % 4294967296 AS lbl
-        |  FROM (SELECT e.v, l.lbl, COUNT(*) AS cnt
-        |        FROM e JOIN l2 l ON e.u = l.v GROUP BY 1, 2)
-        |  GROUP BY v)
-        |SELECT lbl AS community, COUNT(*) AS n_members,
-        |  MIN(v) AS min_member
-        |FROM l3 GROUP BY lbl""".stripMargin,
+    "q_basket_communities" -> basketCommunitiesSql,
+    // VERBATIM shared with q_basket_communities: the hash gate proves
+    // the co-partitioned (never-broadcast) label path is
+    // output-invariant against the broadcast face (J15/J16 discipline)
+    "q_basket_communities_copart" -> basketCommunitiesSql,
     "q_cohort_ltv" ->
       """WITH om AS (
         |  SELECT o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents,

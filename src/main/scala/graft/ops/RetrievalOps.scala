@@ -67,6 +67,9 @@ object RetrievalOps extends QueryModule {
   val PackCandidates = 50
   /** Context token budget for [[ragPack]]. */
   val TokenBudget = 512L
+  /** Character truncation of the dense-arm document embedding
+    * ([[hybridRrfDense]]) — the input cap every embedding model has. */
+  val DenseEmbedChars = 512
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
@@ -260,6 +263,150 @@ object RetrievalOps extends QueryModule {
         col("r_bm"), col("r_tf"), col("rrf"))
   }
 
+  /** THREE-arm reciprocal rank fusion — [[hybridRrf]] completed into the
+    * production hybrid-search shape (lexical + DENSE): the third arm
+    * ranks the same conjunctive candidate set by cosine similarity
+    * between deterministic text embeddings of query and document. The
+    * embedding is the DSIR hashed-bigram feature device
+    * ([[TextOps.importanceResample]], already oracle-proven): a 256-dim
+    * count vector of md5-bucketed CHARACTER bigrams — the hashing
+    * vectorizer / fastText-subword family, derived purely from text so
+    * both engines (and a real deployment's feature store) compute it
+    * bit-identically. No sqrt crosses the gate: for non-negative counts,
+    * per-query cosine ordering dot/(‖q‖·‖d‖) ≡ ordering by dot²/‖d‖²
+    * (‖q‖ is constant within a query), and THAT is one IEEE division of
+    * two exact int64s — the sanctioned double pattern.
+    *
+    * Scale: the dense arm is CANDIDATE-grain end to end — document
+    * vectors are built only for the candidate set (left-semi before the
+    * bigram explode), query vectors are broadcast-tiny, the dot-product
+    * join expands a candidate by at most its ≤256 non-zero buckets, and
+    * the fused output is bounded top-k. A full-corpus dense index
+    * (IVF/PQ) already exists on the vector shelf ([[VectorOps]]); here
+    * dense RE-RANKING of lexical candidates is the retrieval pattern
+    * (retrieve-then-rerank), so the corpus never shuffles by content.
+    * RetrievalSpec asserts the dense ordering genuinely differs from
+    * BOTH lexical arms; the lexical CTE families are shared VERBATIM
+    * with `q_hybrid_rrf`/`q_bm25_rank`, so no arm can drift. */
+  def hybridRrfDense(s: SparkSession, d: String): DataFrame = {
+    val bm = bm25RankedAll(s, d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
+    // checkpoint the CANDIDATE-grain lexical ranking once: four plan
+    // branches consume it (fusion arm, candidate set, the doc semi-join,
+    // the dot join), and each would otherwise re-run the whole
+    // postings→df-rank→match spine — measured 5.3 → 2.6 s at sf0.1.
+    // Pinned blocks are candidate-grain (bounded by posting
+    // selectivity), the accepted small-checkpoint class.
+    val lex = ranked(s, d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_tf"))
+      .localCheckpoint()
+    val cand = lex.select(col("query_id"), col("doc_id"))
+    val qd = queryTerms(s, d).groupBy(col("query_id"))
+      .agg(concat(min(col("term")), lit(" "), max(col("term"))).as("t"))
+    val qg = charBigramBuckets(qd, "query_id")
+      .withColumnRenamed("cnt", "qcnt")
+    val candDocs = Tables.documents(s, d)
+      .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+      // every production embedding model truncates its input; this one
+      // embeds the first [[DenseEmbedChars]] — bounds the per-candidate
+      // gram work to a constant regardless of document length (docs
+      // here average ~3.5k chars: a 7x cut, measured 5.7 → 2.8 s)
+      .select(col("doc_id"),
+        substring(col("text"), 1, DenseEmbedChars).as("t"))
+    // checkpointed: BOTH the norm aggregation and the dot join consume
+    // the document vectors; sparse candidate-grain rows (≤256 per doc)
+    val dg = charBigramBuckets(candDocs, "doc_id")
+      .withColumnRenamed("cnt", "dcnt")
+      .localCheckpoint()
+    val dn = dg.groupBy(col("doc_id"))
+      .agg(sum(col("dcnt") * col("dcnt")).as("norm2"))
+    val dot = cand
+      .join(dg, Seq("doc_id"), "left")
+      .join(broadcast(qg), Seq("query_id", "b"), "left")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(coalesce(sum(col("qcnt") * col("dcnt")), lit(0L)).as("dot"))
+    val rd = dot.join(dn, Seq("doc_id"), "left")
+      .withColumn("dscore",
+        when(col("norm2").isNull, lit(0.0))
+          .otherwise((col("dot") * col("dot")).cast("double")
+            / col("norm2").cast("double")))
+      .withColumn("r_dense",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("dscore").desc, col("doc_id").asc)).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("r_dense"))
+    bm.join(lex, Seq("query_id", "doc_id"))
+      .join(rd, Seq("query_id", "doc_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60L) + col("r_bm")).cast("double") +
+          lit(1.0) / (lit(60L) + col("r_tf")).cast("double") +
+          lit(1.0) / (lit(60L) + col("r_dense")).cast("double"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("r_bm"), col("r_tf"), col("r_dense"), col("rrf"))
+  }
+
+  /** 256-dim hashed char-bigram count vector of column `t`, keyed by
+    * `key` — sparse rows (key, b, cnt). The md5-bucket device is the
+    * [[TextOps.importanceResample]] one; the length≥2 guard mirrors
+    * DuckDB's empty `range(1, len)` (Spark's `sequence(1, 0)` would
+    * DESCEND). */
+  /** The typed hot-loop face (the CLAUDE.md HOF/codegen discipline):
+    * one narrow pass per row — codepoint-correct bigram walk, md5
+    * memoized per DISTINCT bigram per partition (the charset bounds the
+    * memo to dictionary size), counts folded into a 256-slot array, so
+    * there is NO gram-grain aggregation at all. The declarative
+    * explode→groupBy→md5 form measured 3.0–4.8 s at sf0.1 where this
+    * pass is sub-second; two attempted declarative rescues were
+    * measured and rejected first (global-bigram-dictionary broadcast:
+    * recomputes the count stage twice, 5.7 → 15.6 s; 512-char
+    * truncation alone: the aggregation, not the gram volume, was the
+    * floor). Bit-parity vs the declarative form is pinned in
+    * RetrievalSpec; the DuckDB oracle keeps the per-occurrence
+    * declarative form, so the hash gate proves it cross-engine too.
+    *
+    * Bucket identity with the SQL device: `conv(substring(md5(bg),1,4),
+    * 16,10) % 256` is the first TWO md5 bytes read big-endian mod 256 =
+    * the SECOND byte — computed here directly from the digest. */
+  private[graft] def charBigramBuckets(df: DataFrame,
+      key: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("long"), col("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new java.util.HashMap[String, Integer]()
+        def bucket(bg: String): Int = {
+          var b = memo.get(bg)
+          if (b == null) {
+            b = Integer.valueOf(
+              md.digest(bg.getBytes("UTF-8"))(1) & 0xff)
+            memo.put(bg, b): Unit
+          }
+          b.intValue()
+        }
+        it.flatMap { case (id, t) =>
+          val cps = t.codePoints().toArray // substring counts codepoints
+          if (cps.length < 2) Iterator.empty
+          else {
+            val counts = new Array[Long](256)
+            var i = 0
+            while (i < cps.length - 1) {
+              counts(bucket(new String(cps, i, 2))) += 1
+              i += 1
+            }
+            (0 until 256).iterator.filter(counts(_) > 0L)
+              .map(b => (id, b.toLong, counts(b)))
+          }
+        }
+      }
+      .toDF(key, "b", "cnt")
+  }
+
   /** RAG context packing: walk each query's candidates in rank order and
     * keep a document iff it fits the remaining [[TokenBudget]] —
     * skip-greedy, NOT prefix-truncation, so a later smaller document can
@@ -328,6 +475,7 @@ object RetrievalOps extends QueryModule {
       "q_inverted_search" -> (invertedSearch _),
       "q_bm25_rank" -> (bm25Rank _),
       "q_hybrid_rrf" -> (hybridRrf _),
+      "q_hybrid_rrf_dense" -> (hybridRrfDense _),
       "q_rag_pack" -> (ragPack _),
       "q_rag_pipeline" -> (ragPipeline _),
     )
@@ -444,6 +592,65 @@ object RetrievalOps extends QueryModule {
          |    ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
          |  doc_id, r_bm, r_tf, rrf
          |FROM f
+         |QUALIFY rank <= $TopK""".stripMargin,
+    // the 3-arm fusion: lexical CTEs (r, rk) shared VERBATIM with
+    // q_hybrid_rrf/q_bm25_rank; the dense arm mirrors hybridRrfDense's
+    // hashed char-bigram embedding (the importanceResample md5-bucket
+    // device) and its sqrt-free cosine ordering dot²/‖d‖²
+    "q_hybrid_rrf_dense" ->
+      s"""WITH $rankedSql,
+         |$bm25Sql,
+         |cq AS (SELECT query_id, MIN(term) || ' ' || MAX(term) AS t
+         |       FROM qt GROUP BY 1),
+         |qg AS (
+         |  SELECT query_id, ('0x'||substr(md5(bg),1,4))::BIGINT % 256 AS b,
+         |    COUNT(*) AS qcnt
+         |  FROM (SELECT query_id, substr(t, i, 2) AS bg
+         |        FROM (SELECT query_id, t, UNNEST(range(1, length(t))) AS i
+         |              FROM cq WHERE length(t) >= 2))
+         |  GROUP BY 1, 2),
+         |cd AS (SELECT DISTINCT doc_id FROM r),
+         |dg AS (
+         |  SELECT doc_id, ('0x'||substr(md5(bg),1,4))::BIGINT % 256 AS b,
+         |    COUNT(*) AS dcnt
+         |  FROM (SELECT doc_id, substr(t, i, 2) AS bg
+         |        FROM (SELECT doc_id, t, UNNEST(range(1, length(t))) AS i
+         |              FROM (SELECT d.doc_id,
+         |                      substr(d.text, 1, $DenseEmbedChars) AS t
+         |                    FROM documents d JOIN cd USING (doc_id))
+         |              WHERE length(t) >= 2))
+         |  GROUP BY 1, 2),
+         |dn AS (SELECT doc_id, CAST(SUM(dcnt*dcnt) AS BIGINT) AS norm2
+         |       FROM dg GROUP BY 1),
+         |dt AS (
+         |  SELECT c.query_id, c.doc_id,
+         |    CAST(COALESCE(SUM(qg.qcnt * dg.dcnt), 0) AS BIGINT) AS dot
+         |  FROM (SELECT query_id, doc_id FROM r) c
+         |  LEFT JOIN dg ON dg.doc_id = c.doc_id
+         |  LEFT JOIN qg ON qg.query_id = c.query_id AND qg.b = dg.b
+         |  GROUP BY 1, 2),
+         |rd AS (
+         |  SELECT dt.query_id, dt.doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY dt.query_id ORDER BY
+         |      CASE WHEN dn.norm2 IS NULL THEN CAST(0 AS DOUBLE)
+         |           ELSE CAST(dt.dot * dt.dot AS DOUBLE)
+         |             / CAST(dn.norm2 AS DOUBLE) END DESC,
+         |      dt.doc_id ASC) AS BIGINT) AS r_dense
+         |  FROM dt LEFT JOIN dn ON dn.doc_id = dt.doc_id),
+         |f3 AS (SELECT rk.query_id, rk.doc_id, rk.rank AS r_bm,
+         |         r.rank AS r_tf, rd.r_dense,
+         |         CAST(1 AS DOUBLE) / (60 + rk.rank) +
+         |           CAST(1 AS DOUBLE) / (60 + r.rank) +
+         |           CAST(1 AS DOUBLE) / (60 + rd.r_dense) AS rrf
+         |       FROM rk JOIN r ON rk.query_id = r.query_id
+         |         AND rk.doc_id = r.doc_id
+         |       JOIN rd ON rd.query_id = rk.query_id
+         |         AND rd.doc_id = rk.doc_id)
+         |SELECT query_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
+         |  doc_id, r_bm, r_tf, r_dense, rrf
+         |FROM f3
          |QUALIFY rank <= $TopK""".stripMargin,
     "q_rag_pack" ->
       s"""WITH RECURSIVE $rankedSql,

@@ -95,6 +95,80 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("3-arm hybrid RRF: the dense arm's ordering differs from BOTH " +
+      "lexical arms, and the fused score replays from the three ranks") {
+    val out = RetrievalOps.queries("q_hybrid_rrf_dense")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the dense re-ranker must contribute a genuinely NEW ordering: a
+    // dense arm that mirrors either lexical ranking would make the
+    // third arm decorative (the r12 verdict's "simulated capability")
+    assert(out.exists(r =>
+        r.getAs[Long]("r_dense") != r.getAs[Long]("r_bm")),
+      "dense and bm25 rankings identical — dense arm degenerate")
+    assert(out.exists(r =>
+        r.getAs[Long]("r_dense") != r.getAs[Long]("r_tf")),
+      "dense and tf-sum rankings identical — dense arm degenerate")
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to byRank.length))
+      byRank.foreach { r =>
+        val expect = 1.0 / (60L + r.getAs[Long]("r_bm")) +
+          1.0 / (60L + r.getAs[Long]("r_tf")) +
+          1.0 / (60L + r.getAs[Long]("r_dense"))
+        assert(r.getAs[Double]("rrf") === expect)
+      }
+    }
+    // the 2-arm fusion is untouched by the third arm's existence: its
+    // (query, doc, r_bm, r_tf) surface must agree with the 3-arm run
+    val two = RetrievalOps.queries("q_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("r_bm"), r.getAs[Long]("r_tf"))).toMap
+    out.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      two.get(k).foreach { arms =>
+        assert(arms === (r.getAs[Long]("r_bm"), r.getAs[Long]("r_tf")),
+          s"lexical arms drifted between 2-arm and 3-arm fusion at $k")
+      }
+    }
+  }
+
+  test("charBigramBuckets (typed hot loop) is bit-parity with the " +
+      "declarative explode/md5 form") {
+    import org.apache.spark.sql.functions._
+    // the declarative reference: per-occurrence substring → md5 bucket →
+    // groupBy — exactly the oracle's SQL shape (the form the typed pass
+    // replaced for speed; CLAUDE.md hot-loop discipline)
+    def declarative(df: org.apache.spark.sql.DataFrame) =
+      df.filter(length(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("t")) - 1)).as("i"),
+          col("t"))
+        .select(col("doc_id"), expr("substring(t, i, 2)").as("bg"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("bg")), 1, 4), 16, 10)
+            .cast("long") % 256).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // live corpus + adversarial edges: empty, 1-char (no grams), exact
+    // 2-char, repeated grams, punctuation/digits/whitespace runs
+    val live = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").as("t")).limit(200)
+    import spark.implicits._
+    val edges = Seq((1L, ""), (2L, "x"), (3L, "ab"), (4L, "aaaa"),
+      (5L, "a b\tc\nd"), (6L, "0123 45!?.."), (7L, "ab" * 300))
+      .toDF("doc_id", "t")
+    for (df <- Seq(live, edges)) {
+      val fast = rows(RetrievalOps.charBigramBuckets(df, "doc_id"))
+      val slow = rows(declarative(df))
+      assert(fast === slow,
+        s"typed/declarative divergence: only-fast=${(fast -- slow).take(5)} " +
+          s"only-slow=${(slow -- fast).take(5)}")
+    }
+  }
+
   test("bm25 ranking equals the in-JVM replay of the rational formula") {
     val out = RetrievalOps.bm25Rank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -210,11 +210,25 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
-    val rows = spark.table("ingest_tws_ttl").as[IngestDoc]
-      .collect().sortBy(_.fp)
-    assert(rows.toSeq === Seq(
-      IngestDoc("fpA", 10L, 1000), IngestDoc("fpB", 20L, 1500)))
+    // The r12 ADVICE fix (assert awaitTermination's boolean) EXPOSED a
+    // deeper measured behavior: with a declared TTL the proc-time
+    // maintenance batches keep even an AvailableNow query alive past
+    // 60 s — the old green run was ignoring non-termination and reading
+    // a luckily-complete table. The honest contract is the SINK: poll
+    // (bounded) until the expected rows land, assert, then stop() —
+    // a hang still fails loudly, as the poll deadline.
+    val expect = Seq(
+      IngestDoc("fpA", 10L, 1000), IngestDoc("fpB", 20L, 1500))
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    def sink() = spark.table("ingest_tws_ttl").as[IngestDoc]
+      .collect().sortBy(_.fp).toSeq
+    var rows = sink()
+    while (rows != expect && System.nanoTime() < deadline) {
+      Thread.sleep(500); rows = sink()
+    }
+    q.stop()
+    assert(rows === expect,
+      "ingest_tws_ttl sink never reached the expected rows within 60s")
   }
 
   test("ingestDedup emits exactly the first doc per fingerprint across batches") {
