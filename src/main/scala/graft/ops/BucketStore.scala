@@ -66,4 +66,17 @@ object BucketStore {
   /** Lineitem bucketed+sorted by `l_orderkey`. */
   def lineitem(s: SparkSession, d: String): DataFrame =
     s.table(ensure(s, d, "lineitem_bkt", Tables.lineitem(s, d), "l_orderkey"))
+
+  /** Mirrored LPA edge list (v, u) bucketed by the probe key `u` — the
+    * DISK-backed co-partitioned layout of the label-propagation rounds
+    * (VERDICT r13 #3): the in-memory cache of
+    * [[Relational.lpaIterateCopart]] assumes executor memory holds the
+    * mirrored edges; at 100 TB it does not, and THIS is the layout that
+    * takes over — the co-partitioning lives in the table format, the
+    * scan itself reports `HashPartitioning(u, NBuckets)`, and every
+    * round's join reads the edges exchange-free straight off disk. The
+    * caller supplies the edge build (graph derivations differ);
+    * memoized per (JVM, sfDir) like the fact tables. */
+  def lpaEdges(s: SparkSession, d: String, src: => DataFrame): DataFrame =
+    s.table(ensure(s, d, "lpa_edges", src, "u"))
 }

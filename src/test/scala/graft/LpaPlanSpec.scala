@@ -107,4 +107,38 @@ class LpaPlanSpec extends AnyFunSuite {
       s"faces disagree: only-bc=${(bc -- cp).take(5)} " +
         s"only-cp=${(cp -- bc).take(5)}")
   }
+
+  test("bucketed face: rounds ride the DISK layout — bucketed scan " +
+      "provides the edge partitioning, no broadcast, no exchange above " +
+      "the scan, equality with the broadcast face") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = Relational.basketCommunitiesBucketed(spark, sf)
+    val got = rows(out)
+    val bc = rows(Relational.basketCommunities(spark, sf))
+    assert(got === bc,
+      s"bucketed face disagrees: only-bc=${(bc -- got).take(5)} " +
+        s"only-bkt=${(got -- bc).take(5)}")
+    // re-run lazily for the executed plan (collect above consumed it,
+    // but the DataFrame is re-executable; AQE final plan needs a run)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"round joins must be shuffled-hash:\n$plan")
+    assert(!plan.contains("BroadcastExchange") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"label frame must never broadcast:\n$plan")
+    // the edge scan must be the BUCKETED one (SelectedBucketsCount shows
+    // only when the scan emits bucketed output) and no Exchange may sit
+    // directly above a file scan — an edge re-exchange means the disk
+    // layout's partitioning was lost and the mechanism is void
+    assert(plan.contains("SelectedBucketsCount"),
+      s"edge scan is not bucketed:\n$plan")
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.contains("Exchange hashpartitioning"))
+        assert(!lines.slice(i + 1, i + 2).exists(_.contains("FileScan")),
+          s"edge list re-exchanged above the bucketed scan at line $i:\n$plan")
+    }
+  }
 }

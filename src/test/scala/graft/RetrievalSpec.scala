@@ -133,6 +133,32 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("dense truncation audit: the 512-char cap keeps top-k overlap " +
+      "with the full-text ranking above the floor") {
+    val rows = RetrievalOps.queries("q_dense_trunc_audit")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "audit produced no queries")
+    val tot = rows.map(_.getAs[Long]("n_topk")).sum
+    val ovl = rows.map(_.getAs[Long]("n_overlap")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_topk"),
+        s"overlap exceeds top-k size: $r")
+    }
+    // floors pinned at the measured point (the ANN-recall discipline —
+    // the chain is deterministic, hashed bigrams of fixed text, so the
+    // measurement cannot drift): sf0.001 measures 49/50 aggregate with a
+    // per-query minimum of 9/10 (sf0.01 and sf0.1 both measure 50/50 —
+    // this corpus's first 512 chars are bigram-representative). A drop
+    // below 90%/8 means the truncation CONTRACT changed, not noise.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_overlap") * 10 >=
+        r.getAs[Long]("n_topk") * 8,
+        s"per-query truncated-vs-full overlap fell below 80%: $r")
+    }
+    assert(ovl * 10 >= tot * 9,
+      s"aggregate truncated-vs-full top-k overlap fell below 90%: $ovl/$tot")
+  }
+
   test("charBigramBuckets (typed hot loop) is bit-parity with the " +
       "declarative explode/md5 form") {
     import org.apache.spark.sql.functions._

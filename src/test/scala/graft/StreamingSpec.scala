@@ -102,9 +102,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("dailyDedupTws with a DECLARED TTL (proc-time mode) runs the same " +
       "dedup — the declared-horizon config path is live") {
-    // TTL forces TimeMode.ProcessingTime, where processAllAvailable never
-    // settles (the engine keeps scheduling proc-time maintenance batches);
-    // AvailableNow processes the fed data to completion and stops.
+    // TTL forces TimeMode.ProcessingTime, where the engine keeps scheduling
+    // maintenance batches — even AvailableNow does not terminate within
+    // 60 s (measured r13). The honest contract is the SINK: poll (bounded)
+    // until the expected rows land, assert, then stop() EXPLICITLY — an
+    // un-stopped TTL stream races session teardown and leaves an
+    // [INTERNAL_ERROR] planning stack in a green log (VERDICT r13 #5).
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
     in.addData(
@@ -119,13 +122,20 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
-    val rows = spark.table("dd_tws_ttl").as[KeyedEvent].collect()
-      .sortBy(e => (e.key, e.ts))
-    assert(rows.toSeq === Seq(
+    val expect = Seq(
       KeyedEvent("u1", 1000, "2024-01-01"),
       KeyedEvent("u1", 90000000, "2024-01-02"),
-      KeyedEvent("u2", 1500, "2024-01-01")))
+      KeyedEvent("u2", 1500, "2024-01-01"))
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    def sink() = spark.table("dd_tws_ttl").as[KeyedEvent].collect()
+      .sortBy(e => (e.key, e.ts)).toSeq
+    var rows = sink()
+    while (rows != expect && System.nanoTime() < deadline) {
+      Thread.sleep(500); rows = sink()
+    }
+    q.stop()
+    assert(rows === expect,
+      "dd_tws_ttl sink never reached the expected rows within 60s")
   }
 
   test("sessionizeTws closes by gap in-stream and by event-time timer at the end") {
@@ -196,8 +206,9 @@ class StreamingSpec extends AnyFunSuite {
   test("ingestDedupTws with a declared TTL runs under ProcessingTime and " +
       "matches the NONE behavior within the horizon") {
     // the TTL branch flips TimeMode to ProcessingTime (the engine throws
-    // for TTL state under NoTime) — AvailableNow + awaitTermination, the
-    // CLAUDE.md discipline for proc-time TTL paths
+    // for TTL state under NoTime) — poll-the-sink, never awaitTermination,
+    // the CLAUDE.md discipline for proc-time TTL paths (a declared TTL
+    // keeps even AvailableNow alive past 60 s; measured r13)
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[IngestDoc]
     in.addData(
