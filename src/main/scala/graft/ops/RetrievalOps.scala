@@ -132,8 +132,16 @@ object RetrievalOps extends QueryModule {
   private def ranked(s: SparkSession, d: String): DataFrame =
     rankedOf(postings(s, d))
 
-  private def rankedOf(p: DataFrame): DataFrame = {
-    val qt = queryTermsOf(p)
+  private def rankedOf(p: DataFrame): DataFrame =
+    rankedOf(p, queryTermsOf(p))
+
+  /** The spine with a PRECOMPUTED query table — multi-arm consumers
+    * (the RRF fusions) derive qt once, checkpoint the 10-row frame and
+    * thread it through every arm, so the vocabulary df-ranking is not
+    * replanned per plan branch (measured: the 3-arm fusion's plan held
+    * 14 copies of the derived-query subtree — one per spine use — at
+    * ~0.15 s each; one checkpoint removes them all). */
+  private def rankedOf(p: DataFrame, qt: DataFrame): DataFrame = {
     val matched = p
       .join(broadcast(qt), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -200,10 +208,15 @@ object RetrievalOps extends QueryModule {
   /** The FULL BM25 ranking (no top-k cut) — shared by [[bm25Rank]] and
     * the RRF fusion, which needs every candidate's rank, not just the
     * displayed head. */
-  private def bm25RankedAll(s: SparkSession, d: String): DataFrame = {
-    val p = postings(s, d)
-    val qt = queryTerms(s, d)
-    val dl = PostingStore.doclen(s, d)
+  private def bm25RankedAll(s: SparkSession, d: String): DataFrame =
+    bm25RankedAllOf(postings(s, d), queryTerms(s, d),
+      PostingStore.doclen(s, d))
+
+  /** [[bm25RankedAll]] with precomputed postings/query-table/doc-length
+    * frames — the fusion queries' shared-spine entry point (see
+    * [[rankedOf]]'s qt-threading note). */
+  private def bm25RankedAllOf(p: DataFrame, qt: DataFrame,
+      dl: DataFrame): DataFrame = {
     val totals = dl.agg(sum(col("dl")).as("t_tok"),
       count(lit(1)).as("n_docs"))
     val df_ = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -299,19 +312,31 @@ object RetrievalOps extends QueryModule {
     * with `q_hybrid_rrf`/`q_bm25_rank`, so no arm can drift; the
     * truncation contract is audited by `q_dense_trunc_audit`. */
   def hybridRrfDense(s: SparkSession, d: String): DataFrame = {
-    val bm = bm25RankedAll(s, d)
+    val p = postings(s, d)
+    // derive the 10-row benchmark query table ONCE and checkpoint it:
+    // every arm and branch below consumes it, and without the pin the
+    // planner re-derives it per branch (measured 14 copies of the
+    // vocab-ranking subtree in this query's plan). In production the
+    // query batch ARRIVES from outside — this checkpoint is that
+    // boundary made explicit.
+    val qt = queryTermsOf(p).localCheckpoint()
+    val bm = bm25RankedAllOf(p, qt, PostingStore.doclen(s, d))
       .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
-    // checkpoint the CANDIDATE-grain lexical ranking once: four plan
-    // branches consume it (fusion arm, candidate set, the doc semi-join,
-    // the dot join), and each would otherwise re-run the whole
-    // postings→df-rank→match spine — measured 5.3 → 2.6 s at sf0.1.
-    // Pinned blocks are candidate-grain (bounded by posting
-    // selectivity), the accepted small-checkpoint class.
-    val lex = ranked(s, d)
+    val lex = rankedOf(p, qt)
       .select(col("query_id"), col("doc_id"), col("rank").as("r_tf"))
-      .localCheckpoint()
-    val cand = lex.select(col("query_id"), col("doc_id"))
-    val qd = queryTerms(s, d).groupBy(col("query_id"))
+    // the LEXICAL FUSION JOIN is computed as ONE lazy plan (exactly the
+    // 2-arm query's shape — the spines share scans inside it) and
+    // checkpointed candidate-grain: both arms rank the SAME conjunctive
+    // candidate set (n_matched = 2 in both), so bm ⋈ lex IS that set,
+    // and everything dense below — the semi-probe ids, the dot join's
+    // frame, the final fusion — is a cheap epilogue over the pinned
+    // join. (Earlier shapes checkpointed lex alone and re-ran the bm
+    // spine serially after it: measured 3.1–3.2 s where this shape runs
+    // 2.1–2.3 s in the same window. Pinned blocks are candidate-grain,
+    // the accepted small-checkpoint class.)
+    val j = bm.join(lex, Seq("query_id", "doc_id")).localCheckpoint()
+    val cand = j.select(col("query_id"), col("doc_id"))
+    val qd = qt.groupBy(col("query_id"))
       .agg(concat(min(col("term")), lit(" "), max(col("term"))).as("t"))
     val qg = charBigramBuckets(qd, "query_id")
       .withColumnRenamed("cnt", "qcnt")
@@ -328,10 +353,8 @@ object RetrievalOps extends QueryModule {
       .join(broadcast(cand.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .withColumnRenamed("cnt", "dcnt")
-      .localCheckpoint()
     val rd = denseRankOf(cand, dg, qg)
-    bm.join(lex, Seq("query_id", "doc_id"))
-      .join(rd, Seq("query_id", "doc_id"))
+    j.join(rd, Seq("query_id", "doc_id"))
       .withColumn("rrf",
         lit(1.0) / (lit(60L) + col("r_bm")).cast("double") +
           lit(1.0) / (lit(60L) + col("r_tf")).cast("double") +
@@ -388,11 +411,13 @@ object RetrievalOps extends QueryModule {
     * floor on the overlap so a quality regression (not just a hash
     * drift) fails loudly. */
   def denseTruncAudit(s: SparkSession, d: String): DataFrame = {
-    val lex = ranked(s, d)
+    val p = postings(s, d)
+    val qt = queryTermsOf(p).localCheckpoint() // see hybridRrfDense
+    val lex = rankedOf(p, qt)
       .select(col("query_id"), col("doc_id"))
       .localCheckpoint()
     val candIds = lex.select(col("doc_id")).distinct()
-    val qd = queryTerms(s, d).groupBy(col("query_id"))
+    val qd = qt.groupBy(col("query_id"))
       .agg(concat(min(col("term")), lit(" "), max(col("term"))).as("t"))
     val qg = charBigramBuckets(qd, "query_id")
       .withColumnRenamed("cnt", "qcnt")
