@@ -118,7 +118,8 @@ object Bench {
       // own line (the dense probe then pays only the embed build)
       "embed" -> "q_hybrid_rrf_dense",
       "pqindex" -> "q_ann_pq", "anntruth" -> "q_ann_recall",
-      "compact" -> "q_compaction_exec", "zexec" -> "q_zorder_exec")
+      "compact" -> "q_compaction_exec", "zexec" -> "q_zorder_exec",
+      "lpaedges" -> "q_basket_communities_bucketed")
     val storeTimes: Seq[(String, Double)] =
       if (isChild || args.nonEmpty ||
           sys.env.get("SPARK_GRAFT_BENCH_PREBUILD").contains("0")) Nil
