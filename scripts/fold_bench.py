@@ -60,6 +60,12 @@ def main() -> None:
                             for r in full), 3)
         if len(vals) >= 2 and vals[0] > 0:
             xrun[n] = round(vals[1] / vals[0], 3)
+        elif vals:
+            # single valid measurement (failed in every other run): no
+            # ratio can confirm the min, so flag it for the >2x
+            # re-measure prompt instead of letting it escape the gate
+            # silently (ADVICE r14)
+            xrun[n] = None
     stores = {}
     for k in full[0].get("stores", {}):
         vals = [r["stores"][k] for r in full
@@ -93,8 +99,9 @@ def main() -> None:
     }
     with open(out_path, "w") as f:
         f.write(json.dumps(rec, separators=(",", ":")) + "\n")
-    worst = sorted(xrun.items(), key=lambda kv: -kv[1])[:10]
-    over = [k for k, v in xrun.items() if v > 2.0]
+    worst = sorted(((k, v) for k, v in xrun.items() if v is not None),
+                   key=lambda kv: -kv[1])[:10]
+    over = [k for k, v in xrun.items() if v is None or v > 2.0]
     print(f"folded {len(full)} full + {len(patches)} patch runs -> "
           f"{out_path}: total={total} n={len(names)} worst cross-run: "
           + ", ".join(f"{k}={v}" for k, v in worst))

@@ -347,14 +347,21 @@ object RetrievalOps extends QueryModule {
     // broadcast into a left-semi against the sparse scan, so the store
     // never shuffles. The oracle recomputes the embedding from raw text
     // verbatim, so the hash gate proves store ≡ fresh build every round.
-    // Checkpointed: BOTH the norm aggregation and the dot join consume
-    // the document vectors; sparse candidate-grain rows (≤256 per doc).
+    // Consumed ONCE: denseRankOf's single-aggregation shape (r15) folds
+    // the norm into the dot pass, so the probe subtree plans and executes
+    // exactly once — no checkpoint needed, no second store scan.
     val dg = EmbedStore.vectors(s, d)
       .join(broadcast(cand.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .withColumnRenamed("cnt", "dcnt")
     val rd = denseRankOf(cand, dg, qg)
-    j.join(rd, Seq("query_id", "doc_id"))
+    // broadcast the pinned candidate-grain join back onto the dense rank
+    // (r15): rd leaves denseRankOf already hash-partitioned by query_id
+    // (its rank window), so a broadcast of tiny j keeps that layout and
+    // the final fused-rank window re-uses it — the SMJ spelling paid two
+    // exchanges + sorts to re-key both sides and a third to re-key the
+    // window (measured plan: Exchange(2)/(55)/(61) all gone).
+    rd.join(broadcast(j), Seq("query_id", "doc_id"))
       .withColumn("rrf",
         lit(1.0) / (lit(60L) + col("r_bm")).cast("double") +
           lit(1.0) / (lit(60L) + col("r_tf")).cast("double") +
@@ -378,14 +385,22 @@ object RetrievalOps extends QueryModule {
     * dot join expands a candidate by ≤256 non-zero buckets. */
   private def denseRankOf(cand: DataFrame, dg: DataFrame,
       qg: DataFrame): DataFrame = {
-    val dn = dg.groupBy(col("doc_id"))
-      .agg(sum(col("dcnt") * col("dcnt")).as("norm2"))
-    val dot = cand
+    // ONE aggregation computes the dot product AND the doc norm (r15,
+    // guide §2.4): the qg join is LEFT and qg is unique on (query_id, b),
+    // so the joined frame still carries every (candidate doc, bucket) row
+    // exactly once — per (query_id, doc_id), Σ dcnt² IS the doc's norm².
+    // The previous shape aggregated the norm from a SECOND pass over dg
+    // (a second store-scan subtree, its own exchange, and a dot⋈norm
+    // join); this removes all three. norm2 is NULL exactly when the doc
+    // had no vector rows (the left join's all-null padding), matching
+    // the old missing-from-dn case. Both sums are exact int64 — no
+    // float reassociation crosses the gate.
+    cand
       .join(dg, Seq("doc_id"), "left")
       .join(broadcast(qg), Seq("query_id", "b"), "left")
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(coalesce(sum(col("qcnt") * col("dcnt")), lit(0L)).as("dot"))
-    dot.join(dn, Seq("doc_id"), "left")
+      .agg(coalesce(sum(col("qcnt") * col("dcnt")), lit(0L)).as("dot"),
+        sum(col("dcnt") * col("dcnt")).as("norm2"))
       .withColumn("dscore",
         when(col("norm2").isNull, lit(0.0))
           .otherwise((col("dot") * col("dot")).cast("double")
@@ -421,16 +436,17 @@ object RetrievalOps extends QueryModule {
       .agg(concat(min(col("term")), lit(" "), max(col("term"))).as("t"))
     val qg = charBigramBuckets(qd, "query_id")
       .withColumnRenamed("cnt", "qcnt")
+    // dgT/dgF are each consumed ONCE since denseRankOf folded the norm
+    // into the dot aggregation (r15) — the checkpoints that pinned them
+    // against double execution became pure materialization cost; dropped.
     val dgT = EmbedStore.vectors(s, d)
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .withColumnRenamed("cnt", "dcnt")
-      .localCheckpoint()
     val dgF = charBigramBuckets(
         Tables.documents(s, d)
           .join(broadcast(candIds), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("text").as("t")), "doc_id")
       .withColumnRenamed("cnt", "dcnt")
-      .localCheckpoint()
     val topT = denseRankOf(lex, dgT, qg)
       .filter(col("r_dense") <= TopK)
       .select(col("query_id"), col("doc_id"))
@@ -438,7 +454,11 @@ object RetrievalOps extends QueryModule {
       .filter(col("r_dense") <= TopK)
       .select(col("query_id"), col("doc_id"))
       .withColumn("hit", lit(1L))
-    topT.join(topF, Seq("query_id", "doc_id"), "left")
+    // both tops are ≤ TopK rows per query by the rank filter — broadcast
+    // the verifier arm so the overlap join never re-keys topT (r15): the
+    // SMJ spelling exchanged + sorted both top-k frames just to count
+    // hits, and topT's query_id layout now flows into the final rollup.
+    topT.join(broadcast(topF), Seq("query_id", "doc_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_topk"),
         coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
