@@ -330,12 +330,23 @@ object TextOps extends QueryModule {
     val light = withSegs
       .select(col("doc_id"), posexplode(col("sarr")))
       .select(md5(col("col")).as("fp"), col("doc_id"), col("pos").as("seg_id"))
-    val winners = light.groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("seg_id"))).as("w"))
-    val drops = light.join(winners, Seq("fp"))
-      .filter(col("doc_id") =!= col("w.doc_id") || col("seg_id") =!= col("w.seg_id"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("seg_id")).as("dropped"))
+    // winner AND losers from ONE fp-keyed aggregation (r15, guide §2.4):
+    // the winners-then-join shape computed the segment explosion twice
+    // (once under the groupBy, once as the join's probe side) and paid a
+    // second content-keyed exchange to re-key it. Carrying the occurrence
+    // list through the same aggregate costs nothing extra in shuffle
+    // bytes (the rows move once either way), partial collect_list keeps
+    // it map-side-combinable, and the per-fp list is duplication-sized
+    // (1 element for the dup-free bulk). Still no corpus-sized sort, and
+    // text still never shuffles by content.
+    val drops = light.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("seg_id"))).as("w"),
+        collect_list(struct(col("doc_id"), col("seg_id"))).as("occ"))
+      .select(col("w"), explode(col("occ")).as("o"))
+      .filter(col("o.doc_id") =!= col("w.doc_id") ||
+        col("o.seg_id") =!= col("w.seg_id"))
+      .groupBy(col("o.doc_id").as("doc_id"))
+      .agg(collect_set(col("o.seg_id")).as("dropped"))
 
     withSegs.join(broadcast(drops), Seq("doc_id"), "left")
       .withColumn("text_out", expr(
@@ -472,14 +483,20 @@ object TextOps extends QueryModule {
           s"i -> concat_ws(' ', slice(toks, i + 1, $W))) " +
           "ELSE CAST(array() AS array<string>) END")))
       .select(md5(col("col")).as("fp"), col("doc_id"), col("pos"))
-    val winners = light.groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-    val covered = light.join(winners, Seq("fp"))
-      .filter(col("doc_id") =!= col("w.doc_id") ||
-        col("pos") =!= col("w.pos"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (W - 1))).as("idx"))
-      .distinct()
+    // winner AND losers from ONE fp-keyed aggregation — see
+    // [[segmentDedup]] (r15): halves the gram explosion and drops the
+    // second content-keyed exchange. The downstream covered-index
+    // distinct is folded into collect_set (it dedupes, and its PARTIAL
+    // aggregate dedupes map-side), so the idx rows pay one doc-keyed
+    // exchange instead of a (doc, idx)-keyed one plus a doc-keyed one.
+    val covered = light.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+      .select(col("w"), explode(col("occ")).as("o"))
+      .filter(col("o.doc_id") =!= col("w.doc_id") ||
+        col("o.pos") =!= col("w.pos"))
+      .select(col("o.doc_id").as("doc_id"),
+        explode(sequence(col("o.pos"), col("o.pos") + (W - 1))).as("idx"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("idx")).as("covered"))
 
