@@ -140,7 +140,7 @@ object CorpusStore {
     val shAll = (existing(shDir) match {
       case Some(st) => st.unionByName(shNew)
       case None => shNew
-    }).join(candIds, Seq("doc_id"), "left_semi")
+    }).join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val drops = TextOps.verifySimPairs(cand, shAll)
       .select(col("d2").as("doc_id")).distinct().localCheckpoint()
 

@@ -1503,8 +1503,13 @@ object TextOps extends QueryModule {
       .select(col("y.doc_id").as("inc_id"), col("x.doc_id").as("idx_id"))
       .distinct()
       .localCheckpoint()
+    // the candidate-id list is collision-sized by construction — say so:
+    // cand is a checkpointed RDD with unknown stats, so without the hint
+    // the planner picked SortMergeJoin and EXCHANGED the corpus-sized
+    // text side to meet it (measured plan, r15) — exactly the
+    // index-never-shuffles contract this operator's scaladoc promises.
     def shs(df: DataFrame, idCol: String): DataFrame = df
-      .join(cand.select(col(idCol).as("doc_id")).distinct(),
+      .join(broadcast(cand.select(col(idCol).as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shsetCol.as("shset"))
     cand
@@ -1537,7 +1542,7 @@ object TextOps extends QueryModule {
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     val survivors = TextIndexStore.corpusShset(s, d)
-      .join(candIds, Seq("doc_id"), "left_semi").localCheckpoint()
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi").localCheckpoint()
     verifySimPairs(cand, survivors)
       .select(col("d1"), col("d2"), col("common"), col("jaccard"))
   }
@@ -1557,7 +1562,7 @@ object TextOps extends QueryModule {
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     val survivors = shingleSets
-      .join(candIds, Seq("doc_id"), "left_semi").localCheckpoint()
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi").localCheckpoint()
     verifySimPairs(cand, survivors)
       .select(col("d1"), col("d2"), col("common"), col("jaccard"))
   }
@@ -1709,14 +1714,24 @@ object TextOps extends QueryModule {
     val docs = docsParallel(s, d)
     // per-doc DISTINCT bigrams via the typed mapPartitions device —
     // the declarative `shingles` HOF is CodegenFallback (the measured
-    // 100×-class trap this module's hot per-row loops all avoid)
-    val grams = gramRowsBy(s, docs, col("doc_id").cast("string"), 2)
-      .select(col("k").cast("long").as("doc_id"), col("g").as("bg"))
-      .localCheckpoint() // two consumers: per-doc totals + the semi-join
-    val refVocab = gramRowsBy(s,
-        docs.filter(col("source").isin((0 to 4).map("src" + _): _*)),
-        col("source"), 2)
-      .select(col("g").as("bg")).distinct()
+    // 100×-class trap this module's hot per-row loops all avoid).
+    // ONE gram pass (r15, the importanceResample device): the reference
+    // vocabulary is the DISTINCT gram set of the curated slice, so it
+    // derives from the same checkpointed frame via a curated marker on
+    // the pass key (1:1 with doc_id — per-key distinct unchanged, and
+    // the trailing .distinct() erases the key grain anyway) instead of
+    // re-scanning and re-gramming the slice's text.
+    val curated = col("source").isin((0 to 4).map("src" + _): _*)
+    val gramsCur = gramRowsBy(s, docs,
+        concat(col("doc_id").cast("string"), lit(":"),
+          when(curated, lit("1")).otherwise(lit("0"))), 2)
+      .select(split(col("k"), ":").getItem(0).cast("long").as("doc_id"),
+        (split(col("k"), ":").getItem(1) === "1").as("cur"),
+        col("g").as("bg"))
+      .localCheckpoint() // consumers: per-doc totals, semi-join, vocab
+    val grams = gramsCur.select(col("doc_id"), col("bg"))
+    val refVocab = gramsCur.filter(col("cur"))
+      .select(col("bg")).distinct()
     val nBg = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"))
     val hits = grams
@@ -1770,17 +1785,29 @@ object TextOps extends QueryModule {
     val docs = docsParallel(s, d)
     def bucket(g: Column): Column =
       conv(substring(md5(g), 1, 4), 16, 10).cast("long") % 256
-    val grams = gramRowsBy(s, docs, col("doc_id").cast("string"), 2)
-      .select(col("k").cast("long").as("doc_id"), bucket(col("g")).as("b"))
-      .localCheckpoint() // consumed by the raw counts AND the scorer
-    val tb = gramRowsBy(s,
-        docs.filter(col("source").isin((0 to 4).map("src" + _): _*)),
-        col("doc_id").cast("string"), 2)
-      .select(bucket(col("g")).as("b"))
+    // ONE typed gram pass (r15, guide §1.2): the curated slice used to be
+    // re-scanned and re-grammed separately for the target buckets; riding
+    // a curated marker on the pass key (1:1 with doc_id, so the per-key
+    // distinct is unchanged) lets the checkpointed frame feed the target
+    // table, the raw table AND the scorer — the slice's text is read once.
+    val curated = col("source").isin((0 to 4).map("src" + _): _*)
+    val grams = gramRowsBy(s, docs,
+        concat(col("doc_id").cast("string"), lit(":"),
+          when(curated, lit("1")).otherwise(lit("0"))), 2)
+      .select(split(col("k"), ":").getItem(0).cast("long").as("doc_id"),
+        (split(col("k"), ":").getItem(1) === "1").as("cur"),
+        bucket(col("g")).as("b"))
+      .localCheckpoint() // consumed by target counts, raw counts, scorer
+    val tb = grams.filter(col("cur"))
       .groupBy(col("b")).agg(count(lit(1)).as("t"))
     val rb = grams.groupBy(col("b")).agg(count(lit(1)).as("r"))
     val tTot = tb.agg(sum(col("t")).cast("decimal(38,0)").as("tt"))
     val rTot = rb.agg(sum(col("r")).cast("decimal(38,0)").as("rt"))
+    // both 1-row totals ride ONE crossJoin: BroadcastNestedLoopJoin sits
+    // outside codegen (the measured CLAUDE.md trap), so each extra 1-row
+    // crossJoin re-breaks the doc-grain pipeline — combine them first
+    // (1×1 rows) and pay the seam once per grain (r15).
+    val tots = broadcast(tTot.crossJoin(rTot))
     val pd = grams
       .join(broadcast(tb), Seq("b"), "left")
       .join(broadcast(rb), Seq("b"))
@@ -1792,7 +1819,7 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("source"),
         coalesce(col("num"), lit(0L)).as("num"),
         coalesce(col("den"), lit(0L)).as("den"))
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .crossJoin(tots)
       .withColumn("pct",
         conv(substring(md5(concat(lit("ir|"),
           col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
@@ -1807,7 +1834,7 @@ object TextOps extends QueryModule {
         // boundary (the module's salted-join discipline — exact to 2⁵³)
         sum(col("num").cast("decimal(38,0)")).as("sum_num"),
         sum(col("den").cast("decimal(38,0)")).as("sum_den"))
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .crossJoin(tots)
       .select(col("source"), col("n_docs"), col("n_kept"),
         (col("n_kept").cast("double") / col("n_docs").cast("double"))
           .as("kept_share"),
