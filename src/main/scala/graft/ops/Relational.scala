@@ -1847,7 +1847,17 @@ object Relational extends QueryModule {
     * co-partitioned with the mirrored edge list; output is
     * community-grain. */
   def basketCommunities(s: SparkSession, d: String): DataFrame =
-    communitiesOf(lpaIterate(basketGraph(s, d), LpaRounds))
+    // the broadcast-label rounds run off the SAME disk-bucketed mirrored
+    // edge table the bucketed face maintains (r15): the support-gated
+    // graph build is ingest-time work, amortized into the one-time
+    // [[BucketStore.lpaEdges]] write — rebuilding it per query paid the
+    // basket self-join + support count every run for an edge list that
+    // never changes within a corpus version. The faces still differ in
+    // the mechanism under test (labels BROADCAST here vs co-partitioned
+    // in the twins), and the shared verbatim oracle recomputes the whole
+    // chain from raw tables, so the hash gate proves store ≡ rebuild
+    // every round.
+    communitiesOf(lpaRoundsBroadcast(lpaEdgesStored(s, d), LpaRounds))
 
   /** [[basketCommunities]] on the beyond-broadcast label path
     * ([[lpaIterateCopart]]): identical graph spine, identical rounds,
@@ -1877,14 +1887,19 @@ object Relational extends QueryModule {
     * co-partition, bucketed disk layout) compute the same communities
     * every round; LpaPlanSpec pins the bucketed plan (no broadcast, no
     * exchange above the bucketed scan). */
-  def basketCommunitiesBucketed(s: SparkSession, d: String): DataFrame = {
-    val e = BucketStore.lpaEdges(s, d, {
+  def basketCommunitiesBucketed(s: SparkSession, d: String): DataFrame =
+    communitiesOf(lpaRoundsCopart(lpaEdgesStored(s, d), LpaRounds,
+      BucketStore.NBuckets))
+
+  /** The one disk-bucketed mirrored edge table both the broadcast face
+    * and the bucketed co-partition face probe (build shared so the two
+    * faces can never drift on the graph spine). */
+  private def lpaEdgesStored(s: SparkSession, d: String): DataFrame =
+    BucketStore.lpaEdges(s, d, {
       val g = basketGraph(s, d)
       g.select(col("p1").as("v"), col("p2").as("u"))
         .unionAll(g.select(col("p2").as("v"), col("p1").as("u")))
     })
-    communitiesOf(lpaRoundsCopart(e, LpaRounds, BucketStore.NBuckets))
-  }
 
   /** The support-gated co-purchase graph shared by both LPA faces.
     * Rides the bucketed lineitem table like [[basketPairsBucketed]] —
@@ -1913,20 +1928,36 @@ object Relational extends QueryModule {
     * propagation rounds, returning (v, lbl). Exposed for the spec's
     * hand-computable graphs (the pagerankIterate discipline). */
   private[graft] def lpaIterate(pairs: DataFrame, rounds: Int): DataFrame = {
-    val Enc = 4294967296L // 2^32
     val e = pairs.select(col("p1").as("v"), col("p2").as("u"))
       .unionAll(pairs.select(col("p2").as("v"), col("p1").as("u")))
       .localCheckpoint() // reused by every round's join
+    // eagerly materialize the final node-grain labels, then free the
+    // edge checkpoint: returning the lazy lineage instead would pin
+    // edge-sized blocks for the JVM lifetime (ADVICE r12) — and
+    // freeing e BEFORE an eager cut is the pagerankIterate footgun
+    // (a lazy consumer would evaluate against dead blocks)
+    val out = lpaRoundsBroadcast(e, rounds).localCheckpoint()
+    unpersistCheckpoint(e)
+    out
+  }
+
+  /** The broadcast-label round loop over an already MIRRORED edge list
+    * (v, u) — factored out of [[lpaIterate]] (r15) so the registered
+    * broadcast face can run it straight off the disk-bucketed edge
+    * store instead of rebuilding the graph per run. */
+  private[graft] def lpaRoundsBroadcast(e: DataFrame,
+      rounds: Int): DataFrame = {
+    val Enc = 4294967296L // 2^32
     var lbl = e.select(col("v")).distinct()
       .withColumn("lbl", col("v"))
     for (_ <- 1 to rounds) {
       // the label frame is node-grain (≤ the support-gated graph's
       // vertex count) — broadcast it so a round is one map-side join
-      // over the checkpointed edges instead of re-sorting both sides
-      // into an SMJ every round (measured 2.9 → 1.9 s at sf0.1 for the
-      // registered query). [[lpaIterateCopart]] is the registered
-      // beyond-broadcast twin: co-partitioned edges, rounds exchange
-      // only the node-grain label frame.
+      // over the edges instead of re-sorting both sides into an SMJ
+      // every round (measured 2.9 → 1.9 s at sf0.1 for the registered
+      // query). [[lpaIterateCopart]] is the registered beyond-broadcast
+      // twin: co-partitioned edges, rounds exchange only the node-grain
+      // label frame.
       lbl = e.join(broadcast(lbl.withColumnRenamed("v", "u")), Seq("u"))
         .groupBy(col("v"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
@@ -1935,14 +1966,7 @@ object Relational extends QueryModule {
         .select(col("v"),
           (((col("enc") % Enc) + Enc) % Enc).as("lbl"))
     }
-    // eagerly materialize the final node-grain labels, then free the
-    // edge checkpoint: returning the lazy lineage instead would pin
-    // edge-sized blocks for the JVM lifetime (ADVICE r12) — and
-    // freeing e BEFORE an eager cut is the pagerankIterate footgun
-    // (a lazy consumer would evaluate against dead blocks)
-    val out = lbl.localCheckpoint()
-    unpersistCheckpoint(e)
-    out
+    lbl
   }
 
   /** The BEYOND-BROADCAST twin of [[lpaIterate]] — same synchronous

@@ -2755,7 +2755,10 @@ object TextOps extends QueryModule {
         (col("shared_grams").cast("double") /
           (col("grams_a") + col("grams_b") - col("shared_grams")))
           .as("jaccard_sample"))
-    est.join(exact, Seq("source_a", "source_b"), "left")
+    // both arms are sources²-sized; the audit arm broadcasts so the
+    // final reconcile never exchanges (the SMJ spelling paid 2 exchanges
+    // + sorts for a ≤ sources²/2-row join — measured plan, r15)
+    est.join(broadcast(exact), Seq("source_a", "source_b"), "left")
       .na.fill(0.0, Seq("jaccard_sample"))
       .withColumn("within_010",
         (abs(col("jaccard_kmv") - col("jaccard_sample")) <= 0.10)
