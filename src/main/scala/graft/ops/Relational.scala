@@ -417,15 +417,22 @@ object Relational extends QueryModule {
   def kmvDistinct(s: SparkSession, d: String): DataFrame = {
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val hashes = Tables.events(s, d)
-      .select(col("event_type"), h.as("h"))
+    // ONE event scan and ONE (type, user) distinct feed both the sketch
+    // and the exact audit (r15): dense_rank already deduplicated hash
+    // ties, so ranking the distinct frame is value-identical while the
+    // window walks distinct users instead of raw rows — and the audit is
+    // a count over the same pinned frame, not a second scan.
+    val base = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
+    val hashes = base.select(col("event_type"), h.as("h"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
     val sk = hashes.withColumn("dr", dense_rank().over(w))
       .filter(col("dr") <= KmvK)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("h")).as("n_kept"), max(col("h")).as("kth"))
-    val exact = Tables.events(s, d).groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("uv_exact"))
+    val exact = base.groupBy(col("event_type"))
+      .agg(count(col("user_id")).as("uv_exact"))
     sk.join(exact, "event_type")
       .select(col("event_type"), col("uv_exact"),
         when(col("n_kept") < KmvK, col("n_kept"))
@@ -466,6 +473,11 @@ object Relational extends QueryModule {
             / col("kth").cast("double")))
         .cast("long").as("uv_kmv")
     val wHr = Window.partitionBy(col("day"), col("hr")).orderBy(col("h"))
+    // (r15 note: a pinned (day, hr, user_id) distinct shared by both
+    // audit branches was measured a WASH here — the distinct exchange +
+    // checkpoint cost what the saved third event scan cost — so the
+    // audit branches keep their own scans; each is one 2-phase
+    // countDistinct with map-side partials.)
     val hourRows = e.select(col("day"), col("hr"), col("h")).distinct()
       .withColumn("dr", dense_rank().over(wHr)).filter(col("dr") <= KmvK)
       .select(col("day"), col("hr"), col("h"))
@@ -552,14 +564,12 @@ object Relational extends QueryModule {
         pick(0.5, p50Name), pick(0.9, p90Name))
     }
     // exact-audit picks — the HISTOGRAM cumulative device (the
-    // [[valueQuantiles]] shape): the window walks distinct-cents
-    // histogram rows, never raw rows, so the global all-up pick costs a
-    // cents-cardinality sort, not a corpus sort. Same floor((n−1)p)+1
-    // rank, identical picked value.
-    def histPicks(df: DataFrame, parts: Seq[String], nName: String,
+    // [[valueQuantiles]] shape) over a PRE-AGGREGATED (…, cents, ct)
+    // histogram: the window walks distinct-cents rows, never raw rows,
+    // so the global all-up pick costs a cents-cardinality sort, not a
+    // corpus sort. Same floor((n−1)p)+1 rank, identical picked value.
+    def histPicks(hist: DataFrame, parts: Seq[String], nName: String,
         p50Name: String, p90Name: String): DataFrame = {
-      val hist = df.groupBy((parts :+ "cents").map(col): _*)
-        .agg(count(lit(1)).as("ct"))
       val wp = if (parts.isEmpty) Window.partitionBy()
         else Window.partitionBy(parts.map(col): _*)
       val cum = hist
@@ -582,17 +592,34 @@ object Relational extends QueryModule {
       Seq("day"))
     val allS = bottomK(dayS.select(col("h"), col("cents")), Nil)
 
+    // raw rows are scanned exactly TWICE (r15): once for the hour-grain
+    // sample above, once for this pinned day-grain exact histogram — the
+    // all-up histogram re-aggregates it (counts sum), and both n_merged
+    // frames derive from the pinned hour sample (bottom-k keeps ≥1 row
+    // per non-empty cell, so the (day, hr) and day sets are preserved
+    // exactly). The previous shape re-planned the event scan under every
+    // audit branch: 5 scans for one query.
+    val dayHist = e.groupBy(col("day"), col("cents"))
+      .agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
+    val allHist = dayHist.groupBy(col("cents"))
+      .agg(sum(col("ct")).as("ct"))
+    val dayMerged = hourS.select(col("day"), col("hr")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_merged"))
+    val allMerged = hourS.select(col("day")).distinct()
+      .agg(count(lit(1)).as("n_merged"))
+
     val dayOut = picks(dayS, Seq("day"), "n_sample", "est_p50", "est_p90")
-      .join(histPicks(e, Seq("day"), "n_rows", "exact_p50", "exact_p90"),
-        "day")
-      .join(e.groupBy(col("day"))
-        .agg(countDistinct(col("hr")).as("n_merged")), "day")
+      .join(histPicks(dayHist, Seq("day"), "n_rows", "exact_p50",
+        "exact_p90"), "day")
+      .join(dayMerged, "day")
       .select(lit("day").as("grain"), col("day").as("bucket"),
         col("n_merged"), col("n_rows"), col("n_sample"),
         col("est_p50"), col("est_p90"), col("exact_p50"), col("exact_p90"))
     val allOut = picks(allS, Nil, "n_sample", "est_p50", "est_p90")
-      .crossJoin(histPicks(e, Nil, "n_rows", "exact_p50", "exact_p90"))
-      .crossJoin(e.agg(countDistinct(col("day")).as("n_merged")))
+      .crossJoin(histPicks(allHist, Nil, "n_rows", "exact_p50",
+        "exact_p90"))
+      .crossJoin(allMerged)
       .select(lit("all").as("grain"), lit("ALL").as("bucket"),
         col("n_merged"), col("n_rows"), col("n_sample"),
         col("est_p50"), col("est_p90"), col("exact_p50"), col("exact_p90"))
@@ -1390,12 +1417,18 @@ object Relational extends QueryModule {
     * histogram pass over the rows, everything after is value-domain
     * sized. */
   def valueMad(s: SparkSession, d: String): DataFrame = {
+    // pinned: the med/dev/mad/outlier branch fan-out re-planned this
+    // subtree per consumer (measured 7 event-scan copies in one plan,
+    // r15 — the CLAUDE.md derived-frame replanning trap); the histogram
+    // is value-domain-sized, the accepted small-checkpoint class, and
+    // the raw rows are now scanned exactly once.
     val hist = Tables.events(s, d)
       .filter(col("value").isNotNull)
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
     def median(h: DataFrame, vc: String, cc: String, out: String) = {
       val wCum = Window.partitionBy(col("event_type")).orderBy(col(vc))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
