@@ -285,8 +285,14 @@ object OrderWide extends QueryModule {
     * and split points). */
   def scd2Incremental(s: SparkSession, d: String): DataFrame = {
     val v = versions(DwdStore.wide(s, d))
+    // pinned: [[Scd2.applyBatch]] reads the history TWICE (close-out +
+    // version-base), and without the pin the op₁ wave's scan + window
+    // rebuild executed once per consumer (measured 4 wide-store scans in
+    // one plan, r15). In production the history arrives from the
+    // key-partitioned store — one read — and the pin is that boundary
+    // made explicit, exactly like [[scd2Refresh]]'s store read.
     val h1 = Scd2.fromLog(v.filter(col("op_ts") === 1L),
-      "detail_id", "op_ts", chainOrder)
+      "detail_id", "op_ts", chainOrder).localCheckpoint()
     val h2 = Scd2.applyBatch(h1, v.filter(col("op_ts") === 2L),
       "detail_id", "op_ts", chainOrder)
     scd2Project(h2)
