@@ -109,6 +109,11 @@ def main() -> None:
         print(f"STILL >2x ({len(over)}): re-measure with e.g.\n  "
               "SPARK_GRAFT_BENCH_LOCAL_OUT=/tmp/patch.json sbt -batch "
               f"'runMain graft.Bench {' '.join(sorted(over))}'")
+        # exit non-zero so an unconfirmed-min artifact cannot be
+        # committed by accident (ADVICE r15): the OUT file is still
+        # written (the patch-run loop appends to the same fold args),
+        # but a gate scripting `fold_bench.py && git add` stops here
+        sys.exit(1)
 
 
 if __name__ == "__main__":

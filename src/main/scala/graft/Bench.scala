@@ -79,6 +79,9 @@ object Bench {
     val isoThresh =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_THRESH", "1.0").toDouble
     val spark = GraftSession.get()
+    // bench-scoped (ADVICE r15): the bounded-window WARN flood displaces
+    // the tail-captured record here; Verify and the specs keep the signal
+    GraftSession.silenceBoundedWindowWarn()
 
     // Wall-clock deadline (VERDICT r14 #1b): `SPARK_GRAFT_BENCH_DEADLINE_S`
     // (seconds from process start) or, in the forked child, the parent's
@@ -132,9 +135,11 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             (-1.0, -1.0, -1.0)
         }
-      // queries may cache intermediates (LSH signatures, the DWD store);
-      // drop them so one query's working set never skews another's run
-      spark.catalog.clearCache()
+      // queries may cache intermediates (LSH signatures, the DWD store)
+      // and leak localCheckpoint blocks (registered queries cannot
+      // unpersist their own pins); drop BOTH so one query's working set
+      // never skews another's run — see GraftSession.releaseCaches
+      GraftSession.releaseCaches(spark)
       r
     }
 
@@ -170,12 +175,21 @@ object Bench {
       new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Double, Double)]()
     var storeSecSoFar = 0.0
     var finalPrinted = false
+    // work units dropped by a deadline expiry (store probes + sweep
+    // queries): carried as an explicit marker on every emitted record so
+    // a deadline-truncated run can never pass for a complete one
+    // (ADVICE r15)
+    var deadlineSkipped = 0
+    def truncMark: String =
+      if (deadlineSkipped > 0)
+        s""","deadline_truncated":true,"n_skipped":$deadlineSkipped"""
+      else ""
     def totalsLine(rs: Seq[(String, Double, Double, Double)], storeSec: Double,
                    partial: Boolean): String = {
       val ok = rs.filter(_._2 >= 0)
       val nFail = rs.count(_._2 < 0)
       val extra = if (partial) ""","partial":true""" else ""
-      s"""{"metric":"total","value":${jnum(ok.map(_._2).sum)},"unit":"sec","n_queries":${rs.size},"n_failed":$nFail,"store_build_sec":${jnum(storeSec)}$extra}"""
+      s"""{"metric":"total","value":${jnum(ok.map(_._2).sum)},"unit":"sec","n_queries":${rs.size},"n_failed":$nFail,"store_build_sec":${jnum(storeSec)}$truncMark$extra}"""
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!finalPrinted) {
@@ -212,11 +226,26 @@ object Bench {
             val t = try time(fn) catch { case e: Throwable =>
               System.err.println(s"[bench-stores] $tag ($qn) failed: " +
                 e.getMessage); -1.0 }
-            spark.catalog.clearCache()
+            GraftSession.releaseCaches(spark)
             if (t >= 0) storeSecSoFar += t
             (tag, t)
           }
       }.toSeq
+    // a deadline that lands mid-prebuild must say so, like the sweep does
+    // (ADVICE r15): log the dropped probe tags and carry the count into
+    // every record below via `deadline_truncated`
+    val storesSkipped =
+      if (isChild || args.nonEmpty ||
+          sys.env.get("SPARK_GRAFT_BENCH_PREBUILD").contains("0")) 0
+      else storeProbes.count(p => SparkEntry.queries.contains(p._2)) -
+        storeTimes.size
+    if (storesSkipped > 0) {
+      deadlineSkipped += storesSkipped
+      System.err.println(s"[bench-stores] deadline: skipped $storesSkipped " +
+        "unprobed stores: " + storeProbes.filter(p =>
+          SparkEntry.queries.contains(p._2))
+          .drop(storeTimes.size).map(_._1).mkString(","))
+    }
 
     val sweepOrder = selected.toSeq.sortBy(_._1)
     val results = sweepOrder.iterator.takeWhile(_ => !timeUp).map {
@@ -225,10 +254,12 @@ object Bench {
         sweepBuf.add((name, best, med, worst))
         (name, best, med, worst)
     }.toSeq
-    if (results.size < sweepOrder.size)
+    if (results.size < sweepOrder.size) {
+      deadlineSkipped += sweepOrder.size - results.size
       System.err.println(s"[bench] deadline: sweep skipped " +
         s"${sweepOrder.size - results.size} unmeasured queries: " +
         sweepOrder.drop(results.size).map(_._1).mkString(","))
+    }
 
     // Early flush (VERDICT r14 #1a): one complete totals-only record on
     // stdout IMMEDIATELY after the sweep, BEFORE the fresh-JVM isolation
@@ -498,7 +529,7 @@ object Bench {
     val dispMax = jnum(if (sweepDisp.isEmpty) 1.0 else sweepDisp.values.max)
     val dispGt2 = dispFlagged.size
     val isoMed = jnum(isoMedRatio)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":$nFailed,"store_build_sec":$storeTotal,"disp_max":$dispMax,"disp_gt2":$dispGt2,"iso_med_ratio":$isoMed,"queries":$qs,"total":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":$nFailed,"store_build_sec":$storeTotal,"disp_max":$dispMax,"disp_gt2":$dispGt2,"iso_med_ratio":$isoMed$truncMark,"queries":$qs,"total":$total}""")
     // Machine-written LOCAL record (r12 verdict #3: the committed
     // artifact must carry per-query dispersion and the re-measure pass
     // itself, not hand-written contention prose): one line, same flat
@@ -515,7 +546,15 @@ object Bench {
     // five rounds running). This second line is a SELF-CONTAINED totals-only
     // record under 200 bytes: any tail window that sees the end of stdout
     // contains it whole, so the driver always has one complete JSON line.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"store_build_sec":$storeTotal,"disp_max":$dispMax,"disp_gt2":$dispGt2,"iso_med_ratio":$isoMed}""")
+    // the per-store accounting on its own guaranteed-printed stdout line
+    // (VERDICT r15 #5: the final compact record doesn't carry the stores
+    // map, so the r14 "did lpaedges land" question was unanswerable from
+    // the driver tail) — adjacent to the compact record below, small
+    // enough (~300 bytes) that any tail window big enough to be useful
+    // sees it
+    if (storeTimes.nonEmpty)
+      println(s"""{"metric":"stores","store_build_sec":$storeTotal,"stores":$stores}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"store_build_sec":$storeTotal,"disp_max":$dispMax,"disp_gt2":$dispGt2,"iso_med_ratio":$isoMed$truncMark}""")
     System.out.flush()
     finalPrinted = true
     spark.stop()

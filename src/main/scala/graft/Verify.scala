@@ -28,9 +28,10 @@ object Verify {
           String.valueOf(e.getMessage))
       }
       // the near-dup/LSH builders cache intermediates for their own
-      // multi-consumer plans; drop them between queries (as Bench does)
-      // so ~100 queries don't accumulate pinned blocks in one session
-      spark.catalog.clearCache()
+      // multi-consumer plans, and checkpointing queries leak RDD blocks
+      // clearCache can't see; drop both between queries (as Bench does)
+      // so ~220 queries don't accumulate pinned blocks in one session
+      GraftSession.releaseCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -382,8 +382,18 @@ object RetrievalOps extends QueryModule {
     * (store-probed truncated vectors) and [[denseTruncAudit]] (which
     * ranks the SAME candidates under truncated AND full-text vectors to
     * gate the truncation contract). Candidate-grain throughout: the
-    * dot join expands a candidate by ≤256 non-zero buckets. */
-  private def denseRankOf(cand: DataFrame, dg: DataFrame,
+    * dot join expands a candidate by ≤256 non-zero buckets.
+    *
+    * PRECONDITION (ADVICE r15): `cand` must be UNIQUE on
+    * (query_id, doc_id) — the folded norm is correct only because each
+    * (candidate doc, bucket) row appears exactly once in the joined
+    * frame, so per group Σdcnt² IS the doc's norm². A caller passing
+    * duplicate candidate rows would silently scale norm2 AND dot
+    * instead of failing. Both current callers satisfy it (hybridRrfDense
+    * joins two per-(query,doc) rank frames; denseTruncAudit's lex is a
+    * ranked-per-pair frame); RetrievalSpec's duplicate-cand probe pins
+    * the invariant. */
+  private[graft] def denseRankOf(cand: DataFrame, dg: DataFrame,
       qg: DataFrame): DataFrame = {
     // ONE aggregation computes the dot product AND the doc norm (r15,
     // guide §2.4): the qg join is LEFT and qg is unique on (query_id, b),

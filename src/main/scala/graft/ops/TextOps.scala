@@ -339,6 +339,15 @@ object TextOps extends QueryModule {
     // it map-side-combinable, and the per-fp list is duplication-sized
     // (1 element for the dup-free bulk). Still no corpus-sized sort, and
     // text still never shuffles by content.
+    // SKEW BOUND (ADVICE r15): the per-fp buffer is OCCURRENCE-sized —
+    // a boilerplate segment shared by k docs puts k (doc_id, seg_id)
+    // structs in one aggregation row (16 B each, so even a
+    // million-occurrence fp is ~16 MB — heap-noticeable, not a
+    // corpus-sized sort; TextSpec's planted heavy-duplication corpus
+    // drives thousands of copies through one fp and pins the output).
+    // A corpus whose head fp outgrows task memory takes the two-phase
+    // form: count-gate the hot fps first, stream them through the old
+    // winners-join shape, one-pass the dup-free bulk.
     val drops = light.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("seg_id"))).as("w"),
         collect_list(struct(col("doc_id"), col("seg_id"))).as("occ"))
@@ -489,6 +498,10 @@ object TextOps extends QueryModule {
     // distinct is folded into collect_set (it dedupes, and its PARTIAL
     // aggregate dedupes map-side), so the idx rows pay one doc-keyed
     // exchange instead of a (doc, idx)-keyed one plus a doc-keyed one.
+    // Same occurrence-sized per-fp skew bound as [[segmentDedup]]
+    // (ADVICE r15) — TextSpec's heavy-duplication plant covers this
+    // shape too; a Zipf-head gram beyond task memory takes the same
+    // two-phase escape.
     val covered = light.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
         collect_list(struct(col("doc_id"), col("pos"))).as("occ"))

@@ -505,4 +505,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ranksOf(capped.select("v", "rank")) ===
       ranksOf(Relational.pagerankIterate(g, 4)))
   }
+
+  test("denseRankOf precondition: cand unique per (query_id, doc_id) is " +
+      "load-bearing — duplicated candidate rows scale the folded norm " +
+      "(ADVICE r15)") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    // two docs with hand-sized sparse vectors; doc 20's true dot wins
+    val dg = Seq((10L, 1L, 3L), (10L, 2L, 1L), (20L, 1L, 2L))
+      .toDF("doc_id", "b", "dcnt")
+    val qg = Seq((1L, 1L, 5L), (1L, 2L, 1L)).toDF("query_id", "b", "qcnt")
+    val cand = Seq((1L, 10L), (1L, 20L)).toDF("query_id", "doc_id")
+    def ranksOf(c: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      RetrievalOps.denseRankOf(c, dg, qg)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // unique cand: dot(10)=16, norm2(10)=10 → 25.6; dot(20)=10,
+    // norm2(20)=4 → 25.0 — doc 10 ranks first
+    assert(ranksOf(cand) === Map(10L -> 1L, 20L -> 2L))
+    // duplicating ONE candidate row doubles every (doc, bucket) row of
+    // that doc through the left join: dot AND norm2 both scale, dscore
+    // by 2²/2 — the documented silent-scaling failure, pinned here so
+    // the single-aggregation fold can never be fed duplicate candidates
+    // unnoticed
+    val dup = cand.unionAll(Seq((1L, 20L)).toDF("query_id", "doc_id"))
+    assert(ranksOf(dup) === Map(20L -> 1L, 10L -> 2L),
+      "duplicate candidate rows no longer scale dscore — if the fold " +
+      "was replaced by a dedup-safe shape, update the scaladoc contract")
+  }
 }

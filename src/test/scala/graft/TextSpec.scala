@@ -590,4 +590,54 @@ class TextSpec extends AnyFunSuite {
         s"tie-break picked the plant: ${r.getAs[Long]("canonical_id")}")
     }
   }
+
+  test("heavy-duplication plant: one fingerprint shared by thousands of " +
+      "docs flows through the one-pass dedup aggregations and drops " +
+      "exactly the non-winner occurrences (skew-bound liveness, " +
+      "ADVICE r15)") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    // K docs, each = the SAME hot 16-token segment + a unique 16-token
+    // tail: the hot segment's fp collects K+ occurrences (plus the
+    // plantedAug copies the operators add on top) into ONE aggregation
+    // buffer row — the adversarial input for the r15 one-pass shape.
+    // K is coprime-irrelevant here (plants ride %41/%43 of these ids,
+    // which only ADD occurrences); what's pinned is that the hot-fp
+    // buffer completes and every non-winner occurrence is dropped.
+    val K = 3000
+    val tmp = java.nio.file.Files.createTempDirectory("heavyfp").toString
+    val hot = (1 to 16).map(i => s"hot$i").mkString(" ")
+    (0 until K).map { i =>
+      (i.toLong, "webtext",
+        hot + " " + (1 to 16).map(k => s"u${i}_$k").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val po1 = 1L << 62 // TextOps.PlantOffset
+
+    // segment grain: every base doc is [hot, unique-tail]; the winner
+    // (doc 0) keeps both segments, every other base doc drops exactly
+    // the hot one and keeps its tail
+    val seg = TextOps.segmentDedup(spark, tmp)
+      .filter(col("doc_id") < po1).localCheckpoint()
+    assert(seg.count() == K)
+    assert(seg.filter(col("doc_id") === 0 && col("n_kept") === 2)
+      .count() == 1, "the heavy fp's min-(doc,seg) winner lost a segment")
+    assert(seg.filter(col("doc_id") > 0).filter(
+      col("n_seg") =!= 2 || col("n_kept") =!= 1 || col("n_dropped") =!= 1)
+      .count() == 0,
+      "a non-winner base doc did not drop exactly the hot segment")
+
+    // span grain: the hot prefix's 9 8-token spans cover tokens 0..15 of
+    // every non-winner base doc; straddle spans into the unique tail are
+    // their own winners, so coverage is EXACTLY the 16 hot tokens
+    val span = TextOps.spanDedup(spark, tmp)
+      .filter(col("doc_id") < po1).localCheckpoint()
+    assert(span.count() == K)
+    assert(span.filter(col("doc_id") === 0 && col("n_covered") === 0)
+      .count() == 1, "the span winner doc lost tokens")
+    assert(span.filter(col("doc_id") > 0)
+      .filter(col("n_covered") =!= 16).count() == 0,
+      "non-winner coverage must be exactly the 16 hot-prefix tokens")
+  }
 }
