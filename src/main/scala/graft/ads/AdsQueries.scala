@@ -208,21 +208,29 @@ object AdsQueries extends QueryModule {
 
   /** Order-side vs refund-side (l_returnflag='R') aggregates joined FULL
     * OUTER per dim key — the CommodityStatsMapper.java:14-91 shape,
-    * parameterized by the grouping key list. */
+    * parameterized by the grouping key list.
+    *
+    * Computed as ONE conditional aggregation over a single scan (r16,
+    * guide §2.4): the two-aggregate + full-outer spelling scanned the
+    * fact table and ran the broadcast dim join TWICE, then paid a
+    * key-grain join to glue the sides. Refund rows are a SUBSET of the
+    * scan, so the outer join degenerates to per-key padding — and
+    * `sum(when(isR, …))` reproduces the padding exactly: it is NULL
+    * precisely on keys with no refund rows, where the full outer join
+    * produced NULLs (never a spurious 0). The oracle keeps the
+    * full-outer SQL verbatim, so the hash gate proves the algebra. */
   private def orderVsRefund(s: SparkSession, d: String,
                             keys: Seq[String]): DataFrame = {
     val li = Tables.lineitem(s, d)
       .join(broadcast(partDims(s, d)), col("l_partkey") === col("p_partkey"))
-    val kc = keys.map(col)
-    val orders = li.groupBy(kc: _*).agg(
+    val isR = col("l_returnflag") === "R"
+    li.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("order_count"),
       sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-        .as("order_amount"))
-    val refunds = li.filter(col("l_returnflag") === "R").groupBy(kc: _*).agg(
-      count(lit(1)).as("refund_count"),
-      sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-        .as("refund_amount"))
-    orders.join(refunds, keys, "full_outer")
+        .as("order_amount"),
+      sum(when(isR, lit(1L))).as("refund_count"),
+      sum(when(isR, col("l_extendedprice").cast("decimal(18,2)")))
+        .cast("double").as("refund_amount"))
   }
 
   /** /commodity/trademark (CommodityStatsMapper.java:14-38). */

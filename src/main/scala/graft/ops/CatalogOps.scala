@@ -87,8 +87,33 @@ object CatalogOps extends QueryModule {
     // row-grain formulation verbatim, so the hash gate proves the
     // rewrite's algebra (measured at sf0.1: 17.2 s row-grain → 2.2 s
     // value-grain; see PLANS.md).
-    val grouped = Tables.lineitem(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    // The keyless repartition exists ONLY to spread the ×C explode +
+    // partial aggregation across the cores when the scan itself cannot
+    // (test-scale inputs are single small parquet files — 2 splits at
+    // sf0.1 under the 8m split target, 16× core under-use for the
+    // profile stage). It is gated on measured input size (r16, guide
+    // §2.4): at real scale the scan's own splits saturate the cluster
+    // and an unconditional repartition would round-robin-exchange the
+    // whole fact table (plus its sortBeforeRepartition pass) for
+    // nothing. Deterministic: a pure function of file bytes and core
+    // count, both fixed within a run.
+    val li = Tables.lineitem(s, d)
+    val cores = s.sparkContext.defaultParallelism
+    val splitBytes = s.sessionState.conf.filesMaxPartitionBytes
+    // Directory-aware size: a production-scale table is a DIRECTORY of
+    // part files (File.length() on a dir is filesystem noise, not data
+    // size) — sum the parts so the gate turns OFF exactly when the scan
+    // has enough real splits.
+    val src = new java.io.File(d, "lineitem.parquet")
+    val inputBytes =
+      if (src.isDirectory)
+        Option(src.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+      else src.length()
+    val spread =
+      if (inputBytes > 0 && inputBytes < cores.toLong * splitBytes)
+        li.repartition(cores)
+      else li
+    val grouped = spread
       .select(explode(array(profiledCols.map(p =>
         struct(lit(p.name).as("col_name"), p.vStr.as("v_str"),
           p.vNum.as("v_num"))): _*)).as("c"))

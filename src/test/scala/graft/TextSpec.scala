@@ -21,6 +21,14 @@ class TextSpec extends AnyFunSuite {
       declarative.exceptAll(fast).isEmpty)
   }
 
+  test("repetition ratio: typed mapPartitions path is bit-identical to " +
+      "the declarative Column path") {
+    val fast = TextOps.repetitionRatio(spark, dir)
+    val declarative = TextOps.repetitionRatioDeclarative(spark, dir)
+    assert(fast.exceptAll(declarative).isEmpty &&
+      declarative.exceptAll(fast).isEmpty)
+  }
+
   test("LSH bands: shingle-less docs (NULL minhashes) never pair with " +
       "each other") {
     import spark.implicits._
