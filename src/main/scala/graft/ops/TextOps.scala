@@ -1784,11 +1784,12 @@ object TextOps extends QueryModule {
     * implicit (pct < 1000). Features are 256 md5-bucketed DISTINCT
     * per-doc bigrams — the hashed-n-gram feature space the paper uses.
     *
-    * Scale: two typed gram passes (full corpus + the curated slice);
-    * both bucket-count tables are 256 rows → BROADCAST into the gram
-    * stream, so scoring never exchanges grams by content — the only
-    * corpus-sized shuffle is the doc-keyed moment combine; totals are
-    * 1-row broadcasts; the rollup is sources-sized. Honesty note
+    * Scale: ONE typed gram pass (curated marker on the pass key),
+    * collapsed to (doc, bucket) counts before the pin; both bucket-count
+    * tables are 256 rows → BROADCAST into that small-grain stream, so
+    * scoring never exchanges grams by content — the only corpus-sized
+    * shuffle is the (doc, bucket) count combine; totals are 1-row
+    * broadcasts; the rollup is sources-sized. Honesty note
     * (the [[bigramCoverage]] caveat): on THIS synthetic corpus all
     * sources share one generator vocabulary, so importance compresses
     * toward 1 and most docs are kept — the mechanism (feature hashing,
@@ -1804,16 +1805,29 @@ object TextOps extends QueryModule {
     // distinct is unchanged) lets the checkpointed frame feed the target
     // table, the raw table AND the scorer — the slice's text is read once.
     val curated = col("source").isin((0 to 4).map("src" + _): _*)
+    // r16: the pin is PRE-AGGREGATED to (doc, bucket) grain before the
+    // checkpoint. The r15 shape pinned the raw (doc, gram) stream —
+    // corpus-sized — and the eager materialization was a serial seam the
+    // fold measured as a 32-core wash vs r14's 3-scan shape (1.69 →
+    // 1.79 s; the one-pass win only showed at 8 cores where compute
+    // dominates). Collapsing to per-doc bucket counts first shrinks the
+    // materialized bytes by the grams-per-bucket factor (≤256 rows/doc)
+    // while keeping the single gram pass; tb/rb become 256-row sums of
+    // the pin and the scorer's doc-grain combine exchanges the small
+    // grain. Identical integer algebra: Σ_gram t(b(gram)) ≡ Σ_b c·t(b)
+    // (guide §2.3 aggregate-before-you-shuffle; oracle SQL verbatim).
     val grams = gramRowsBy(s, docs,
         concat(col("doc_id").cast("string"), lit(":"),
           when(curated, lit("1")).otherwise(lit("0"))), 2)
       .select(split(col("k"), ":").getItem(0).cast("long").as("doc_id"),
         (split(col("k"), ":").getItem(1) === "1").as("cur"),
         bucket(col("g")).as("b"))
+      .groupBy(col("doc_id"), col("cur"), col("b"))
+      .agg(count(lit(1)).as("c"))
       .localCheckpoint() // consumed by target counts, raw counts, scorer
     val tb = grams.filter(col("cur"))
-      .groupBy(col("b")).agg(count(lit(1)).as("t"))
-    val rb = grams.groupBy(col("b")).agg(count(lit(1)).as("r"))
+      .groupBy(col("b")).agg(sum(col("c")).as("t"))
+    val rb = grams.groupBy(col("b")).agg(sum(col("c")).as("r"))
     val tTot = tb.agg(sum(col("t")).cast("decimal(38,0)").as("tt"))
     val rTot = rb.agg(sum(col("r")).cast("decimal(38,0)").as("rt"))
     // both 1-row totals ride ONE crossJoin: BroadcastNestedLoopJoin sits
@@ -1825,8 +1839,8 @@ object TextOps extends QueryModule {
       .join(broadcast(tb), Seq("b"), "left")
       .join(broadcast(rb), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(sum(coalesce(col("t"), lit(0L))).as("num"),
-        sum(col("r")).as("den"))
+      .agg(sum(coalesce(col("t"), lit(0L)) * col("c")).as("num"),
+        sum(col("r") * col("c")).as("den"))
     val perDoc = docs.select(col("doc_id"), col("source"))
       .join(pd, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
