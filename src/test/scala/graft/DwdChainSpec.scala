@@ -111,4 +111,25 @@ class DwdChainSpec extends AnyFunSuite {
       part).collect().map(_.toString).sorted.toSeq
     assert(got !== wave1Only)
   }
+
+  /** r16 store-probe rewrite invariant: the served q_dwd_order_wide face
+    * (a DwdStore.wide scan + output projection) is row- and
+    * schema-identical to the raw five-table join it replaced. The DuckDB
+    * oracle proves this cross-engine every Verify run; this spec pins it
+    * in-engine at test speed so a store-layout drift fails here first. */
+  test("q_dwd_order_wide store probe ≡ the raw five-table join") {
+    val got = SparkEntry.queries("q_dwd_order_wide")(spark, dir)
+    val doubles = Set("split_original_amount", "split_activity_amount",
+      "split_coupon_amount", "split_total_amount")
+    val raw = OrderWide.buildWide(
+        OrderWide.detail(spark, dir), OrderWide.info(spark, dir),
+        OrderWide.activity(spark, dir), OrderWide.coupon(spark, dir),
+        OrderWide.dic(spark, dir))
+      .select(got.columns.toSeq.map { c =>
+        if (doubles(c)) col(c).cast("double").as(c) else col(c)
+      }: _*)
+    assert(got.dtypes.toSeq === raw.dtypes.toSeq)
+    assert(got.collect().map(_.toString).sorted.toSeq ===
+      raw.collect().map(_.toString).sorted.toSeq)
+  }
 }
